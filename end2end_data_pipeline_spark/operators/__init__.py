@@ -1,0 +1,7 @@
+"""Operator modules. Importing this package registers every query into
+``end2end_data_pipeline_spark.registry``."""
+
+from end2end_data_pipeline_spark.operators import (  # noqa: F401
+    event_analytics,
+    relational,
+)

@@ -1,0 +1,288 @@
+"""Event analytics — the reference pipeline's analytical core, rebuilt
+as declarative DataFrame queries over the ``events`` table.
+
+Reference analog: ``airflow/dags/spark.py:17-46`` (cached scan →
+groupBy × status-pivot × count → fillna(0) → orderBy) plus the minutely
+window keyed on the materialized ``event_minute`` column
+(``db/clickhouse_table_schema.sql:15``, ``airflow/dags/pipeline.py:130-135``).
+
+The driver ``events`` table has no ``status`` column; the reference's
+SUCCESS/ERROR dimension is derived from the JSON ``props.k`` field
+(k < 25 → ERROR, ~25% error rate, matching the reference generator's
+U(0, 0.5) error-probability draw — ``producer/producer.py:33-34``).
+
+Scale notes (100 TB posture):
+- every query is a single scan → partial agg → shuffle on the group
+  keys → final agg; no driver-side loops, no UDFs;
+- pivots pass explicit value lists so Spark skips the extra
+  distinct-values job (the reference does the same —
+  ``airflow/dags/spark.py:29``);
+- the sessionization query shuffles once on ``user_id`` and computes
+  both the lag window and the aggregation within that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+# Error classification threshold on props.k (uniform 0..99 → ~25% errors).
+ERROR_K_THRESHOLD = 25
+
+# Gap that closes a session (reference sessions rotate with p=0.01 per
+# event — producer/producer.py:118-121; here gap-based, the standard
+# event-analytics definition, expressible both in Spark and ANSI SQL).
+SESSION_GAP_MINUTES = 30
+
+
+def with_status(events: DataFrame) -> DataFrame:
+    """Derive the SUCCESS/ERROR status dimension from props.k (F8/P4)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.withColumn(
+        "status",
+        F.when(k < ERROR_K_THRESHOLD, F.lit("ERROR")).otherwise(F.lit("SUCCESS")),
+    )
+
+
+_STATUS_SQL = f"""CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) < {ERROR_K_THRESHOLD}
+        THEN 'ERROR' ELSE 'SUCCESS' END"""
+
+
+def status_pivot(events: DataFrame) -> DataFrame:
+    """The reference's flagship aggregation (spark.py:27-32): per-type
+    SUCCESS/ERROR count matrix, explicit pivot values, fillna(0)."""
+    return (
+        with_status(events)
+        .groupBy("event_type")
+        .pivot("status", ["ERROR", "SUCCESS"])
+        .count()
+        .na.fill(0, ["ERROR", "SUCCESS"])
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_status_pivot",
+    oracle=f"""
+    SELECT event_type,
+           count(*) FILTER (WHERE {_STATUS_SQL} = 'ERROR')   AS ERROR,
+           count(*) FILTER (WHERE {_STATUS_SQL} = 'SUCCESS') AS SUCCESS
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return status_pivot(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "event_report_totals",
+    oracle=f"""
+    SELECT count(*) AS total_events,
+           count(*) FILTER (WHERE {_STATUS_SQL} = 'ERROR') AS total_errors
+    FROM events
+    """,
+)
+def event_report_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference spark.py:25,33-34 — total_events + total_errors, as ONE
+    aggregation (the reference runs two actions over a cached scan; a
+    single conditional aggregate does it in one pass)."""
+    events = with_status(load_table(spark, sf_dir, "events"))
+    return events.agg(
+        F.count("*").alias("total_events"),
+        F.count(F.when(F.col("status") == "ERROR", 1)).alias("total_errors"),
+    )
+
+
+@query(
+    "event_minute_counts",
+    oracle=f"""
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS event_minute,
+           event_type,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE {_STATUS_SQL} = 'ERROR') AS n_errors
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute window (T1/P3): the MergeTree minute partition +
+    minutely DAG re-expressed as one groupBy. Minute emitted as a string
+    (ns-parquet timestamps truncate differently across engines)."""
+    events = with_status(load_table(spark, sf_dir, "events"))
+    return (
+        events.withColumn("event_minute_ts", F.date_trunc("minute", F.col("ts")))
+        .groupBy("event_minute_ts", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("status") == "ERROR", 1)).alias("n_errors"),
+        )
+        .select(
+            F.date_format("event_minute_ts", "yyyy-MM-dd HH:mm").alias("event_minute"),
+            "event_type",
+            "n_events",
+            "n_errors",
+        )
+        .orderBy("event_minute", "event_type")
+    )
+
+
+@query(
+    "event_error_rate",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS total,
+           count(*) FILTER (WHERE {_STATUS_SQL} = 'ERROR') AS errors,
+           count(*) FILTER (WHERE {_STATUS_SQL} = 'ERROR') / CAST(count(*) AS DOUBLE)
+               AS error_rate
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — the README's 'success/error rate per event type' as an actual
+    rate. error_rate is a division of two exact integers → bit-identical
+    across engines with no rounding games."""
+    events = with_status(load_table(spark, sf_dir, "events"))
+    errors = F.count(F.when(F.col("status") == "ERROR", 1))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("total"),
+            errors.alias("errors"),
+            (errors / F.count("*").cast("double")).alias("error_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_value_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 + A-class: JSON field extraction feeding grouping and
+    aggregation. Money-style double summed as exact integer cents."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+@query(
+    "event_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — gap-based sessionization (the reference generates sessions
+    but never analyzes them). One shuffle on user_id serves both the lag
+    window and the final per-user aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "event_top_event_type_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT day, event_type, n,
+               rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+        FROM daily
+    )
+    SELECT day, event_type, n FROM ranked WHERE rnk = 1 ORDER BY day
+    """,
+)
+def event_top_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-1: busiest event type per day (deterministic
+    tie-break on event_type)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        daily.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") == 1)
+        .select("day", "event_type", "n")
+        .orderBy("day")
+    )
+
+
+@query(
+    "event_tehran_display",
+    oracle="""
+    SELECT strftime(date_trunc('minute', ts + INTERVAL 210 MINUTE),
+                    '%Y-%m-%d_%H-%M') AS tehran_minute,
+           count(*) AS n
+    FROM events
+    GROUP BY 1 ORDER BY 1 LIMIT 100
+    """,
+)
+def event_tehran_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 — the reference's UTC→Asia/Tehran display conversion and
+    'YYYY-mm-dd_HH-MM' object naming (airflow/dags/pipeline.py:130-131).
+    Iran is fixed UTC+03:30 (no DST since 2022), so the oracle uses
+    interval arithmetic; Spark uses the tz database natively."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("tehran_ts", F.from_utc_timestamp(F.col("ts"), "Asia/Tehran"))
+        .groupBy(
+            F.date_format(F.date_trunc("minute", "tehran_ts"), "yyyy-MM-dd_HH-mm").alias(
+                "tehran_minute"
+            )
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("tehran_minute")
+        .limit(100)
+    )

@@ -1,0 +1,65 @@
+"""Parquet table sources for the driver testdata layout.
+
+Reference analog: the warehouse scan path (``airflow/dags/spark.py:24``,
+one ``spark.read.parquet``) generalized to the ten-table testdata star
+schema. Reads stay fully declarative so Catalyst pushes filters and
+prunes columns into the parquet scan (verify via
+``df.explain('formatted')`` → PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are fixed-cardinality; supplier/part/customer grow with
+# SF but stay orders of magnitude below the fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Path layout: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is written as a nanosecond parquet timestamp, which
+    Spark's TimestampType (microseconds) cannot represent; we read it as
+    a raw int64 (``nanosAsLong``) and truncate to microseconds — the
+    same truncation DuckDB applies when casting TIMESTAMP_NS down, so
+    oracle comparisons stay aligned (FIXTURES.md §4).
+    """
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer division keeps full precision (a double round-trip
+            # would corrupt epoch-nanos > 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables (all by default) as a name->DataFrame dict."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so ``spark.sql`` can reference tables by name."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

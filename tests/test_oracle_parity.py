@@ -1,0 +1,43 @@
+"""Replicates the driver's DuckDB-oracle gate at sf0.001 for every
+registered query that declares an oracle: row count, column names and
+order-insensitive value hash must all match."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.oracle_check import compare_query, duckdb_connection
+
+QUERIES = entrymod.queries()
+ORACLE = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_parity(name, spark, sf_dir, con):
+    df = QUERIES[name](spark, sf_dir)
+    result = compare_query(df, con, ORACLE[name])
+    assert result["rows_match"], result
+    assert result["cols_match"], result
+    assert result["values_match"], {k: v for k, v in result.items() if k != "cols_spark"}
+
+
+def test_every_query_runs(spark, sf_dir):
+    """Queries without an oracle still must run and return a schema."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns

@@ -1,0 +1,76 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For each registered query: run the Spark DataFrame and the oracle SQL
+on the same parquet tables, then compare row count, column-name set,
+and an order-insensitive value hash (columns sorted by name, rows
+sorted by their string rendering). Mirrors the contract described in
+``__spark_entry__.py`` so mismatches surface in pytest before the
+driver ever runs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+from end2end_data_pipeline_spark.sources.tables import TABLE_NAMES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm(v: Any) -> str:
+    """Render a cell deterministically across engines."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # repr() is the shortest round-trip form — identical for
+        # bit-identical doubles, and surfaces any FP divergence.
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canonical_rows(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    """Sort columns by name, then rows by rendered value."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    rendered = sorted("\x1f".join(_norm(r[i]) for i in order) for r in rows)
+    return cols, rendered
+
+
+def compare_query(
+    spark_df, con: duckdb.DuckDBPyConnection, sql: str
+) -> dict[str, Any]:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sr = canonical_rows(s_cols, s_rows)
+    dc, dr = canonical_rows(d_cols, d_rows)
+    out: dict[str, Any] = {
+        "rows_spark": len(sr),
+        "rows_oracle": len(dr),
+        "cols_spark": sc,
+        "cols_oracle": dc,
+        "rows_match": len(sr) == len(dr),
+        "cols_match": sc == dc,
+        "values_match": sr == dr,
+    }
+    if not out["values_match"] and out["rows_match"] and out["cols_match"]:
+        diffs = [(a, b) for a, b in zip(sr, dr) if a != b]
+        out["first_diffs"] = diffs[:3]
+    return out
