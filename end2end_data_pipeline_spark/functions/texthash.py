@@ -1,0 +1,135 @@
+"""Portable hashing / shingling expression builders.
+
+The driver's correctness gate runs every query twice — once through
+Spark, once through DuckDB — and value-hashes the results. Anything
+involving hashes must therefore produce IDENTICAL integers in both
+engines. Spark's ``hash()`` (Murmur3 with Spark's seed) and DuckDB's
+``hash()`` differ, so the engine standardizes on a *portable* 60-bit
+hash both engines compute the same way:
+
+    md5(s) -> first 15 hex digits -> integer (< 2^60, fits BIGINT)
+
+Spark:  ``CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT)``
+DuckDB: ``(('0x' || substr(md5(s),1,15))::BIGINT)``
+
+Verified equal (both yield 419982666956583591 for 'hello').
+
+At 100 TB this stays fully distributed and JVM-side in Spark (md5 and
+conv are codegen'd built-ins); the DuckDB form exists only for the
+oracle. Builders emit both dialects from one code path so the two can
+never drift.
+
+MinHash/SimHash background: standard constructions (Broder 1997;
+Charikar 2002) over word shingles, with the k independent hash
+functions realized as salted portable hashes ``h_j(s) = H(j || ':' || s)``.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+# modulus keeping salted token hashes small enough that weighted sums
+# over a document stay far from BIGINT overflow
+TOKEN_MOD = 1_000_003
+FINGERPRINT_MOD = 2_147_483_647
+
+
+def md5h(expr: str, dialect: str) -> str:
+    """Portable 60-bit hash of a string expression."""
+    if dialect == SPARK:
+        return f"CAST(conv(substr(md5({expr}),1,15),16,10) AS BIGINT)"
+    return f"(('0x' || substr(md5({expr}),1,15))::BIGINT)"
+
+
+def salted_md5h(salt: int, expr: str, dialect: str) -> str:
+    """j-th independent hash: H(j || ':' || s)."""
+    return md5h(f"concat('{salt}:', {expr})", dialect)
+
+
+def tokens(text_expr: str, dialect: str) -> str:
+    """Whitespace tokenization (documents are single-space separated)."""
+    if dialect == SPARK:
+        return f"split({text_expr}, ' ')"
+    return f"string_split({text_expr}, ' ')"
+
+
+def shingles(toks_expr: str, n: int, dialect: str) -> str:
+    """Word n-gram shingles as space-joined strings.
+
+    Spark arrays are 1-based via element_at/slice; DuckDB lists are
+    1-based via [] — both builders emit 1-based windows.
+    """
+    if dialect == SPARK:
+        return (
+            f"CASE WHEN size({toks_expr}) >= {n} THEN "
+            f"transform(sequence(1, size({toks_expr}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks_expr}, i, {n}))) "
+            f"ELSE array() END"
+        )
+    joined = " || ' ' || ".join(f"({toks_expr})[i + {k}]" for k in range(n))
+    return f"list_transform(range(1, len({toks_expr}) - {n - 2}), i -> {joined})"
+
+
+def minhash(shingles_expr: str, salt: int, dialect: str) -> str:
+    """One MinHash value: min over shingles of the salted hash."""
+    h = salted_md5h(salt, "s", dialect)
+    if dialect == SPARK:
+        return f"array_min(transform({shingles_expr}, s -> {h}))"
+    return f"list_min(list_transform({shingles_expr}, s -> {h}))"
+
+
+def token_hashes(toks_expr: str, dialect: str, mod: int | None = None) -> str:
+    """Per-token portable hashes, optionally reduced mod ``mod``.
+
+    Pass a modulus only when the hashes feed weighted sums that must
+    stay clear of BIGINT overflow (fingerprints); leave it None for
+    bit-level uses (SimHash votes need the full hash width — a reduced
+    hash zeroes the high bits and degrades every signature bit above
+    log2(mod)).
+    """
+    h = md5h("t", dialect)
+    if mod is not None:
+        h = f"({h} % {mod})"
+    if dialect == SPARK:
+        return f"transform({toks_expr}, t -> {h})"
+    return f"list_transform({toks_expr}, t -> {h})"
+
+
+def simhash(hashes_expr: str, bits: int, dialect: str) -> str:
+    """SimHash over pre-hashed tokens: per-bit +1/-1 vote, ties -> 0."""
+    terms = []
+    for b in range(bits):
+        vote = f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END"
+        if dialect == SPARK:
+            s = (
+                f"aggregate({hashes_expr}, 0L, "
+                f"(acc, h) -> acc + CAST({vote} AS BIGINT))"
+            )
+        else:
+            s = f"list_sum(list_transform({hashes_expr}, h -> {vote}))"
+        terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def fingerprint(toks_expr: str, dialect: str) -> str:
+    """Position-weighted polynomial fingerprint:
+    (sum_i i * (H(tok_i) % TOKEN_MOD)) % FINGERPRINT_MOD, i 1-based.
+    Order-sensitive (a permuted document fingerprints differently) yet
+    expressible as an exact-integer sum in both engines.
+    """
+    h = f"({md5h('t', dialect)} % {TOKEN_MOD})"
+    if dialect == SPARK:
+        body = (
+            f"aggregate(zip_with({toks_expr}, "
+            f"sequence(1, size({toks_expr})), "
+            f"(t, i) -> CAST(i AS BIGINT) * {h}), "
+            f"0L, (acc, v) -> acc + v)"
+        )
+    else:
+        h_i = f"({md5h(f'({toks_expr})[i]', dialect)} % {TOKEN_MOD})"
+        body = (
+            f"list_sum(list_transform(range(1, len({toks_expr}) + 1), "
+            f"i -> CAST(i AS BIGINT) * {h_i}))"
+        )
+    return f"(({body}) % {FINGERPRINT_MOD})"

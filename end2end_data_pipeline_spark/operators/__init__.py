@@ -2,6 +2,9 @@
 ``end2end_data_pipeline_spark.registry``."""
 
 from end2end_data_pipeline_spark.operators import (  # noqa: F401
+    dedup,
     event_analytics,
     relational,
+    similarity,
+    text_analysis,
 )

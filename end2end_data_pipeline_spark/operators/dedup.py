@@ -1,0 +1,390 @@
+"""Deduplication operators over ``documents`` — exact, MinHash-LSH,
+SimHash, and exact n-gram Jaccard (the LLM-training-data dedup suite;
+BASELINE.json north star).
+
+Scale design (the part that matters at 100 TB):
+- exact dedup groups on a 60-bit portable hash of the text, NOT the
+  text itself — the shuffle moves 8-byte keys instead of documents;
+- MinHash-LSH is the standard Broder construction: k=8 salted hashes,
+  4 bands x 2 rows; candidate generation is an equi-join on
+  (band_id, band_key) — never a cross join — so cost is
+  O(n x bucket_size), and the exact-Jaccard verification runs only on
+  candidates;
+- SimHash (Charikar) reduces each document to a 64-bit signature;
+  candidate pairs come from a 4x16-bit pigeonhole join (hamming <= 3
+  guarantees at least one equal chunk), again an equi-join;
+- signatures are per-row array math over built-ins (no UDF, no
+  explode for signature computation — zero shuffle until the join).
+
+All hash math uses the engine-portable md5 hash so the DuckDB oracle
+reproduces results bit-for-bit (functions/texthash.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.functions import texthash as th
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+SHINGLE_N = 3
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band r = 2 -> P(candidate) = 1-(1-J^2)^4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+
+
+def _shingle_set(dialect: str) -> str:
+    toks = th.tokens("text", dialect)
+    sh = th.shingles(toks, SHINGLE_N, dialect)
+    if dialect == th.SPARK:
+        return f"array_distinct({sh})"
+    return f"list_distinct({sh})"
+
+
+def _minhash_cols(dialect: str) -> list[str]:
+    return [th.minhash("sh", j, dialect) for j in range(N_MINHASH)]
+
+
+def _band_key(b: int, dialect: str) -> str:
+    """Band key = portable hash of the band's minhash row, so bucket
+    ids stay 8 bytes however many rows per band."""
+    cast = "STRING" if dialect == th.SPARK else "VARCHAR"
+    lo, hi = 2 * b, 2 * b + 1
+    return th.md5h(
+        f"concat(CAST(mh{lo} AS {cast}), '_', CAST(mh{hi} AS {cast}))", dialect
+    )
+
+
+def _jaccard_parts(a: str, b: str, dialect: str) -> tuple[str, str]:
+    """(n_common, n_union) of two distinct-element string arrays."""
+    if dialect == th.SPARK:
+        common = f"size(array_intersect({a}, {b}))"
+        union = f"(size({a}) + size({b}) - {common})"
+    else:
+        common = f"len(list_filter({a}, x -> list_contains({b}, x)))"
+        union = f"(len({a}) + len({b}) - {common})"
+    return common, union
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           (count(*) - count(DISTINCT md5(text))) / CAST(count(*) AS DOUBLE)
+               AS dup_rate
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate census per language. Grouping key is md5(text):
+    at scale the distinct/shuffle moves hashes, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.md5("text").alias("h"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("h").alias("n_unique"),
+            (
+                (F.count("*") - F.count_distinct("h"))
+                / F.count("*").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY md5(text) ORDER BY doc_id
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per distinct text
+    (deterministic survivor policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct shingle set + k minhashes, all per-row math."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")
+    ).where(F.expr("size(sh) > 0"))
+    cols = [F.expr(e.replace("sh", "sh")).alias(f"mh{j}") for j, e in enumerate(_minhash_cols(th.SPARK))]
+    return base.select("doc_id", "sh", *cols)
+
+
+def _signatures_sql(dialect: str) -> str:
+    mh = ",\n             ".join(
+        f"{e} AS mh{j}" for j, e in enumerate(_minhash_cols(dialect))
+    )
+    return f"""
+      WITH base AS (
+        SELECT doc_id, {_shingle_set(dialect)} AS sh FROM documents
+      ), nonempty AS (
+        SELECT * FROM base WHERE len(sh) > 0
+      ), sigs AS (
+        SELECT doc_id, sh,
+             {mh}
+        FROM nonempty
+      )"""
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=_signatures_sql(th.DUCK)
+    + """
+    SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+    FROM sigs ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (k=8 salted portable hashes over 3-gram
+    word shingles). Validates the LSH machinery value-exactly."""
+    sigs = _signatures(spark, sf_dir)
+    return sigs.select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)]).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_signatures_sql(th.DUCK)
+    + f""", bands AS (
+        SELECT doc_id,
+               b.band_id,
+               CASE b.band_id {' '.join(f'WHEN {b} THEN {_band_key(b, th.DUCK)}' for b in range(N_BANDS))} END AS band_key
+        FROM sigs, (VALUES (0), (1), (2), (3)) b(band_id)
+      ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+      ), verified AS (
+        SELECT doc_a, doc_b,
+               {_jaccard_parts('a.sh', 'b.sh', th.DUCK)[0]} AS n_common,
+               {_jaccard_parts('a.sh', 'b.sh', th.DUCK)[1]} AS n_union
+        FROM cand JOIN sigs a ON doc_a = a.doc_id
+                  JOIN sigs b ON doc_b = b.doc_id
+      )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_union AS BIGINT) AS n_union,
+           n_common / CAST(n_union AS DOUBLE) AS jaccard
+    FROM verified
+    WHERE n_common / CAST(n_union AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact-Jaccard
+    verification of candidates only. The candidate join is an equi-join
+    on (band_id, band_key) — O(n x bucket) not O(n^2)."""
+    sigs = _signatures(spark, sf_dir).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(_band_key(b, th.SPARK)).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common, union = _jaccard_parts("sh_a", "sh_b", th.SPARK)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(common).cast("bigint").alias("n_common"),
+            F.expr(union).cast("bigint").alias("n_union"),
+        )
+        .withColumn("jaccard", F.col("n_common") / F.col("n_union").cast("double"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_sql(dialect: str) -> str:
+    toks = th.tokens("text", dialect)
+    hashes = th.token_hashes(toks, dialect)
+    return th.simhash("hs", SIMHASH_BITS, dialect).replace(
+        "hs", hashes
+    )
+
+
+@query(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    SELECT doc_id, CAST({_simhash_sql(th.DUCK)} AS BIGINT) AS simhash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (per-bit majority vote over token
+    hashes) — pure per-row math, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(_simhash_sql(th.SPARK)).cast("bigint").alias("simhash")
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, CAST({_simhash_sql(th.DUCK)} AS BIGINT) AS simhash
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, simhash, c.chunk_id,
+             (simhash >> (16 * c.chunk_id)) & 65535 AS chunk_val
+      FROM sigs, (VALUES (0), (1), (2), (3)) c(chunk_id)
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.simhash AS sh_a, y.simhash AS sh_b
+      FROM chunks x JOIN chunks y
+        ON x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4-byte pigeonhole candidate join (any
+    pair within hamming 3 must share at least one of 4 byte-chunks),
+    then exact hamming filter. 16-bit chunks: hamming <= 3 over 64
+    bits guarantees one equal chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", F.expr(_simhash_sql(th.SPARK)).cast("bigint").alias("simhash")
+    ).cache()
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.expr(f"(simhash >> {16 * c}) & 65535").alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("int"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingle_set(th.DUCK)} AS sh FROM documents
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM sh
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             {_jaccard_parts('a.sh', 'b.sh', th.DUCK)[0]} AS n_common,
+             {_jaccard_parts('a.sh', 'b.sh', th.DUCK)[1]} AS n_union
+      FROM cand JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common / CAST(n_union AS DOUBLE) AS jaccard
+    FROM verified
+    WHERE n_common / CAST(n_union AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    index (ground truth for the MinHash approximation). The candidate
+    join is shingle-equality — at 100 TB this needs the frequency cap
+    of dropping ultra-common shingles; here the corpus is small enough
+    to skip it."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")).cache()
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    x = inv.alias("x")
+    y = inv.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common, union = _jaccard_parts("sh_a", "sh_b", th.SPARK)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.expr(common) / F.expr(union).cast("double"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

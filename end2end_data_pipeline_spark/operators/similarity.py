@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d):
+brute-force exact top-k as the baseline, random-hyperplane LSH
+bucketing as the scale path (BASELINE.json north star).
+
+Scale design:
+- the query set is SMALL (sampled ids) and the corpus is BIG — the
+  brute-force top-k broadcasts the queries against the corpus scan, so
+  the corpus never shuffles; per-partition candidates reduce via the
+  rank window on the (small) query key space;
+- the LSH variant buckets the corpus once (per-row math), then joins
+  within buckets — O(n x bucket) instead of O(n x m);
+- all vector math is integer-quantized (functions/vectors.py): exact,
+  order-insensitive, engine-portable, and 2x cheaper to move than
+  doubles. No UDFs — dot products are codegen'd array expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from end2end_data_pipeline_spark.functions import texthash as th
+from end2end_data_pipeline_spark.functions import vectors as vec
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+QUERY_STRIDE = 50  # vec_id % 50 == 0 -> 2% of vectors are queries
+TOP_K = 3
+
+
+def _qbase_sql() -> str:
+    q = vec.quantize("embedding", th.DUCK)
+    return f"""
+    WITH qbase AS (
+      SELECT vec_id, label, {q} AS qv,
+             {vec.dot_q(q, q, th.DUCK)} AS norm2
+      FROM embeddings
+    )"""
+
+
+def _qbase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vec.quantize("embedding", th.SPARK)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(q).alias("qv"),
+    ).withColumn("norm2", F.expr(vec.dot_q("qv", "qv", th.SPARK)))
+
+
+@query(
+    "embedding_norms",
+    oracle=_qbase_sql()
+    + """
+    SELECT vec_id, label, CAST(norm2 AS BIGINT) AS norm2 FROM qbase
+    ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized self-dot per vector — validates the quantization and
+    integer dot-product machinery value-exactly."""
+    return _qbase(spark, sf_dir).select("vec_id", "label", "norm2").orderBy("vec_id")
+
+
+@query(
+    "knn_bruteforce",
+    oracle=_qbase_sql()
+    + f""", pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {vec.cosine_q('q.qv', 'c.qv', 'q.norm2', 'c.norm2', th.DUCK)} AS cosine
+      FROM qbase q JOIN qbase c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a sampled query set. The query
+    side is broadcast; the corpus is scanned once, never shuffled —
+    the correct brute-force shape at 100 TB."""
+    base = _qbase(spark, sf_dir)
+    queries = F.broadcast(
+        base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("norm2").alias("q_norm2"),
+        )
+    )
+    pairs = queries.join(base, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(vec.cosine_q("q_qv", "qv", "q_norm2", "norm2", th.SPARK)).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_lsh_buckets",
+    oracle=_qbase_sql()
+    + f"""
+    SELECT {vec.lsh_bucket('qv', th.DUCK)} AS bucket,
+           count(*) AS n_vectors,
+           count(DISTINCT label) AS n_labels
+    FROM qbase GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket census (8 planes -> 256 buckets).
+    Bucketing is per-row math; the only shuffle is the O(256) rollup."""
+    base = _qbase(spark, sf_dir)
+    return (
+        base.withColumn("bucket", F.expr(vec.lsh_bucket("qv", th.SPARK)))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=_qbase_sql()
+    + f""", bucketed AS (
+      SELECT *, {vec.lsh_bucket('qv', th.DUCK)} AS bucket FROM qbase
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {vec.cosine_q('q.qv', 'c.qv', 'q.norm2', 'c.norm2', th.DUCK)} AS cosine
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (equi-join on bucket id), then exact cosine rank within the
+    bucket — the O(n x bucket) ANN shape."""
+    base = _qbase(spark, sf_dir).withColumn(
+        "bucket", F.expr(vec.lsh_bucket("qv", th.SPARK))
+    )
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = queries.join(
+        base,
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(vec.cosine_q("q_qv", "qv", "q_norm2", "norm2", th.SPARK)).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,203 @@
+"""Text analysis over the ``documents`` table — the LLM-training-data
+operators (BASELINE.json north star): quality scoring, token counting,
+n-gram language-ID heuristic, document fingerprinting.
+
+All computation is per-row array math over built-in functions (split /
+transform / aggregate / regexp) — JVM-side, whole-stage codegen'd, no
+UDFs, no shuffle except the final aggregates. At 100 TB these queries
+are embarrassingly parallel scans; the only shuffles are the O(langs),
+O(sources) rollups.
+
+Every ratio is a division of exact integers (engine-portable); hashes
+are the portable md5-based hash (functions/texthash.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.functions import texthash as th
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "is")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# BPE-ish token pattern: word pieces OR runs of non-word-non-space
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+MIN_TOKENS_OK = 10
+MAX_STOP_RATIO = 0.5
+
+
+def _quality_exprs(dialect: str) -> dict[str, str]:
+    """Shared Spark/DuckDB expression set for the quality query."""
+    toks = th.tokens("text", dialect)
+    if dialect == th.SPARK:
+        n_stop = f"size(filter({toks}, x -> x IN ({_STOP_IN})))"
+        n_tokens = f"size({toks})"
+    else:
+        n_stop = f"len(list_filter({toks}, x -> x IN ({_STOP_IN})))"
+        n_tokens = f"len({toks})"
+    return {
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "n_stopwords": f"CAST({n_stop} AS BIGINT)",
+        "stop_ratio": f"{n_stop} / CAST({n_tokens} AS DOUBLE)",
+        "chars_per_token": f"n_chars / CAST({n_tokens} AS DOUBLE)",
+        "quality_ok": (
+            f"CAST(CASE WHEN {n_tokens} >= {MIN_TOKENS_OK} "
+            f"AND {n_stop} / CAST({n_tokens} AS DOUBLE) <= {MAX_STOP_RATIO} "
+            f"THEN 1 ELSE 0 END AS INT)"
+        ),
+    }
+
+
+def _select_sql(dialect: str, exprs: dict[str, str], extra: str = "doc_id, lang") -> str:
+    cols = ",\n           ".join(f"{v} AS {k}" for k, v in exprs.items())
+    return f"SELECT {extra},\n           {cols}\n    FROM documents"
+
+
+@query(
+    "text_quality_scores",
+    oracle=_select_sql(th.DUCK, _quality_exprs(th.DUCK)) + "\n    ORDER BY doc_id",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, stopword ratio,
+    chars/token, and a keep/drop flag (the filter an LLM data pipeline
+    applies before training)."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = _quality_exprs(th.SPARK)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[F.expr(v).alias(k) for k, v in e.items()],
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+               AS re_tokens,
+           SUM(len(string_split(text, ' '))) / CAST(count(*) AS DOUBLE)
+               AS tokens_per_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex) rolled up by
+    language — the 'how many tokens is this corpus' pipeline question."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.expr("size(split(text, ' '))")
+    re_t = F.expr(f"size(regexp_extract_all(text, '{TOKEN_RE}', 0))")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(re_t).cast("bigint").alias("re_tokens"),
+            (F.sum(ws) / F.count("*").cast("double")).alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _marker_count(marker: str, dialect: str) -> str:
+    """Occurrences of a marker substring in text (exact int math)."""
+    return (
+        f"CAST((length(text) - length(replace(text, '{marker}', ''))) "
+        f"/ {len(marker)} AS BIGINT)"
+    )
+
+
+def _langid_exprs(dialect: str) -> tuple[str, str]:
+    """(score columns, predicted-lang CASE) shared by both dialects.
+
+    A real n-gram language identifier scores character n-grams against
+    per-language profiles; the corpus here is synthetic, so the profile
+    set is a fixed trio of marker n-grams with a deterministic argmax.
+    The *shape* (markers -> scores -> argmax) is the production one.
+    """
+    c_th = _marker_count("th", dialect)
+    c_er = _marker_count("er", dialect)
+    c_an = _marker_count("an", dialect)
+    pred = (
+        f"CASE WHEN {c_th} >= {c_er} AND {c_th} >= {c_an} THEN 'en' "
+        f"WHEN {c_er} >= {c_an} THEN 'de' ELSE 'es' END"
+    )
+    scores = f"{c_th} AS score_en, {c_er} AS score_de, {c_an} AS score_es"
+    return scores, pred
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    SELECT lang, {_langid_exprs(th.DUCK)[1]} AS predicted_lang, count(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language-ID heuristic, reported as a confusion
+    matrix against the labeled ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, pred = _langid_exprs(th.SPARK)
+    return (
+        docs.groupBy("lang", F.expr(pred).alias("predicted_lang"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _fingerprint_sql(dialect: str) -> str:
+    toks = th.tokens("text", dialect)
+    return th.fingerprint(toks, dialect)
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, CAST({_fingerprint_sql(th.DUCK)} AS BIGINT) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted polynomial fingerprint per document (rolling-
+    hash style: permutations of the same words fingerprint differently).
+    Pure per-row array math — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(_fingerprint_sql(th.SPARK)).cast("bigint").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_stats_by_source",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           SUM(n_chars) / CAST(count(*) AS DOUBLE) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup (source x lang) — the dataset-card
+    summary an LLM data pipeline publishes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars") / F.count("*").cast("double")).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "lang")
+    )
