@@ -72,11 +72,58 @@ def shingles(toks_expr: str, n: int, dialect: str) -> str:
 
 
 def minhash(shingles_expr: str, salt: int, dialect: str) -> str:
-    """One MinHash value: min over shingles of the salted hash."""
+    """One MinHash value: min over shingles of the salted hash.
+
+    NOTE: costs one md5 per (shingle, salt). For k-hash signatures use
+    ``minhash_affine`` over pre-hashed shingles instead — one md5 per
+    shingle total, then k cheap affine transforms.
+    """
     h = salted_md5h(salt, "s", dialect)
     if dialect == SPARK:
         return f"array_min(transform({shingles_expr}, s -> {h}))"
     return f"list_min(list_transform({shingles_expr}, s -> {h}))"
+
+
+# Universal-hash family for fast k-MinHash (Carter-Wegman):
+# h_j(x) = (a_j * x + b_j) mod P over base hashes x < 2^30.
+# a_j, b_j are fixed pseudo-random constants derived from md5 in Python
+# (hashlib md5 == engine md5 by definition), embedded as literals so
+# both dialects share them exactly. a_j * x < 2^60 — no BIGINT overflow.
+MINHASH_P = 1_073_741_789  # largest prime < 2^30
+BASE_MOD = 1 << 30
+
+
+def _py_md5_int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def affine_coeffs(k: int) -> list[tuple[int, int]]:
+    """(a_j, b_j) for j in 0..k-1, a_j != 0."""
+    out = []
+    for j in range(k):
+        a = _py_md5_int(f"minhash_a_{j}") % (MINHASH_P - 1) + 1
+        b = _py_md5_int(f"minhash_b_{j}") % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def base_hashes(shingles_expr: str, dialect: str) -> str:
+    """Portable base hash per shingle, reduced below 2^30 for the
+    affine family."""
+    h = f"({md5h('s', dialect)} % {BASE_MOD})"
+    if dialect == SPARK:
+        return f"transform({shingles_expr}, s -> {h})"
+    return f"list_transform({shingles_expr}, s -> {h})"
+
+
+def minhash_affine(hashes_expr: str, a: int, b: int, dialect: str) -> str:
+    """MinHash over pre-hashed shingles: min_j of (a*h_j + b) mod P."""
+    t = f"({a} * h + {b}) % {MINHASH_P}"
+    if dialect == SPARK:
+        return f"array_min(transform({hashes_expr}, h -> {t}))"
+    return f"list_min(list_transform({hashes_expr}, h -> {t}))"
 
 
 def token_hashes(toks_expr: str, dialect: str, mod: int | None = None) -> str:

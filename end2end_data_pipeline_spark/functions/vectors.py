@@ -15,7 +15,7 @@ expressions are built-in (whole-stage codegen'd); no UDFs.
 
 from __future__ import annotations
 
-from end2end_data_pipeline_spark.functions.texthash import DUCK, SPARK, md5h
+from end2end_data_pipeline_spark.functions.texthash import DUCK, SPARK  # noqa: F401
 
 SCALE = 10_000
 
@@ -58,33 +58,47 @@ def cosine_q(a_expr: str, b_expr: str, na_expr: str, nb_expr: str, dialect: str)
     )
 
 
-def plane_weight(plane: int, dim_expr: str, dialect: str) -> str:
-    """w[plane][dim] in [-1000, 1000], derived from the portable hash."""
-    h = md5h(f"concat('plane{plane}_', {dim_expr})", dialect)
-    return f"(({h}) % {PLANE_MOD} - {PLANE_OFFSET})"
+EMBED_DIM = 64
+
+
+def _py_md5_int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def plane_weights(plane: int, dim: int = EMBED_DIM) -> list[int]:
+    """w[plane][d] in [-1000, 1000], derived from the portable md5 hash
+    in Python (hashlib md5 == Spark md5 == DuckDB md5) and embedded as
+    integer literals — zero per-row hashing at execution time, and both
+    engines see identical planes by construction."""
+    return [
+        _py_md5_int(f"plane{plane}_{d}") % PLANE_MOD - PLANE_OFFSET
+        for d in range(dim)
+    ]
 
 
 def lsh_bucket(qvec_expr: str, dialect: str) -> str:
     """Random-hyperplane LSH bucket id in [0, 2^N_PLANES).
 
     bit_p = [dot(q, plane_p) >= 0]; bucket = sum bit_p << p.
-    Exact integer arithmetic throughout -> engine-portable.
+    Exact integer arithmetic over literal plane weights -> cheap,
+    constant-folded, engine-portable.
     """
     terms = []
     for p in range(N_PLANES):
+        ws = plane_weights(p)
         if dialect == SPARK:
-            # Spark transform index i is 0-based
-            w = plane_weight(p, "i", SPARK)
+            lit = "array(" + ", ".join(f"{w}L" for w in ws) + ")"
             d = (
-                f"aggregate(transform({qvec_expr}, (x, i) -> x * {w}), "
+                f"aggregate(zip_with({qvec_expr}, {lit}, (x, w) -> x * w), "
                 f"0L, (acc, v) -> acc + v)"
             )
         else:
-            # DuckDB lambda index i is 1-based -> shift to 0-based
-            w = plane_weight(p, "(i - 1)", DUCK)
+            lit = "[" + ", ".join(f"{w}::BIGINT" for w in ws) + "]"
             d = (
-                f"CAST(list_sum(list_transform({qvec_expr}, (x, i) -> x * {w})) "
-                f"AS BIGINT)"
+                f"CAST(list_sum(list_transform({qvec_expr}, "
+                f"(x, i) -> x * ({lit})[i])) AS BIGINT)"
             )
         terms.append(f"(CASE WHEN ({d}) >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"

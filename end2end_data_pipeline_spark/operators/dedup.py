@@ -46,7 +46,13 @@ def _shingle_set(dialect: str) -> str:
 
 
 def _minhash_cols(dialect: str) -> list[str]:
-    return [th.minhash("sh", j, dialect) for j in range(N_MINHASH)]
+    """k MinHash values over the pre-hashed shingle array ``shh`` —
+    one md5 per shingle total (Carter-Wegman affine family), not one
+    per (shingle, hash)."""
+    return [
+        th.minhash_affine("shh", a, b, dialect)
+        for a, b in th.affine_coeffs(N_MINHASH)
+    ]
 
 
 def _band_key(b: int, dialect: str) -> str:
@@ -120,12 +126,16 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct shingle set + k minhashes, all per-row math."""
+    """doc_id + distinct shingle set + k minhashes, all per-row math.
+    Shingles are md5-hashed ONCE into ``shh``; the k signature values
+    are cheap affine transforms over that array."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")
-    ).where(F.expr("size(sh) > 0"))
-    cols = [F.expr(e.replace("sh", "sh")).alias(f"mh{j}") for j, e in enumerate(_minhash_cols(th.SPARK))]
+    base = (
+        docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh"))
+        .where(F.expr("size(sh) > 0"))
+        .withColumn("shh", F.expr(th.base_hashes("sh", th.SPARK)))
+    )
+    cols = [F.expr(e).alias(f"mh{j}") for j, e in enumerate(_minhash_cols(th.SPARK))]
     return base.select("doc_id", "sh", *cols)
 
 
@@ -137,7 +147,8 @@ def _signatures_sql(dialect: str) -> str:
       WITH base AS (
         SELECT doc_id, {_shingle_set(dialect)} AS sh FROM documents
       ), nonempty AS (
-        SELECT * FROM base WHERE len(sh) > 0
+        SELECT doc_id, sh, {th.base_hashes('sh', dialect)} AS shh
+        FROM base WHERE len(sh) > 0
       ), sigs AS (
         SELECT doc_id, sh,
              {mh}
@@ -241,19 +252,45 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql(dialect: str) -> str:
-    toks = th.tokens("text", dialect)
-    hashes = th.token_hashes(toks, dialect)
-    return th.simhash("hs", SIMHASH_BITS, dialect).replace(
-        "hs", hashes
+def _simhash_spark_expr() -> str:
+    """One-pass SimHash: a single fold over the token-hash array builds
+    the 64-wide vote vector (the hash array expression appears exactly
+    once, so md5 runs once per token however Catalyst inlines
+    projections), then a second constant-width fold packs sign bits.
+    """
+    toks = th.tokens("text", th.SPARK)
+    hs = th.token_hashes(toks, th.SPARK)
+    votes = (
+        f"aggregate({hs}, array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}), "
+        f"b -> CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END), "
+        f"(a, v) -> a + v))"
     )
+    return (
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+
+
+def _simhash_duck_cte() -> str:
+    """DuckDB oracle: token hashes in a CTE, then the per-bit votes."""
+    toks = th.tokens("text", th.DUCK)
+    hashes = th.token_hashes(toks, th.DUCK)
+    sig = th.simhash("hs", SIMHASH_BITS, th.DUCK)
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, {hashes} AS hs FROM documents
+    ), sigs AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM hashed
+    )"""
 
 
 @query(
     "dedup_simhash_signatures",
-    oracle=f"""
-    SELECT doc_id, CAST({_simhash_sql(th.DUCK)} AS BIGINT) AS simhash
-    FROM documents ORDER BY doc_id
+    oracle=_simhash_duck_cte()
+    + """
+    SELECT doc_id, simhash FROM sigs ORDER BY doc_id
     """,
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,17 +298,14 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes) — pure per-row math, zero shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.expr(_simhash_sql(th.SPARK)).cast("bigint").alias("simhash")
+        "doc_id", F.expr(_simhash_spark_expr()).cast("bigint").alias("simhash")
     ).orderBy("doc_id")
 
 
 @query(
     "dedup_simhash_pairs",
-    oracle=f"""
-    WITH sigs AS (
-      SELECT doc_id, CAST({_simhash_sql(th.DUCK)} AS BIGINT) AS simhash
-      FROM documents
-    ), chunks AS (
+    oracle=_simhash_duck_cte()
+    + f""", chunks AS (
       SELECT doc_id, simhash, c.chunk_id,
              (simhash >> (16 * c.chunk_id)) & 65535 AS chunk_val
       FROM sigs, (VALUES (0), (1), (2), (3)) c(chunk_id)
@@ -295,7 +329,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits guarantees one equal chunk."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = docs.select(
-        "doc_id", F.expr(_simhash_sql(th.SPARK)).cast("bigint").alias("simhash")
+        "doc_id", F.expr(_simhash_spark_expr()).cast("bigint").alias("simhash")
     ).cache()
     chunks = sigs.select(
         "doc_id",
