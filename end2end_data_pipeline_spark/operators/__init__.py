@@ -4,6 +4,7 @@
 from end2end_data_pipeline_spark.operators import (  # noqa: F401
     dedup,
     event_analytics,
+    multimodal,
     relational,
     similarity,
     text_analysis,

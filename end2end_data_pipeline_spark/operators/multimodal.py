@@ -1,0 +1,140 @@
+"""Multimodal columns — image/audio/video payloads as opaque ``binary``
+columns with typed metadata, plus the Pandas-UDF decode/feature path
+(BASELINE.json north star).
+
+The container has no image/audio libraries, so the decode step is a
+clearly-marked STUB (deterministic fake behind an import-try); the
+Spark-side plumbing — binary columns, Arrow-batched ``mapInPandas``,
+explicit output schema, partition-preserving batch iteration — is real
+and tested. Swapping the stub for PIL/librosa changes one function.
+
+Scale notes: payload bytes ride in the row (parquet binary columns are
+page-compressed and column-pruned away by any query not selecting
+them); feature extraction is ``mapInPandas`` so Python sees Arrow
+record batches (thousands of rows per batch), never row-at-a-time
+pickling. Batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from end2end_data_pipeline_spark.functions import texthash as th
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+try:  # decode libraries are absent in this environment by design
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+@query(
+    "multimodal_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha,
+           CAST(16 + {th.md5h("concat(text, ':w')", th.DUCK)} % 1024 AS INT) AS width,
+           CAST(16 + {th.md5h("concat(text, ':h')", th.DUCK)} % 1024 AS INT) AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads, computed entirely JVM-side:
+    byte length, content hash, and (stub) decoded dimensions derived
+    deterministically from the content. This is the 'cheap metadata
+    without decoding' path a media pipeline runs at full scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_h = th.md5h("concat(text, ':w')", th.SPARK)
+    h_h = th.md5h("concat(text, ':h')", th.SPARK)
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("payload_sha"),
+        F.expr(f"CAST(16 + {w_h} % 1024 AS INT)").alias("width"),
+        F.expr(f"CAST(16 + {h_h} % 1024 AS INT)").alias("height"),
+    ).orderBy("doc_id")
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("mean_luma", IntegerType(), False),
+    ]
+)
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """STUB decode. With PIL installed this would be
+    ``Image.open(io.BytesIO(payload))`` -> real width/height/channels;
+    here it derives deterministic fake dimensions from the content
+    hash so tests are stable and the Arrow plumbing is exercised
+    end-to-end."""
+    if _HAS_PIL:
+        raise NotImplementedError(
+            "real decode intentionally disabled: payloads are synthetic "
+            "text bytes, not images; plug Image.open here for real data"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return {
+        "format": "fake/raw",
+        "width": 16 + digest[0] * 4,
+        "height": 16 + digest[1] * 4,
+        "n_channels": 1 + digest[2] % 4,
+        "mean_luma": digest[3],
+    }
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow record batches in, feature rows out."""
+    for pdf in batches:
+        feats = [_decode_stub(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "format": [f["format"] for f in feats],
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "n_channels": [f["n_channels"] for f in feats],
+                "mean_luma": [f["mean_luma"] for f in feats],
+            }
+        )
+
+
+@query("multimodal_decode_features")  # no oracle: Python-side decode path
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract path: binary payload column ->
+    Arrow-batched ``mapInPandas`` -> typed feature rows. The decode
+    itself is the stub above; everything Spark-side (binary encoding,
+    batch transfer, schema contract) is the production shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA).orderBy("doc_id")

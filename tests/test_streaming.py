@@ -1,0 +1,158 @@
+"""Streaming-vs-batch parity and report-shim golden tests.
+
+Mirrors the reference's Spark correctness strategy
+(``spark/tests/test_spark.py``): a fixture with exact composition —
+NUM_ERROR=3 / NUM_SUCCESS=17 per event type — so expected counts are
+golden, plus the empty-input edge case."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.plans.report import (
+    status_pivot_report,
+    with_derived_status,
+)
+from end2end_data_pipeline_spark.sources.generator import generate_events, write_warehouse
+from end2end_data_pipeline_spark.streaming.pipeline import (
+    EVENT_SCHEMA,
+    minutely_status_counts,
+    read_event_stream,
+    start_minutely_aggregation,
+)
+
+NUM_ERROR, NUM_SUCCESS = 3, 17
+EVENT_TYPES = ("VIEW_PRODUCT", "ADD_TO_CART", "CHECKOUT", "PAYMENT", "SEARCH")
+
+
+@pytest.fixture(scope="module")
+def golden_events(spark):
+    """5 event types x (3 ERROR + 17 SUCCESS), fixed timestamp minute."""
+    ts = dt.datetime(2024, 1, 1, 12, 30, 15)
+    rows = []
+    i = 0
+    for et in EVENT_TYPES:
+        for k in range(NUM_ERROR + NUM_SUCCESS):
+            status = "ERROR" if k < NUM_ERROR else "SUCCESS"
+            rows.append(
+                (
+                    f"e{i}",
+                    f"u{i % 7}",
+                    f"s{i % 11}",
+                    et,
+                    ts,
+                    50,
+                    status,
+                    500 if status == "ERROR" else None,
+                    None,
+                )
+            )
+            i += 1
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_report_golden(golden_events):
+    report = status_pivot_report(golden_events, "2024-01-01_12-30.json")["report"]
+    assert report["total_events"] == 5 * 20
+    assert report["total_errors"] == 5 * NUM_ERROR
+    assert report["by_event_type"] == {
+        et: {"SUCCESS": NUM_SUCCESS, "ERROR": NUM_ERROR} for et in EVENT_TYPES
+    }
+    assert report["file_name"] == "2024-01-01_12-30.json"
+
+
+def test_report_no_data(spark, golden_events):
+    empty = golden_events.limit(0)
+    out = status_pivot_report(empty, "2024-01-01_12-31.json")
+    assert out == {"report": "No data for 2024-01-01_12-31."}
+
+
+@pytest.fixture(scope="module")
+def events_with_tail(spark, golden_events):
+    """Golden minute plus tail events 5 minutes later: in append mode a
+    window is emitted only once the watermark passes it, so the tail
+    advances the watermark beyond the golden window (the reference's
+    cron DAG needed the NEXT minute's scheduler tick for the same
+    reason — T1/T3)."""
+    ts_tail = dt.datetime(2024, 1, 1, 12, 35, 0)
+    tail = spark.createDataFrame(
+        [
+            (f"t{i}", "u0", "s0", "SEARCH", ts_tail, 50, "SUCCESS", None, None)
+            for i in range(5)
+        ],
+        EVENT_SCHEMA,
+    )
+    return golden_events.union(tail)
+
+
+def test_stream_matches_batch(spark, tmp_path, events_with_tail):
+    """availableNow stream over a parquet source must produce exactly
+    the batch answer for every CLOSED window (append + watermark)."""
+    src = str(tmp_path / "events_src")
+    sink = str(tmp_path / "agg_sink")
+    ckpt = str(tmp_path / "ckpt")
+    events_with_tail.write.parquet(src)
+
+    q = start_minutely_aggregation(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(sink)
+    closed = dt.datetime(2024, 1, 1, 12, 30)
+    batch = minutely_status_counts(
+        spark.read.schema(EVENT_SCHEMA).parquet(src)
+    ).where(F.col("event_minute") == closed)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # golden check: the closed minute has 5 types x 2 statuses
+    assert streamed.count() == 10
+    err = streamed.where(F.col("status") == "ERROR").agg(F.sum("n")).first()[0]
+    assert err == 5 * NUM_ERROR
+
+
+def test_stream_resumes_from_checkpoint(spark, tmp_path, events_with_tail):
+    """Second availableNow run over the same checkpoint must be a no-op
+    (exactly-once per sink file)."""
+    src = str(tmp_path / "events_src2")
+    sink = str(tmp_path / "agg_sink2")
+    ckpt = str(tmp_path / "ckpt2")
+    events_with_tail.write.parquet(src)
+
+    start_minutely_aggregation(spark, src, sink, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    start_minutely_aggregation(spark, src, sink, ckpt).awaitTermination(120)
+    n2 = spark.read.parquet(sink).count()
+    assert n1 == n2 == 10
+
+
+def test_generator_warehouse_roundtrip(spark, tmp_path):
+    """Generate -> partitioned warehouse write -> partition-pruned read
+    (the reference's MergeTree partition-pruning contract, S7/S8/P2)."""
+    path = str(tmp_path / "warehouse")
+    df = generate_events(spark, 1_000, seed=5, events_per_second=10)
+    write_warehouse(df, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 1_000
+
+    one_minute = back.where(
+        F.col("event_minute") == dt.datetime(2024, 1, 1, 0, 0, 0)
+    )
+    plan = one_minute._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one_minute.count() > 0
+    # 10 ev/s -> first minute holds exactly 600 events
+    assert one_minute.count() == 600
+
+
+def test_stream_report_shim(spark, tmp_path, golden_events):
+    """Derived-status adapter + report over the driver events table
+    shape (value-based error predicate)."""
+    derived = with_derived_status(
+        golden_events.drop("status"), F.col("error_code").isNotNull()
+    )
+    report = status_pivot_report(derived, "x.json")["report"]
+    assert report["total_errors"] == 5 * NUM_ERROR
