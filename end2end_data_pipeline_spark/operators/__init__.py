@@ -6,6 +6,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     event_analytics,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     text_analysis,
 )

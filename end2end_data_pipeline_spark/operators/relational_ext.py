@@ -1,0 +1,253 @@
+"""Extended relational coverage: parameterized SQL (P5), epoch-ms
+round-trips (F4), string munging (F5), scalar subqueries, set ops,
+exact-median, arg-max, and the salted-aggregation skew pattern
+(SURVEY.md §7 Phase 5).
+
+The salted aggregation is semantically identical to a plain group-by —
+its point is the two-phase shuffle shape that survives hot keys at
+100 TB (pre-aggregate on (key, salt), then re-aggregate on key; the
+first shuffle spreads a hot key over N reducers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table, register_views
+
+N_SALTS = 8
+
+
+@query(
+    "param_sql_minute_extract",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def param_sql_minute_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — the reference's injection-safe parameterized extract
+    (``airflow/dags/pipeline.py:135,140-143``) as Spark parameterized
+    SQL (named args, Spark >= 3.4)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n
+        FROM events
+        WHERE ts >= :start AND ts < :end
+        GROUP BY event_type ORDER BY event_type
+        """,
+        args={"start": "2024-01-10 00:00:00", "end": "2024-01-11 00:00:00"},
+    )
+
+
+@query(
+    "epoch_ms_roundtrip",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS ts_ms,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d_%H-%M') AS minute_name
+    FROM events
+    WHERE event_id % 97 = 0
+    ORDER BY event_id
+    """,
+)
+def epoch_ms_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — epoch-ms extraction (the producer's ``int(time.time()*1000)``
+    and the connector's TimestampConverter SMT) plus the reference's
+    minute-file naming format (F3)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd_HH-mm").alias(
+            "minute_name"
+        ),
+    ).orderBy("event_id")
+
+
+@query(
+    "string_munging_props",
+    oracle="""
+    SELECT upper(event_type) AS type_upper,
+           substring(event_type, 1, 3) AS type_prefix,
+           regexp_replace(props, '[^0-9]', '', 'g') AS digits,
+           concat(event_type, '#', CAST(user_id AS VARCHAR)) AS tagged,
+           count(*) AS n
+    FROM events
+    WHERE event_id % 101 = 0
+    GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """,
+)
+def string_munging_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — the reference's path/name munging chains (rsplit/replace/
+    split) as regexp_replace / substring / concat expressions."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    return (
+        ev.groupBy(
+            F.upper("event_type").alias("type_upper"),
+            F.substring("event_type", 1, 3).alias("type_prefix"),
+            F.regexp_replace("props", "[^0-9]", "").alias("digits"),
+            F.concat(
+                F.col("event_type"), F.lit("#"), F.col("user_id").cast("string")
+            ).alias("tagged"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("type_upper", "type_prefix", "digits", "tagged")
+    )
+
+
+@query(
+    "customers_above_avg_balance",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * (SELECT count(*) FROM customer)
+          > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery against a global aggregate. The 'above average'
+    predicate is cross-multiplied into exact integer arithmetic
+    (cents * n > total_cents) so no engine ever divides — FP-free."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * (SELECT count(*) FROM customer)
+              > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "customer_only_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): nations with customers but no
+    suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s).orderBy("nationkey")
+
+
+@query(
+    "shared_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def shared_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: nations hosting both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "salted_user_event_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    HAVING count(*) >= 5
+    ORDER BY user_id
+    """,
+)
+def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: pre-aggregate on
+    (user_id, salt) — spreading any hot user over N_SALTS reducers —
+    then re-aggregate on user_id. Semantically identical to a plain
+    group-by (the oracle), which is exactly the point."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)))
+        .groupBy("user_id", "salt")
+        .agg(F.count("*").alias("partial_n"))
+    )
+    return (
+        salted.groupBy("user_id")
+        .agg(F.sum("partial_n").alias("n_events"))
+        .where(F.col("n_events") >= 5)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "status_extreme_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, ROUND(o_totalprice * 100)) AS max_price_orderkey,
+           arg_min(o_orderkey, ROUND(o_totalprice * 100)) AS min_price_orderkey,
+           MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def status_extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) aggregates on the integer-cents domain."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", cents).alias("max_price_orderkey"),
+            F.min_by("o_orderkey", cents).alias("min_price_orderkey"),
+            F.max(cents.cast("bigint")).alias("max_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "sql_region_summary",
+    oracle="""
+    SELECT r_name,
+           count(DISTINCT n_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def sql_region_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry point (the engine's spark.sql surface over
+    registered views) — same text runs on both engines."""
+    register_views(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(
+        """
+        SELECT r_name,
+               count(DISTINCT n_nationkey) AS n_nations,
+               count(*) AS n_customers
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    )
