@@ -7,6 +7,8 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     relational_ext,
+    semistructured,
     similarity,
+    temporal,
     text_analysis,
 )

@@ -225,6 +225,100 @@ def status_extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_quantity_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def lineitem_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) quartiles per group. Quartile positions on
+    an integer-valued domain interpolate at exact binary fractions
+    ((n-1)*q is a multiple of 1/4), so Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` agree bit-for-bit — no rounding shim.
+    At scale the exact percentile is a full sort per group; swap to
+    ``approx_percentile`` (t-digest, mergeable, one pass) when the
+    group payload no longer fits an executor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(l_quantity, 0.25D)").alias("q25"),
+            F.expr("percentile(l_quantity, 0.5D)").alias("q50"),
+            F.expr("percentile(l_quantity, 0.75D)").alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "order_priority_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k margin combinations; complements the
+    ROLLUP in ``order_status_rollup``). One shuffle: Spark expands the
+    grouping sets map-side and aggregates them together."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total_cents",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY status, priority
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent 1-D margins in one
+    pass) — the general form underlying ROLLUP/CUBE, via Spark SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority
+        """
+    )
+
+
+@query(
     "sql_region_summary",
     oracle="""
     SELECT r_name,

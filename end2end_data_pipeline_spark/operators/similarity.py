@@ -189,3 +189,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+NEARDUP_COSINE = 0.30  # driver corpus is near-orthogonal random; real
+# near-dup corpora use ~0.95 — the plan shape is threshold-independent
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle=_qbase_sql()
+    + f""", bucketed AS (
+      SELECT *, {vec.lsh_bucket('qv', th.DUCK)} AS bucket FROM qbase
+    )
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           {vec.cosine_q('a.qv', 'b.qv', 'a.norm2', 'b.norm2', th.DUCK)} AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {vec.cosine_q('a.qv', 'b.qv', 'a.norm2', 'b.norm2', th.DUCK)}
+          >= {NEARDUP_COSINE}
+    ORDER BY left_id, right_id
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-candidate-generated:
+    candidate pairs come from an equi-join on the LSH bucket (never the
+    O(n^2) cross join), then the exact quantized cosine verifies each
+    candidate. The oracle replays the identical bucketing + verify, so
+    the comparison is exact. The recall/throughput dial is N_PLANES
+    (fewer planes -> bigger buckets -> higher recall, more compare
+    work) — at 100 TB you'd also OR multiple independent plane sets,
+    exactly like MinHash banding."""
+    base = _qbase(spark, sf_dir).withColumn(
+        "bucket", F.expr(vec.lsh_bucket("qv", th.SPARK))
+    )
+    left = base.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("qv").alias("l_qv"),
+        F.col("norm2").alias("l_norm2"),
+        F.col("bucket").alias("l_bucket"),
+    )
+    right = base.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("qv").alias("r_qv"),
+        F.col("norm2").alias("r_norm2"),
+        F.col("bucket").alias("r_bucket"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("l_bucket") == F.col("r_bucket"))
+        & (F.col("left_id") < F.col("right_id")),
+    ).select(
+        "left_id",
+        "right_id",
+        F.expr(
+            vec.cosine_q("l_qv", "r_qv", "l_norm2", "r_norm2", th.SPARK)
+        ).alias("cosine"),
+    )
+    return (
+        pairs.where(F.col("cosine") >= NEARDUP_COSINE)
+        .orderBy("left_id", "right_id")
+    )
