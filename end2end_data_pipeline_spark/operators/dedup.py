@@ -126,33 +126,51 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct shingle set + k minhashes, all per-row math.
-    Shingles are md5-hashed ONCE into ``shh``; the k signature values
-    are cheap affine transforms over that array."""
+    """doc_id + distinct hashed-shingle set + k minhashes, all per-row
+    math. One md5 per TOKEN (not per shingle, not per (shingle, hash)):
+    token hashes are projected once, shingle hashes are affine
+    combinations of n consecutive token hashes, and the k signature
+    values are affine transforms over the shingle-hash array. No
+    shingle strings are ever materialized — ~4.5x cheaper and the
+    verify-join payload is 8-byte ints."""
     docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    # The empty-shingle filter is expressed on the RAW text (tokens >= n
+    # <=> shingle set nonempty): a predicate on `shh` would be pushed
+    # below the projections by substituting shh's defining expression,
+    # which unlocks projection collapse and re-inlines the md5 pass
+    # into every minhash column (measured 15x slower).
     base = (
-        docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh"))
-        .where(F.expr("size(sh) > 0"))
-        .withColumn("shh", F.expr(th.base_hashes("sh", th.SPARK)))
+        docs.where(F.expr(f"size({toks}) >= {SHINGLE_N}"))
+        .select(
+            "doc_id", F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr")
+        )
+        .select(
+            "doc_id",
+            F.expr(th.shingle_combine("th_arr", SHINGLE_N, th.SPARK)).alias("shh"),
+        )
     )
     cols = [F.expr(e).alias(f"mh{j}") for j, e in enumerate(_minhash_cols(th.SPARK))]
-    return base.select("doc_id", "sh", *cols)
+    return base.select("doc_id", "shh", *cols)
 
 
 def _signatures_sql(dialect: str) -> str:
+    toks = th.tokens("text", dialect)
     mh = ",\n             ".join(
         f"{e} AS mh{j}" for j, e in enumerate(_minhash_cols(dialect))
     )
     return f"""
-      WITH base AS (
-        SELECT doc_id, {_shingle_set(dialect)} AS sh FROM documents
-      ), nonempty AS (
-        SELECT doc_id, sh, {th.base_hashes('sh', dialect)} AS shh
-        FROM base WHERE len(sh) > 0
+      WITH tok AS (
+        SELECT doc_id, {th.reduced_token_hashes(toks, dialect)} AS th_arr
+        FROM documents
+        WHERE len({toks}) >= {SHINGLE_N}
+      ), base AS (
+        SELECT doc_id, {th.shingle_combine('th_arr', SHINGLE_N, dialect)} AS shh
+        FROM tok
       ), sigs AS (
-        SELECT doc_id, sh,
+        SELECT doc_id, shh,
              {mh}
-        FROM nonempty
+        FROM base
       )"""
 
 
@@ -188,8 +206,8 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND x.doc_id < y.doc_id
       ), verified AS (
         SELECT doc_a, doc_b,
-               {_jaccard_parts('a.sh', 'b.sh', th.DUCK)[0]} AS n_common,
-               {_jaccard_parts('a.sh', 'b.sh', th.DUCK)[1]} AS n_union
+               {_jaccard_parts('a.shh', 'b.shh', th.DUCK)[0]} AS n_common,
+               {_jaccard_parts('a.shh', 'b.shh', th.DUCK)[1]} AS n_union
         FROM cand JOIN sigs a ON doc_a = a.doc_id
                   JOIN sigs b ON doc_b = b.doc_id
       )
@@ -233,8 +251,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"))
     common, union = _jaccard_parts("sh_a", "sh_b", th.SPARK)
     return (
         cand.join(a, "doc_a")
@@ -257,14 +275,17 @@ def _simhash_spark_expr() -> str:
     the 64-wide vote vector (the hash array expression appears exactly
     once, so md5 runs once per token however Catalyst inlines
     projections), then a second constant-width fold packs sign bits.
+    The per-token step zips the accumulator directly with the
+    constant-folded bit sequence and votes arithmetically
+    (((h>>b)&1)*2-1 == the +1/-1 CASE) — one array allocation per
+    token instead of two, ~25% faster, identical values.
     """
     toks = th.tokens("text", th.SPARK)
     hs = th.token_hashes(toks, th.SPARK)
     votes = (
         f"aggregate({hs}, array_repeat(0L, {SIMHASH_BITS}), "
-        f"(acc, h) -> zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}), "
-        f"b -> CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END), "
-        f"(a, v) -> a + v))"
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(a, b) -> a + ((h >> b) & 1) * 2L - 1L))"
     )
     return (
         f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
