@@ -286,3 +286,54 @@ def event_tehran_display(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("tehran_minute")
         .limit(100)
     )
+
+
+STREAK_THRESHOLD = 3
+
+
+@query(
+    "event_error_streaks",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             count(*) FILTER (WHERE event_type <> 'error')
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM events
+    ), streaks AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id, grp
+                                ORDER BY ts, event_id) AS pos
+      FROM marked WHERE event_type = 'error'
+    )
+    SELECT user_id, epoch_ms(ts) AS alert_ms, CAST(pos AS INT) AS streak
+    FROM streaks WHERE pos = {STREAK_THRESHOLD}
+    ORDER BY user_id, alert_ms
+    """,
+)
+def event_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-error streak alerts (batch gaps-and-islands twin of
+    ``streaming/stateful.py:error_streak_alerts``): an alert row the
+    moment a user's run of consecutive 'error' events reaches the
+    threshold. The island id is the running count of NON-error rows —
+    constant within an error run, bumps between runs — so two window
+    passes over one user_id shuffle do it; no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn(
+        "grp", F.count(F.when(F.col("event_type") != "error", 1)).over(w_run)
+    ).where(F.col("event_type") == "error")
+    w_pos = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    return (
+        marked.withColumn("pos", F.row_number().over(w_pos))
+        .where(F.col("pos") == STREAK_THRESHOLD)
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("alert_ms"),
+            F.col("pos").cast("int").alias("streak"),
+        )
+        .orderBy("user_id", "alert_ms")
+    )

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator: per-user consecutive-error
+streak detection via ``applyInPandasWithState`` (SURVEY.md §2.7;
+the 'anomaly detection' the reference's README claims for its
+success/error-rate report — ``README.md:16`` — made into a real
+per-entity stateful alert).
+
+Semantics: maintain one integer per user — the current run of
+consecutive error events in event-time order — and emit an alert row
+the moment a run reaches ``threshold``. Batch equivalent (oracle-
+checkable gaps-and-islands window query): ``event_error_streaks`` in
+``operators/event_analytics.py``; ``tests/test_stateful_streaming.py``
+asserts stream==batch on a golden fixture.
+
+Scale posture:
+- state is ONE int per user key, shuffled once on user_id and stored
+  in the state store — bounded by |users|, not |events|;
+- the Python hop is Arrow-batched per group (``applyInPandasWithState``),
+  not row-at-a-time;
+- rows within a micro-batch are sorted per group in the worker.
+  Across micro-batches Spark delivers whole watermark-closed groups,
+  but strict event-time ordering between batches is the deployment's
+  job (pair with ``withWatermark`` + a small trigger so a user's
+  events land in one batch, or move to ``transformWithState`` timers
+  for out-of-order repair). The availableNow test path is exactly
+  ordered.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ALERT_SCHEMA = "user_id string, alert_ts timestamp, streak int"
+STATE_SCHEMA = "streak int"
+DEFAULT_THRESHOLD = 3
+
+
+def _track_streaks(threshold: int, ts_col: str, error_col: str):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (streak,) = state.get if state.exists else (0,)
+        alerts: list[tuple[Any, Any, int]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col)
+            for ts, is_err in zip(pdf[ts_col], pdf[error_col]):
+                if is_err:
+                    streak += 1
+                    if streak == threshold:
+                        alerts.append((user_id, ts, streak))
+                else:
+                    streak = 0
+        state.update((streak,))
+        yield pd.DataFrame(alerts, columns=["user_id", "alert_ts", "streak"])
+
+    return fn
+
+
+def error_streak_alerts(
+    events: DataFrame,
+    threshold: int = DEFAULT_THRESHOLD,
+    ts_col: str = "event_timestamp",
+    error_predicate: str = "status = 'ERROR'",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Alert stream: one row per (user, streak) the instant the run of
+    consecutive errors reaches ``threshold``. Works on any event shape:
+    ``error_predicate`` is a SQL boolean over the input columns."""
+    src = events
+    if events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    keyed = src.selectExpr(
+        "user_id", ts_col, f"({error_predicate}) AS is_error"
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _track_streaks(threshold, ts_col, "is_error"),
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

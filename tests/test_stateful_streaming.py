@@ -1,0 +1,139 @@
+"""Stateful streaming (applyInPandasWithState) error-streak detector:
+golden-fixture checks and stream-vs-batch parity against the
+gaps-and-islands window query (``event_error_streaks``)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.streaming.pipeline import EVENT_SCHEMA
+from end2end_data_pipeline_spark.streaming.stateful import error_streak_alerts
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _mk(i: int, user: str, status: str):
+    return (
+        f"e{i:03d}",
+        user,
+        "s0",
+        "SEARCH",
+        T0 + dt.timedelta(seconds=i),
+        50,
+        status,
+        500 if status == "ERROR" else None,
+        None,
+    )
+
+
+@pytest.fixture(scope="module")
+def streak_events(spark):
+    """u1: E E E E (one alert at the 3rd), u2: E E S E E E (alert at
+    the 6th event — reset in the middle), u3: all SUCCESS (no alert)."""
+    rows = (
+        [_mk(i, "u1", "ERROR") for i in range(4)]
+        + [_mk(10 + i, "u2", s) for i, s in enumerate(["ERROR", "ERROR", "SUCCESS", "ERROR", "ERROR", "ERROR"])]
+        + [_mk(20 + i, "u3", "SUCCESS") for i in range(3)]
+    )
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def _batch_streaks(df, threshold=3):
+    """Batch gaps-and-islands equivalent on the reference schema."""
+    from pyspark.sql.window import Window
+
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("event_timestamp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = df.withColumn(
+        "grp", F.count(F.when(F.col("status") != "ERROR", 1)).over(w_run)
+    ).where(F.col("status") == "ERROR")
+    w_pos = Window.partitionBy("user_id", "grp").orderBy(
+        "event_timestamp", "event_id"
+    )
+    return (
+        marked.withColumn("streak", F.row_number().over(w_pos))
+        .where(F.col("streak") == threshold)
+        .select("user_id", F.col("event_timestamp").alias("alert_ts"), "streak")
+    )
+
+
+def test_stateful_stream_golden(spark, tmp_path, streak_events):
+    src = str(tmp_path / "src")
+    streak_events.write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    alerts = error_streak_alerts(stream)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("streaks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.alert_ts, r.streak)
+        for r in spark.table("streaks").collect()
+    }
+    assert got == {
+        ("u1", T0 + dt.timedelta(seconds=2), 3),
+        ("u2", T0 + dt.timedelta(seconds=15), 3),
+    }
+
+
+def test_stateful_stream_matches_batch(spark, tmp_path, streak_events):
+    src = str(tmp_path / "src2")
+    streak_events.write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        error_streak_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("streaks2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("streaks2").collect()))
+    batch = sorted(map(tuple, _batch_streaks(streak_events).collect()))
+    assert streamed == batch
+
+
+def test_state_survives_across_batches(spark, tmp_path):
+    """A streak split across two micro-batches still alerts: 2 errors
+    in batch 1, the 3rd in batch 2 — the state store carries streak=2
+    over the batch boundary."""
+    src = tmp_path / "src3"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [_mk(0, "u9", "ERROR"), _mk(1, "u9", "ERROR")], EVENT_SCHEMA
+    )
+    b2 = spark.createDataFrame([_mk(2, "u9", "ERROR")], EVENT_SCHEMA)
+    b1.write.parquet(str(src / "b1"))
+    b2.write.parquet(str(src / "b2"))
+
+    ckpt = str(tmp_path / "ckpt3")
+    sink_name = "streaks3"
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        error_streak_alerts(stream)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(sink_name).collect()
+    assert [(r.user_id, r.streak) for r in rows] == [("u9", 3)]
