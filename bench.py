@@ -32,6 +32,10 @@ HEADLINE = [
     "event_minute_counts",
     "event_error_rate",
     "event_sessionization",
+    "event_error_streaks",
+    "asof_last_view_before_purchase",
+    "event_pairs_within_window",
+    "props_k_distribution",
     "lineitem_pricing_summary",
     "top_revenue_orders",
     "nation_supplier_revenue",
@@ -44,6 +48,7 @@ HEADLINE = [
     "token_stats_by_lang",
     "knn_bruteforce",
     "embedding_lsh_buckets",
+    "dedup_embedding_neardup",
 ]
 
 

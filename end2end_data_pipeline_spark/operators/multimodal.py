@@ -138,3 +138,99 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA).orderBy("doc_id")
+
+
+RESIZE_TARGET = (64, 64)
+FRAME_SAMPLE_EVERY_MS = 1000
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("resized", BinaryType(), False),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, target: tuple[int, int]) -> bytes:
+    """STUB resize. With PIL: ``Image.open(...).resize(target)`` and
+    re-encode. Here: deterministic byte projection to target w*h bytes
+    (repeat/truncate the content hash) so output SIZE and determinism
+    match what a real thumbnail path must guarantee."""
+    if _HAS_PIL:
+        raise NotImplementedError(
+            "real resize intentionally disabled: payloads are synthetic"
+        )
+    w, h = target
+    need = w * h
+    digest = hashlib.sha256(payload).digest()
+    return (digest * (need // len(digest) + 1))[:need]
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "width": RESIZE_TARGET[0],
+                "height": RESIZE_TARGET[1],
+                "resized": [_resize_stub(p, RESIZE_TARGET) for p in pdf["payload"]],
+            }
+        )
+
+
+@query("multimodal_resize")  # no oracle: Python-side decode path
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize path: binary in, fixed-shape binary out through
+    Arrow-batched ``mapInPandas``. The decode/encode is stubbed; the
+    engine-side contract (schema, batch shape, per-partition
+    parallelism, binary round-trip) is real. At 100 TB this is the
+    pattern for bulk image normalization: no shuffle, map-only, output
+    parquet binary columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(_resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """One input row (a 'video') fans out to one row per sampled frame
+    — the mapInPandas analog of a generator/explode with Python decode
+    in the loop. Frame count is derived from payload size (stub for
+    container duration); each frame is a deterministic slice."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, len(payload) // 100)  # stub: ~1 frame/100 bytes
+            for i in range(n_frames):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_ts_ms"].append(i * FRAME_SAMPLE_EVERY_MS)
+                lo = (i * 100) % max(1, len(payload) - 32)
+                out["frame"].append(bytes(payload[lo : lo + 32]))
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_frame_sample")  # no oracle: Python-side decode path
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling path (video/audio): each binary payload explodes
+    into N typed frame rows inside the Arrow batch iterator — the
+    production shape for ffmpeg-style frame extraction (map-side fanout,
+    no shuffle until someone aggregates frames)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payloads.mapInPandas(_frame_sample_batches, FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

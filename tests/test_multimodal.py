@@ -1,0 +1,81 @@
+"""Multimodal operator unit tests: the Arrow/mapInPandas plumbing must
+be deterministic and schema-exact even though the decode itself is a
+stub (the container has no image/audio libraries by design)."""
+
+from __future__ import annotations
+
+import pytest
+
+from end2end_data_pipeline_spark.operators.multimodal import (
+    FRAME_SCHEMA,
+    RESIZE_SCHEMA,
+    RESIZE_TARGET,
+    _decode_stub,
+    _resize_stub,
+    multimodal_decode_features,
+    multimodal_frame_sample,
+    multimodal_resize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decode_stub_deterministic():
+    a = _decode_stub(b"payload-1")
+    assert a == _decode_stub(b"payload-1")
+    assert a != _decode_stub(b"payload-2")
+    assert 16 <= a["width"] <= 16 + 255 * 4
+
+
+def test_resize_stub_shape():
+    out = _resize_stub(b"whatever bytes", RESIZE_TARGET)
+    assert len(out) == RESIZE_TARGET[0] * RESIZE_TARGET[1]
+    assert out == _resize_stub(b"whatever bytes", RESIZE_TARGET)
+
+
+def test_decode_features_schema_and_rows(spark):
+    df = multimodal_decode_features(spark, SF)
+    assert df.schema == (
+        df.schema.__class__(df.schema.fields)
+    )  # stable StructType
+    rows = df.limit(5).collect()
+    assert len(rows) == 5
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_resize_output_contract(spark):
+    df = multimodal_resize(spark, SF)
+    assert df.schema == RESIZE_SCHEMA
+    rows = df.limit(3).collect()
+    for r in rows:
+        assert len(r.resized) == RESIZE_TARGET[0] * RESIZE_TARGET[1]
+        assert (r.width, r.height) == RESIZE_TARGET
+
+
+def test_frame_sample_fanout(spark):
+    df = multimodal_frame_sample(spark, SF)
+    assert df.schema == FRAME_SCHEMA
+    # one doc fans out to multiple frames with millisecond spacing
+    first = df.where("doc_id = 0").collect()
+    assert len(first) >= 1
+    assert [r.frame_idx for r in first] == list(range(len(first)))
+    assert all(r.frame_ts_ms == r.frame_idx * 1000 for r in first)
+
+
+def test_frame_sample_counts_match_payload_size(spark):
+    from end2end_data_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.octet_length("text").alias("n")
+    )
+    expected = {r.doc_id: max(1, r.n // 100) for r in docs.collect()}
+    got = {
+        r.doc_id: r.cnt
+        for r in multimodal_frame_sample(spark, SF)
+        .groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert got == expected

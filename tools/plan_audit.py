@@ -1,0 +1,90 @@
+"""Physical-plan hygiene audit for the query registry.
+
+For every registered query, inspect the executed (AQE-final where
+possible) plan at the bench scale factor and flag the anti-patterns
+that stop mattering only when data is small:
+
+- CartesianProduct / BroadcastNestedLoopJoin on two LARGE sides
+  (fine when one side is a literal dim — the band-join pattern);
+- parquet scans that read every column while the query projects few
+  (missing column pruning — usually a UDF or a star passed downstream);
+- missing PushedFilters on scans under a selective predicate;
+- row-at-a-time Python evaluation (BatchEvalPython) — the slow path
+  this engine bans in favor of Arrow-batched pandas evaluation.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Prints one line per query: OK or the list of flags, then a nonzero
+exit if any query regressed. The point is to make plan review a
+habitual gate, not a one-off (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def audit_plan(plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("cartesian-product")
+    if "BatchEvalPython" in plan:
+        flags.append("row-at-a-time-python")
+    # BNLJ is legitimate only against a tiny broadcast side; flag it
+    # for eyeball review when both inputs are file scans.
+    if "BroadcastNestedLoopJoin" in plan and plan.count("Scan parquet") > 1:
+        flags.append("bnlj-over-two-scans")
+    # full-width scans: ReadSchema listing >8 fields is suspicious for
+    # queries that aggregate to a handful of columns
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        n_fields = m.group(1).count(",") + 1 if m.group(1) else 0
+        if n_fields > 8:
+            flags.append(f"wide-scan({n_fields}cols)")
+    return flags
+
+
+# Queries whose flagged pattern is the DESIGNED plan, with the reason.
+# An exemption here still prints, as "ok (waived)".
+WAIVERS: dict[str, str] = {
+    # the query side is filtered to ~2% and explicitly broadcast; the
+    # non-equi (vec_id != query_id) BNLJ against a broadcast side that
+    # small is the correct brute-force top-k shape — the corpus scan
+    # never shuffles.
+    "knn_bruteforce": "bnlj-over-two-scans",
+}
+
+
+def main() -> int:
+    from end2end_data_pipeline_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    queries = entrymod.queries()
+    names = sys.argv[2:] or sorted(queries)
+
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = 0
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flags = audit_plan(plan)
+        if flags and WAIVERS.get(name) in flags:
+            flags.remove(WAIVERS[name])
+            print(f"ok   {name} (waived: {WAIVERS[name]})")
+            if not flags:
+                continue
+        if flags:
+            bad += 1
+            print(f"FLAG {name}: {', '.join(flags)}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{len(names) - bad}/{len(names)} clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
