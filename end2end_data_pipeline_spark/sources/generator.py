@@ -125,3 +125,86 @@ def write_warehouse(df: DataFrame, path: str) -> None:
         .partitionBy("event_minute")
         .parquet(path)
     )
+
+
+def stream_events(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    n_users: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming flavor of :func:`generate_events` over the ``rate``
+    source — the always-on replacement for the reference's producer
+    processes (S1/S2 streaming form): the rate source emits
+    (timestamp, value) rows at ``rows_per_second`` with backpressure
+    built in; the same seeded column expressions shape them into
+    events.
+
+    Session rotation differs from batch: a running per-user window is
+    unbounded state in a stream, so the session id re-derives from the
+    event index instead (rotation points are the indices where the
+    Bernoulli flag fires; index-hash sessions approximate the same
+    p=0.01 geometric session lengths without state).
+    """
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .withColumnRenamed("value", "id")
+    )
+    r = lambda off: F.rand(seed + off)  # noqa: E731
+    df = (
+        df.withColumn("user_idx", F.floor(r(1) * n_users).cast("long"))
+        .withColumn(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(t) for t in EVENT_TYPES]),
+                (F.floor(r(2) * len(EVENT_TYPES)) + 1).cast("int"),
+            ),
+        )
+        .withColumn("error_prob", r(3) * 0.5)
+        .withColumn(
+            "status", F.when(r(4) < F.col("error_prob"), "ERROR").otherwise("SUCCESS")
+        )
+        .withColumn(
+            "request_latency_ms",
+            (LATENCY_MIN + F.floor(r(5) * (LATENCY_MAX - LATENCY_MIN + 1))).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "error_code",
+            F.when(
+                F.col("status") == "ERROR",
+                (
+                    ERROR_CODE_MIN
+                    + F.floor(r(6) * (ERROR_CODE_MAX - ERROR_CODE_MIN + 1))
+                ).cast("int"),
+            ),
+        )
+        .withColumn(
+            "product_id",
+            F.when(
+                F.col("event_type").isin("VIEW_PRODUCT", "ADD_TO_CART"),
+                (1 + F.floor(r(7) * PRODUCT_ID_MAX)).cast("int"),
+            ),
+        )
+        # geometric-ish session index without state: hash-partition the
+        # id space into ~1/p sized spans per user
+        .withColumn(
+            "session_idx", F.floor(F.col("id") * SESSION_ROTATE_P).cast("long")
+        )
+    )
+    return df.select(
+        _fake_uuid("event", F.col("id")).alias("event_id"),
+        _fake_uuid("user", F.col("user_idx")).alias("user_id"),
+        _fake_uuid(
+            "session", F.col("user_idx") * 1_000_000 + F.col("session_idx")
+        ).alias("session_id"),
+        "event_type",
+        F.col("timestamp").alias("event_timestamp"),
+        "request_latency_ms",
+        "status",
+        "error_code",
+        "product_id",
+    )

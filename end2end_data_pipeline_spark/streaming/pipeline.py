@@ -144,3 +144,74 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def publish_minutely_reports(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_path: str,
+    publish,
+    watermark: str = DEFAULT_WATERMARK,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The reference's report loop — aggregate the closed minute, build
+    the JSON report, POST it (``airflow/dags/pipeline.py:205-245``) —
+    as ONE streaming query with a ``foreachBatch`` publisher.
+
+    Append mode + watermark means each micro-batch delivers only
+    finalized windows; ``publish(report_dict)`` is invoked once per
+    closed minute with the reference's exact report shape. The
+    callback is the REST/object-store boundary (out of engine scope) —
+    tests pass a list-appender, production passes ``requests.post``.
+    Exactly-once: foreachBatch replays are keyed by batch id in the
+    checkpoint; a publisher needing strict idempotence can dedupe on
+    ``file_name``.
+    """
+    from end2end_data_pipeline_spark.plans.report import status_pivot_report
+
+    events = read_event_stream(spark, source_path)
+    agg = minutely_status_counts(events, watermark)
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        # one tiny aggregate per closed window; collect is O(#windows x #types)
+        for minute_row in (
+            batch_df.select("event_minute").distinct().orderBy("event_minute").collect()
+        ):
+            minute = minute_row["event_minute"]
+            window_counts = batch_df.where(F.col("event_minute") == minute)
+            # rebuild the pivot shape from the already-aggregated counts
+            rows = (
+                window_counts.groupBy("event_type")
+                .pivot("status", ["ERROR", "SUCCESS"])
+                .sum("n")
+                .na.fill(0, ["ERROR", "SUCCESS"])
+                .orderBy("event_type")
+                .collect()
+            )
+            by_type = {
+                r["event_type"]: {"SUCCESS": r["SUCCESS"], "ERROR": r["ERROR"]}
+                for r in rows
+            }
+            publish(
+                {
+                    "report": {
+                        "total_events": sum(
+                            v["SUCCESS"] + v["ERROR"] for v in by_type.values()
+                        ),
+                        "total_errors": sum(v["ERROR"] for v in by_type.values()),
+                        "by_event_type": by_type,
+                        "file_name": minute.strftime("%Y-%m-%d_%H-%M") + ".json",
+                    }
+                }
+            )
+
+    writer = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 minute")
+    return writer.start()

@@ -156,3 +156,56 @@ def test_stream_report_shim(spark, tmp_path, golden_events):
     )
     report = status_pivot_report(derived, "x.json")["report"]
     assert report["total_errors"] == 5 * NUM_ERROR
+
+
+def test_stream_rate_generator_shapes(spark):
+    """Rate-source streaming generator produces the canonical event
+    schema with value-domain invariants (S1/S2 streaming form)."""
+    from end2end_data_pipeline_spark.sources.generator import stream_events
+
+    stream = stream_events(spark, rows_per_second=200)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gen_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time as _t
+
+        for _ in range(60):
+            if spark.table("gen_stream").count() >= 50:
+                break
+            _t.sleep(0.5)
+        rows = spark.table("gen_stream").limit(200).collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 50
+    for r in rows:
+        assert r.status in ("SUCCESS", "ERROR")
+        assert 50 <= r.request_latency_ms <= 1500
+        assert (r.error_code is not None) == (r.status == "ERROR")
+        if r.product_id is not None:
+            assert r.event_type in ("VIEW_PRODUCT", "ADD_TO_CART")
+
+
+def test_publish_minutely_reports(spark, tmp_path, events_with_tail):
+    """foreachBatch publisher emits the reference report shape exactly
+    once for the closed golden minute (S13 analog)."""
+    from end2end_data_pipeline_spark.streaming.pipeline import publish_minutely_reports
+
+    src = str(tmp_path / "pub_src")
+    ckpt = str(tmp_path / "pub_ckpt")
+    events_with_tail.write.parquet(src)
+
+    published: list[dict] = []
+    q = publish_minutely_reports(spark, src, ckpt, published.append)
+    q.awaitTermination(120)
+
+    assert len(published) == 1
+    rep = published[0]["report"]
+    assert rep["file_name"] == "2024-01-01_12-30.json"
+    assert rep["total_events"] == 100
+    assert rep["total_errors"] == 15
+    assert rep["by_event_type"]["SEARCH"] == {"SUCCESS": 17, "ERROR": 3}
