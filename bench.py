@@ -37,6 +37,9 @@ HEADLINE = [
     "event_pairs_within_window",
     "props_k_distribution",
     "lineitem_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "top_revenue_orders",
     "nation_supplier_revenue",
     "top_orders_per_customer",

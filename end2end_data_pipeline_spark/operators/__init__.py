@@ -10,5 +10,6 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     semistructured,
     similarity,
     temporal,
+    tpch_like,
     text_analysis,
 )

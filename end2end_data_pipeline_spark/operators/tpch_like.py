@@ -1,0 +1,289 @@
+"""TPC-H-shaped analytical queries over the driver's star schema —
+the canonical relational workloads the reference never had (it is
+single-table; SURVEY.md §2.5) but any warehouse replacement must run.
+Shapes follow the TPC-H specification queries (public domain) adapted
+to the driver's column set; money math uses exact integer cents so the
+DuckDB oracle hashes identically (registry.py contract).
+
+Scale notes: every join is an equi-join on a key column (SMJ/AQE
+territory); predicates sit directly on scan columns (pushdown);
+aggregates are partial-map-side. Q6's is the classic
+full-pushdown/no-join scan; Q4/Q18 exercise semi-join and
+HAVING-subquery shapes that Catalyst rewrites into aggregates+joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table, register_views
+
+CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+               AS revenue_cents,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+aggregate, zero joins — the
+    query whose entire cost is how much of the predicate reaches the
+    parquet reader. All four predicates are scan-column comparisons
+    (PushedFilters; verify with plan audit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                "bigint"
+            )
+        ).alias("revenue_cents"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — expressed as a LEFT SEMI
+    join (exactly what Catalyst rewrites EXISTS into), so the lineitem
+    side never multiplies order rows."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle=f"""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count,
+           SUM({CENTS}) AS revenue_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join + conditional aggregation
+    (CASE inside SUM — the pivot's general form). The shipdate filter
+    lands on the lineitem scan BEFORE the join (pushdown through
+    join)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {CENTS} ELSE 0 END)
+               AS promo_cents,
+           SUM({CENTS}) AS total_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dimension with a LIKE-prefix classifier.
+    The part side is far smaller than lineitem — broadcast it and the
+    fact table never shuffles. Output is the exact integer numerator/
+    denominator; the ratio is presentation."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    promo = F.col("p_type").startswith("PROMO")
+    return li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.sum(F.when(promo, cents).otherwise(0)).alias("promo_cents"),
+        F.sum(cents).alias("total_cents"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 210
+    )
+    SELECT c_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice_cents DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery (large-volume orders) feeding a
+    two-level join, global top-N. The aggregate runs FIRST and shrinks
+    the join input (orders join a tiny key set, not raw lineitem) —
+    the order of operations that matters at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 210)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "totalprice_cents"
+            ),
+        )
+        .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           SUM({CENTS}) AS revenue_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue_cents DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: three-way join, each side pre-filtered at its
+    scan, grouped revenue, global top-N. Customer filter is applied
+    before the join so the semi-reduced key set drives it."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select("o_orderkey", "revenue_cents", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_cents").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q16_parts_supplier_breadth",
+    oracle="""
+    SELECT p_brand, p_type,
+           count(DISTINCT s_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_brand <> 'Brand#1' AND s_nationkey < 20
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    LIMIT 40
+    """,
+)
+def q16_parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT-count over a bridge join with
+    negation predicates; suppliers is broadcast-sized."""
+    register_views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type,
+               count(DISTINCT s_suppkey) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON l_partkey = p_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_brand <> 'Brand#1' AND s_nationkey < 20
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+        LIMIT 40
+        """
+    )
