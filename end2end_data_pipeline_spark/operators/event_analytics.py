@@ -337,3 +337,50 @@ def event_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "alert_ms")
     )
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+               AS first_view_ms,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+               AS first_purchase_ms
+      FROM events GROUP BY user_id
+    ), flags AS (
+      SELECT user_id,
+             CASE WHEN first_view_ms IS NOT NULL THEN 1 ELSE 0 END AS viewer,
+             CASE WHEN first_view_ms IS NOT NULL
+                   AND first_purchase_ms > first_view_ms THEN 1 ELSE 0 END
+               AS converted
+      FROM firsts
+    )
+    SELECT count(*) AS n_users,
+           SUM(viewer) AS n_viewers,
+           SUM(converted) AS n_converted
+    FROM flags
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase funnel: users whose first purchase strictly
+    follows their first view. One shuffle on user_id (conditional-min
+    aggregation), then an O(users) rollup — the funnel shape that
+    scales, vs the self-join formulation that doesn't."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_millis("ts"))
+        ).alias("first_view_ms"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))
+        ).alias("first_purchase_ms"),
+    )
+    viewer = F.col("first_view_ms").isNotNull()
+    converted = viewer & (F.col("first_purchase_ms") > F.col("first_view_ms"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewer.cast("bigint")).alias("n_viewers"),
+        F.sum(converted.cast("bigint")).alias("n_converted"),
+    )
