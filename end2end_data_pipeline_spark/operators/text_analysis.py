@@ -201,3 +201,39 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+TOP_VOCAB = 50
+
+
+@query(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, count(*) AS n, count(DISTINCT lang) AS n_langs
+    FROM tok
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {TOP_VOCAB}
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode tokens → frequency + language
+    breadth, global top-N. The canonical explode+aggregate shape —
+    partial counts combine map-side, so the shuffle carries one row
+    per distinct token per partition, not one per token occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+        .limit(TOP_VOCAB)
+    )

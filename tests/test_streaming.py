@@ -209,3 +209,93 @@ def test_publish_minutely_reports(spark, tmp_path, events_with_tail):
     assert rep["total_events"] == 100
     assert rep["total_errors"] == 15
     assert rep["by_event_type"]["SEARCH"] == {"SUCCESS": 17, "ERROR": 3}
+
+
+def test_sessionized_counts_stream(spark, tmp_path, events_with_tail):
+    """session_window aggregation runs as a stream and matches its own
+    batch answer for watermark-closed sessions (T6 streaming form)."""
+    from end2end_data_pipeline_spark.streaming.pipeline import sessionized_counts
+
+    src = str(tmp_path / "sess_src")
+    events_with_tail.write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        sessionized_counts(stream, gap="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.session_start, r.user_id, r.n_events)
+        for r in spark.table("sessions").collect()
+    }
+    # the golden minute (12:30) closes once the 12:35 tail passes the
+    # 2-minute watermark; the tail's own session stays open and unemitted
+    batch_closed = {
+        (r.session_start, r.user_id, r.n_events)
+        for r in sessionized_counts(
+            spark.read.schema(EVENT_SCHEMA).parquet(src), gap="1 minute"
+        ).collect()
+        if r.session_start.minute == 30
+    }
+    assert streamed == batch_closed
+    assert len(streamed) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T3: an event arriving AFTER its window's watermark has passed is
+    excluded from the (already-emitted) window — the reference dropped
+    such rows silently; here the behavior is explicit and bounded."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    import os
+    import time as _time
+
+    batches = [
+        # b0: the 12:00 window opens
+        [("a1", dt.datetime(2024, 1, 1, 12, 0, 10))],
+        # b1: event at 12:10 computes watermark 12:08 (applied one
+        # batch later — Spark advances the watermark at batch END)
+        [("a2", dt.datetime(2024, 1, 1, 12, 10, 0))],
+        # b2: spacer so the 12:08 watermark is in force for b3
+        [("a4", dt.datetime(2024, 1, 1, 12, 11, 0))],
+        # b3: event-time 12:00:20 arrives after the watermark passed 12:01
+        [("a3", dt.datetime(2024, 1, 1, 12, 0, 20))],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(eid, "u1", "s1", "SEARCH", ts, 50, "SUCCESS", None, None) for eid, ts in rows],
+            EVENT_SCHEMA,
+        )
+        d = str(src / f"b{i}")
+        df.coalesce(1).write.parquet(d)
+        # the file source orders by modification time: force the arrival order
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        minutely_status_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.event_minute, r.n) for r in spark.table("late_agg").collect()
+    }
+    # the 12:00 window was finalized with ONE event; the late a3 was
+    # dropped (the 12:10/12:11 windows are still open, so not emitted)
+    assert rows == {(dt.datetime(2024, 1, 1, 12, 0), 1)}
