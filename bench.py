@@ -46,6 +46,7 @@ HEADLINE = [
     "segment_distinct_buyers",
     "dedup_exact_stats",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "dedup_simhash_signatures",
     "text_quality_scores",
     "token_stats_by_lang",

@@ -447,3 +447,179 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs as an undirected edge list (the
+    dedup_minhash_pairs candidate+verify pipeline, minus output
+    shaping)."""
+    sigs = _signatures(spark, sf_dir).cache()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(_band_key(b, th.SPARK)).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"))
+    common, union = _jaccard_parts("sh_a", "sh_b", th.SPARK)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.expr(common) / F.expr(union).cast("double") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+MAX_CC_ITERATIONS = 20
+
+
+def _duck_cluster_sql() -> str:
+    jc, ju = _jaccard_parts("a.shh", "b.shh", th.DUCK)
+    band_case = " ".join(
+        f"WHEN {b} THEN {_band_key(b, th.DUCK)}" for b in range(N_BANDS)
+    )
+    sql = (
+        _signatures_sql(th.DUCK)
+        + f""", bands AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id {band_case} END AS band_key
+        FROM sigs, (VALUES (0),(1),(2),(3)) b(band_id)
+      ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+      ), edges AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN sigs a ON doc_a = a.doc_id
+                  JOIN sigs b ON doc_b = b.doc_id
+        WHERE {jc} / CAST({ju} AS DOUBLE) >= {JACCARD_THRESHOLD}
+      ), bidir AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+      ), nodes AS (
+        SELECT DISTINCT src AS node FROM bidir
+      ), reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r JOIN bidir e ON e.src = r.node
+      )
+      SELECT node AS doc_id, min(label) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id"""
+    )
+    # min-label propagation needs the transitive closure -> RECURSIVE
+    return sql.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pair graph via
+    iterative min-label propagation (see ``dedup_clusters``)."""
+    edges = _lsh_edges(spark, sf_dir)
+    bidir = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").cache()
+    labels = (
+        bidir.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            bidir.join(labels, bidir.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dedup_clusters", oracle=_duck_cluster_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph, labels = component-minimum doc_id. This is
+    the step LLM dedup actually ships (pairs alone over-delete:
+    A~B, B~C must keep ONE of {A,B,C}, not zero).
+
+    Spark side: iterative min-label propagation — per round, each node
+    takes the min of its label and its neighbors' labels; converges in
+    O(component diameter) rounds (bounded by MAX_CC_ITERATIONS;
+    near-dup components are shallow). Each round is one shuffle;
+    ``localCheckpoint`` truncates the growing lineage. At 100 TB the
+    same loop runs with the large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    noted, not needed at these diameters. The DuckDB oracle computes
+    the identical fixpoint via a recursive CTE (transitive closure +
+    min) — same answer, different engine idiom.
+
+    Driver-coordination note: the LOOP is control flow on tiny
+    aggregates (one count per round); all data math stays distributed.
+    """
+    return _cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_cluster_survivors",
+    oracle=_duck_cluster_sql().replace(
+        """SELECT node AS doc_id, min(label) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id""",
+        """, comp AS (
+        SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+      )
+      SELECT cluster_id AS survivor_id,
+             count(*) AS cluster_size
+      FROM comp GROUP BY cluster_id ORDER BY survivor_id""",
+    ),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor policy over clusters: keep the minimum doc_id of each
+    near-dup component; report component sizes. Downstream dedup =
+    anti-join documents against (cluster members - survivors)."""
+    clusters = _cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    return (
+        clusters.groupBy(F.col("cluster_id").alias("survivor_id"))
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("survivor_id")
+    )
