@@ -532,13 +532,25 @@ def _duck_cluster_sql() -> str:
     return sql.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
 
 
+# Partitioning for the propagation loop: the pair graph is orders of
+# magnitude smaller than the corpus (it holds near-dup EDGES, not
+# documents), so the loop runs on few partitions; at cluster scale set
+# this ~ |edges| / a few million.
+CC_PARTITIONS = 8
+
+
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup pair graph via
     iterative min-label propagation (see ``dedup_clusters``)."""
     edges = _lsh_edges(spark, sf_dir)
-    bidir = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").cache()
+    bidir = (
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .repartition(CC_PARTITIONS, "src")
+        .cache()
+    )
     labels = (
         bidir.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -550,25 +562,28 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the `changed` flag rides the checkpointed frame, so detecting
+        # convergence is a scan of already-materialized partitions —
+        # no extra join/shuffle per round
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "changed"
+                ),
             )
+            .withColumnRenamed("new_label", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("changed").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    bidir.unpersist()
     return labels
 
 

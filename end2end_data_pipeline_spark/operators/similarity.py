@@ -249,3 +249,130 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.where(F.col("cosine") >= NEARDUP_COSINE)
         .orderBy("left_id", "right_id")
     )
+
+
+N_IVF_CELLS = 16
+
+
+def _ivf_assign_sql() -> str:
+    """DuckDB: assign every vector to its max-cosine centroid
+    (centroids = the first N_IVF_CELLS vectors — a deterministic
+    coarse quantizer both engines derive identically)."""
+    cos = vec.cosine_q("v.qv", "c.qv", "v.norm2", "c.norm2", th.DUCK)
+    return f""", centroids AS (
+      SELECT vec_id AS cell_id, qv, norm2 FROM qbase
+      WHERE vec_id < {N_IVF_CELLS}
+    ), assigned AS (
+      SELECT vec_id, label, qv, norm2, cell_id FROM (
+        SELECT v.vec_id, v.label, v.qv, v.norm2, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos} DESC, c.cell_id) AS rn
+        FROM qbase v CROSS JOIN centroids c
+      ) WHERE rn = 1
+    )"""
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _qbase(spark, sf_dir)
+    centroids = F.broadcast(
+        base.where(F.col("vec_id") < N_IVF_CELLS).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("qv").alias("c_qv"),
+            F.col("norm2").alias("c_norm2"),
+        )
+    )
+    scored = base.crossJoin(centroids).select(
+        "vec_id",
+        "label",
+        "qv",
+        "norm2",
+        "cell_id",
+        F.expr(vec.cosine_q("qv", "c_qv", "norm2", "c_norm2", th.SPARK)).alias(
+            "c_cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cell_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "qv", "norm2", "cell_id")
+    )
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=_qbase_sql()
+    + _ivf_assign_sql()
+    + """
+    SELECT cell_id, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+    FROM assigned GROUP BY cell_id ORDER BY cell_id
+    """,
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer census: every vector assigned to its
+    max-cosine centroid (the inverted-file partition). Assignment is
+    an O(n x K) broadcast pass — the corpus never shuffles until the
+    O(K) rollup."""
+    return (
+        _ivf_assign(spark, sf_dir)
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_qbase_sql()
+    + _ivf_assign_sql()
+    + f""", pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {vec.cosine_q('q.qv', 'c.qv', 'q.norm2', 'c.norm2', th.DUCK)} AS cosine
+      FROM assigned q JOIN assigned c
+        ON q.cell_id = c.cell_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): queries search only their own centroid cell
+    — candidates shrink ~K-fold vs brute force. The recall dial is
+    nprobe (search the p nearest cells: rn <= p in the assignment
+    window); the complementary scale path to the LSH variant
+    (``ann_lsh_topk``). Same equi-join shape either way."""
+    assigned = _ivf_assign(spark, sf_dir)
+    queries = assigned.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    pairs = queries.join(
+        assigned,
+        (F.col("cell_id") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(vec.cosine_q("q_qv", "qv", "q_norm2", "norm2", th.SPARK)).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
