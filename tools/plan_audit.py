@@ -37,8 +37,11 @@ def audit_plan(plan: str) -> list[str]:
     if "BroadcastNestedLoopJoin" in plan and plan.count("Scan parquet") > 1:
         flags.append("bnlj-over-two-scans")
     # full-width scans: ReadSchema listing >8 fields is suspicious for
-    # queries that aggregate to a handful of columns
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+    # queries that aggregate to a handful of columns. Match within one
+    # line only — plan toString() truncates long schemas without a
+    # closing '>', and a multi-line match would swallow the rest of
+    # the plan and miscount.
+    for m in re.finditer(r"ReadSchema: struct<([^>\n]*)", plan):
         n_fields = m.group(1).count(",") + 1 if m.group(1) else 0
         if n_fields > 8:
             flags.append(f"wide-scan({n_fields}cols)")
@@ -53,6 +56,11 @@ WAIVERS: dict[str, str] = {
     # small is the correct brute-force top-k shape — the corpus scan
     # never shuffles.
     "knn_bruteforce": "bnlj-over-two-scans",
+    # IVF coarse quantizer: every vector scores against the N_IVF_CELLS
+    # (=16) broadcast centroids — an intentional O(n x K) broadcast
+    # cross join; the corpus side never shuffles.
+    "ann_ivf_cells": "bnlj-over-two-scans",
+    "ann_ivf_topk": "bnlj-over-two-scans",
 }
 
 
