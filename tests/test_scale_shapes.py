@@ -1,0 +1,72 @@
+"""Physical-plan shape assertions — the SCALE.md promises as tests.
+
+These don't check answers (the oracle gate does); they check that the
+plan Catalyst produces is the plan the engine was designed around:
+filters reach the scan, dimension joins broadcast, band joins use the
+tiny-side BNLJ, and no query ever drops to row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # at least the shipdate range must reach the reader
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "nation_supplier_revenue")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_band_join_is_broadcast_nested_loop(spark):
+    plan = _plan(spark, "value_tier_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_anti_and_semi_joins(spark):
+    anti = _plan(spark, "customers_without_orders")
+    semi = _plan(spark, "q4_order_priority")
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_asof_join_has_single_user_shuffle_and_no_join(spark):
+    plan = _plan(spark, "asof_last_view_before_purchase")
+    # the as-of is union + window: no join operator anywhere
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "event_status_pivot",
+        "dedup_minhash_signatures",
+        "dedup_simhash_signatures",
+        "knn_bruteforce",
+        "text_quality_scores",
+    ],
+)
+def test_no_row_at_a_time_python(spark, name):
+    assert "BatchEvalPython" not in _plan(spark, name)
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    plan = _plan(spark, "multimodal_decode_features")
+    # mapInPandas shows as MapInPandas/ArrowEvalPython — NOT BatchEvalPython
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "ArrowEval" in plan
