@@ -345,3 +345,57 @@ def sql_region_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name ORDER BY r_name
         """
     )
+
+
+@query(
+    "orders_moving_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             datediff('day', DATE '1995-01-01',
+                      CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_idx,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           rev_cents,
+           SUM(rev_cents) OVER (ORDER BY day_idx
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS rev_7d_cents,
+           ntile(4) OVER (ORDER BY rev_cents, d) AS rev_quartile
+    FROM daily
+    ORDER BY day LIMIT 200
+    """,
+)
+def orders_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving window: 7-day trailing revenue over daily
+    totals (a true value-range frame — days with no orders widen the
+    window correctly, unlike a ROWS frame) plus an ntile quartile.
+    Both engines order by an integer day index, so frame boundaries
+    are engine-exact."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+        .withColumn("day_idx", F.datediff(F.col("d"), F.lit("1995-01-01")))
+    )
+    w7 = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    wq = Window.orderBy("rev_cents", "d")
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "rev_cents",
+            F.sum("rev_cents").over(w7).alias("rev_7d_cents"),
+            F.ntile(4).over(wq).alias("rev_quartile"),
+        )
+        .orderBy("day")
+        .limit(200)
+    )
