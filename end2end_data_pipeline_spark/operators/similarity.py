@@ -376,3 +376,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "docs_embedding_profile",
+    oracle=_qbase_sql()
+    + f""", bucketed AS (
+      SELECT vec_id, label, {vec.lsh_bucket('qv', th.DUCK)} AS bucket FROM qbase
+    )
+    SELECT b.bucket,
+           count(*) AS n_docs,
+           count(DISTINCT d.lang) AS n_langs,
+           SUM(CAST(d.n_chars AS BIGINT)) AS total_chars,
+           count(DISTINCT b.label) AS n_labels
+    FROM bucketed b JOIN documents d ON d.doc_id = b.vec_id
+    GROUP BY b.bucket ORDER BY b.bucket
+    """,
+)
+def docs_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text metadata (documents) x embedding-space
+    structure (LSH buckets), 1:1 on doc_id=vec_id. The shape of
+    'profile each vector-space cluster by its source text' — at scale
+    both sides shuffle once on the shared key (or co-bucketed storage
+    makes it free)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    bucketed = _qbase(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(vec.lsh_bucket("qv", th.SPARK)).alias("bucket"),
+    )
+    return (
+        bucketed.join(docs, bucketed.vec_id == docs.doc_id)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .orderBy("bucket")
+    )
