@@ -399,3 +399,55 @@ def orders_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(200)
     )
+
+
+@query(
+    "lineitem_charge_unpivot",
+    oracle="""
+    WITH charges AS (
+      SELECT l_returnflag, 'base' AS charge_type,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount',
+             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax',
+             CAST(ROUND(l_extendedprice * l_tax * 100) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT l_returnflag, charge_type,
+           count(*) AS n, SUM(cents) AS total_cents
+    FROM charges
+    GROUP BY l_returnflag, charge_type
+    ORDER BY l_returnflag, charge_type
+    """,
+)
+def lineitem_charge_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the pivot's inverse): three charge components per
+    lineitem widen into (charge_type, cents) rows via the native
+    ``unpivot`` operator — a map-side transform (no shuffle until the
+    aggregate), unlike the oracle's 3-scan UNION ALL formulation which
+    reads the table three times. Same result, 3x less IO."""
+    li = load_table(spark, sf_dir, "lineitem")
+    charges = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("base"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("discount"),
+        F.round(F.col("l_extendedprice") * F.col("l_tax") * 100)
+        .cast("bigint")
+        .alias("tax"),
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["base", "discount", "tax"],
+        variableColumnName="charge_type",
+        valueColumnName="cents",
+    )
+    return (
+        charges.groupBy("l_returnflag", "charge_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("total_cents"))
+        .orderBy("l_returnflag", "charge_type")
+    )
