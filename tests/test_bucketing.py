@@ -1,0 +1,84 @@
+"""Bucketed co-located join: prove the shuffle disappears.
+
+The same orders⋈lineitem join is planned twice — over plain parquet
+(expects shuffle Exchanges feeding the join) and over co-bucketed
+tables (expects none) — and both must return identical results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.sources.bucketing import cobucket_orders_lineitem
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _join_agg(o, li):
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bucketed"))
+    return cobucket_orders_lineitem(spark, SF, out)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the sort-merge path: at sf0.001 both tables fit the
+    broadcast threshold, which would hide the co-location effect this
+    module demonstrates (at real scale neither side broadcasts)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _join_key_exchanges(plan: str) -> int:
+    """Count shuffles whose partition keys are the JOIN keys (the
+    aggregate's own group-key exchange doesn't count)."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("o_orderkey" in line or "l_orderkey" in line)
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables, no_broadcast):
+    o_name, l_name = bucketed_tables
+    joined = _join_agg(spark.table(o_name), spark.table(l_name))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert _join_key_exchanges(plan) == 0
+
+
+def test_plain_join_does_shuffle(spark, no_broadcast):
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    plan = _join_agg(o, li)._jdf.queryExecution().executedPlan().toString()
+    assert _join_key_exchanges(plan) == 2
+
+
+def test_bucketed_and_plain_agree(spark, bucketed_tables):
+    o_name, l_name = bucketed_tables
+    bucketed = _join_agg(spark.table(o_name), spark.table(l_name)).collect()
+    plain = _join_agg(
+        load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+    ).collect()
+    assert sorted(map(tuple, bucketed)) == sorted(map(tuple, plain))
