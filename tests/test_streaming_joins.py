@@ -1,0 +1,100 @@
+"""Streaming join tests: stream-static enrichment and the watermarked
+stream-stream view→purchase join, both drained with availableNow and
+checked against batch answers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.streaming.joins import (
+    enrich_with_dim,
+    purchases_after_views,
+)
+from end2end_data_pipeline_spark.streaming.pipeline import EVENT_SCHEMA
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(i, user, etype, sec, status="SUCCESS"):
+    return (
+        f"e{i}",
+        user,
+        "s0",
+        etype,
+        T0 + dt.timedelta(seconds=sec),
+        50,
+        status,
+        None,
+        None,
+    )
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        _ev(0, "u1", "VIEW_PRODUCT", 0),
+        _ev(1, "u1", "PAYMENT", 60),          # within 15 min of e0
+        _ev(2, "u1", "PAYMENT", 30 * 60),     # too late after e0
+        _ev(3, "u2", "VIEW_PRODUCT", 0),
+        _ev(4, "u3", "PAYMENT", 10),          # no view for u3
+        # tail to advance the watermark far past everything above
+        _ev(5, "u1", "VIEW_PRODUCT", 3600),
+    ]
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def test_stream_static_enrichment(spark, tmp_path, funnel_events):
+    src = str(tmp_path / "enrich_src")
+    funnel_events.write.parquet(src)
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "basic")], "user_id string, tier string"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        enrich_with_dim(stream, dim, "user_id")
+        .select("event_id", "user_id", "tier")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.tier for r in spark.table("enriched").collect()}
+    assert got["e0"] == "gold"
+    assert got["e3"] == "basic"
+    assert got["e4"] is None  # left join keeps unmatched stream rows
+
+
+def test_stream_stream_view_purchase_join(spark, tmp_path, funnel_events):
+    src = str(tmp_path / "ss_src")
+    funnel_events.write.parquet(src)
+
+    def views_purchases(df):
+        return (
+            df.where(F.col("event_type") == "VIEW_PRODUCT"),
+            df.where(F.col("event_type") == "PAYMENT"),
+        )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    v, p = views_purchases(stream)
+    q = (
+        purchases_after_views(v, p)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.table("ss_join").collect()))
+
+    bv, bp = views_purchases(spark.read.schema(EVENT_SCHEMA).parquet(src))
+    batch = sorted(map(tuple, purchases_after_views(bv, bp).collect()))
+    assert streamed == batch
+    # exactly one qualifying pair: u1 view e0 -> payment e1 within 15 min
+    assert streamed == [("u1", "e1", "e0", 60000)]
