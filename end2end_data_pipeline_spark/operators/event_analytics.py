@@ -164,7 +164,7 @@ def event_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
            count(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
            MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
@@ -358,8 +358,8 @@ def event_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM firsts
     )
     SELECT count(*) AS n_users,
-           SUM(viewer) AS n_viewers,
-           SUM(converted) AS n_converted
+           CAST(SUM(viewer) AS BIGINT) AS n_viewers,
+           CAST(SUM(converted) AS BIGINT) AS n_converted
     FROM flags
     """,
 )

@@ -42,11 +42,11 @@ def _cents(col: F.Column) -> F.Column:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS sum_disc_cents,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 )
-               AS BIGINT)) AS sum_charge_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS sum_disc_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 )
+               AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            count(*) AS count_order,
            SUM(CAST(l_quantity AS BIGINT)) / CAST(count(*) AS DOUBLE) AS avg_qty
     FROM lineitem
@@ -115,7 +115,7 @@ def projection_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            count(*) AS n_customers,
-           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -146,8 +146,8 @@ def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_orders",
     oracle="""
     SELECT l_orderkey,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS revenue_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
            strftime(any_value(o_orderdate), '%Y-%m-%d') AS orderdate,
            any_value(o_orderpriority) AS o_orderpriority
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -187,8 +187,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_supplier_revenue",
     oracle="""
     SELECT n_name,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS revenue_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
            count(*) AS n_lineitems
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -324,11 +324,11 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_running_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_cents,
+           ) AS BIGINT) AS running_cents,
            CAST(ROUND(o_totalprice * 100) AS BIGINT)
              - lag(CAST(ROUND(o_totalprice * 100) AS BIGINT), 1, 0) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -360,7 +360,7 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
            count(*) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(count(*) AS DOUBLE)
                AS avg_cents
     FROM orders GROUP BY 1 ORDER BY 1
@@ -584,8 +584,8 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue",
     oracle="""
     SELECT p_brand,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS revenue_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand ORDER BY p_brand

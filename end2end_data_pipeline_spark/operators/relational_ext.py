@@ -262,7 +262,7 @@ def lineitem_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            count(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -354,14 +354,14 @@ def sql_region_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
              datediff('day', DATE '1995-01-01',
                       CAST(date_trunc('day', o_orderdate) AS DATE)) AS day_idx,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       FROM orders GROUP BY 1, 2
     )
     SELECT strftime(d, '%Y-%m-%d') AS day,
            rev_cents,
-           SUM(rev_cents) OVER (ORDER BY day_idx
+           CAST(SUM(rev_cents) OVER (ORDER BY day_idx
                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-               AS rev_7d_cents,
+               AS BIGINT) AS rev_7d_cents,
            ntile(4) OVER (ORDER BY rev_cents, d) AS rev_quartile
     FROM daily
     ORDER BY day LIMIT 200
@@ -418,7 +418,7 @@ def orders_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_returnflag, charge_type,
-           count(*) AS n, SUM(cents) AS total_cents
+           count(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM charges
     GROUP BY l_returnflag, charge_type
     ORDER BY l_returnflag, charge_type

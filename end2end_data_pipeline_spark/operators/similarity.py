@@ -387,7 +387,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.bucket,
            count(*) AS n_docs,
            count(DISTINCT d.lang) AS n_langs,
-           SUM(CAST(d.n_chars AS BIGINT)) AS total_chars,
+           CAST(SUM(CAST(d.n_chars AS BIGINT)) AS BIGINT) AS total_chars,
            count(DISTINCT b.label) AS n_labels
     FROM bucketed b JOIN documents d ON d.doc_id = b.vec_id
     GROUP BY b.bucket ORDER BY b.bucket

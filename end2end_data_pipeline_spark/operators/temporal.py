@@ -114,7 +114,7 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
     SELECT a.event_type AS src_type, b.event_type AS dst_type,
            count(*) AS n_pairs,
-           SUM(epoch_ms(b.ts) - epoch_ms(a.ts)) AS total_gap_ms
+           CAST(SUM(epoch_ms(b.ts) - epoch_ms(a.ts)) AS BIGINT) AS total_gap_ms
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND epoch_ms(b.ts) > epoch_ms(a.ts)
@@ -181,7 +181,7 @@ TIERS = [
              ('T3_high', 100.0, 250.0), ('T4_top', 250.0, NULL)
     )
     SELECT t.tier, count(*) AS n_events,
-           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events e JOIN tiers t
       ON e.value >= t.lo AND (t.hi IS NULL OR e.value < t.hi)
     GROUP BY t.tier ORDER BY t.tier

@@ -26,8 +26,8 @@ CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
-               AS revenue_cents,
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+               AS BIGINT) AS revenue_cents,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -96,11 +96,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle=f"""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count,
-           SUM({CENTS}) AS revenue_cents
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+           CAST(SUM({CENTS}) AS BIGINT) AS revenue_cents
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -135,9 +135,9 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_share",
     oracle=f"""
-    SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {CENTS} ELSE 0 END)
-               AS promo_cents,
-           SUM({CENTS}) AS total_cents
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {CENTS} ELSE 0 END)
+               AS BIGINT) AS promo_cents,
+           CAST(SUM({CENTS}) AS BIGINT) AS total_cents
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -211,7 +211,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT o_orderkey,
-           SUM({CENTS}) AS revenue_cents,
+           CAST(SUM({CENTS}) AS BIGINT) AS revenue_cents,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer

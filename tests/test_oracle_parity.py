@@ -27,6 +27,18 @@ def test_oracle_parity(name, spark, sf_dir, con):
     assert result["rows_match"], result
     assert result["cols_match"], result
     assert result["values_match"], {k: v for k, v in result.items() if k != "cols_spark"}
+    assert result["types_safe"], result["unsafe_types"]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_output_types_driver_safe(name, con):
+    """Every oracle must emit only types the driver's renderer is
+    trusted on (BIGINT/INTEGER/VARCHAR/DOUBLE) — e.g. DuckDB's
+    SUM(BIGINT) returns HUGEINT, which the driver stringifies
+    differently and hash-FAILs even when values are identical."""
+    from tools.oracle_check import unsafe_oracle_types
+
+    assert unsafe_oracle_types(con, ORACLE[name]) == []
 
 
 def test_every_query_runs(spark, sf_dir):

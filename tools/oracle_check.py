@@ -27,6 +27,28 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# The driver's value renderer is only trusted on these DuckDB output
+# types. Anything else (HUGEINT from SUM(BIGINT), DECIMAL, TIMESTAMP,
+# lists, ...) may stringify differently driver-side than here, turning
+# a locally-green query into a driver hash-FAIL — so the local gate
+# flags them as failures outright (round-1 lesson: 9 queries failed the
+# driver on HUGEINT while this replica said green).
+SAFE_ORACLE_TYPES = {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE"}
+
+
+def unsafe_oracle_types(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple[str, str]]:
+    """(column, type) pairs in the oracle's output whose DuckDB type is
+    outside the driver-proof set — empty means driver-safe."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in SAFE_ORACLE_TYPES
+    ]
+
+
 def _norm(v: Any) -> str:
     """Render a cell deterministically across engines."""
     if v is None:
@@ -55,6 +77,7 @@ def compare_query(
 ) -> dict[str, Any]:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
+    unsafe = unsafe_oracle_types(con, sql)
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
@@ -69,6 +92,8 @@ def compare_query(
         "rows_match": len(sr) == len(dr),
         "cols_match": sc == dc,
         "values_match": sr == dr,
+        "unsafe_types": unsafe,
+        "types_safe": not unsafe,
     }
     if not out["values_match"] and out["rows_match"] and out["cols_match"]:
         diffs = [(a, b) for a, b in zip(sr, dr) if a != b]
