@@ -127,12 +127,36 @@ def _extract_features(
         )
 
 
-@query("multimodal_decode_features")  # no oracle: Python-side decode path
+def _sha_byte(duck_sha_expr: str, k: int) -> str:
+    """DuckDB expression for byte ``k`` of a sha256 digest rendered as
+    hex — the oracle-side mirror of ``hashlib.sha256(...).digest()[k]``
+    (same '0x'||substr trick as ``texthash.md5h``)."""
+    return f"(('0x' || substr({duck_sha_expr}, {2 * k + 1}, 2))::INT)"
+
+
+_SHA = "sha256(text)"
+
+@query(
+    "multimodal_decode_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'fake/raw' AS format,
+           CAST(16 + {_sha_byte(_SHA, 0)} * 4 AS INT) AS width,
+           CAST(16 + {_sha_byte(_SHA, 1)} * 4 AS INT) AS height,
+           CAST(1 + {_sha_byte(_SHA, 2)} % 4 AS INT) AS n_channels,
+           CAST({_sha_byte(_SHA, 3)} AS INT) AS mean_luma
+    FROM documents ORDER BY doc_id
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode/feature-extract path: binary payload column ->
     Arrow-batched ``mapInPandas`` -> typed feature rows. The decode
     itself is the stub above; everything Spark-side (binary encoding,
-    batch transfer, schema contract) is the production shape."""
+    batch transfer, schema contract) is the production shape. The stub
+    derives dimensions from sha256 digest bytes, which the DuckDB
+    oracle reproduces exactly — so the whole Arrow round-trip is
+    value-checked, not just smoke-tested."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -180,17 +204,38 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_resize")  # no oracle: Python-side decode path
+@query(
+    "multimodal_resize",
+    # the 64x64 stub thumbnail is the 32-byte sha256 digest repeated
+    # exactly 4096/32 = 128 times, so its hex form is the hex digest
+    # repeated 128 times — exact in DuckDB.
+    oracle="""
+    SELECT doc_id,
+           CAST(64 AS INT) AS width,
+           CAST(64 AS INT) AS height,
+           repeat(sha256(text), 128) AS resized_hex
+    FROM documents ORDER BY doc_id
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail/resize path: binary in, fixed-shape binary out through
     Arrow-batched ``mapInPandas``. The decode/encode is stubbed; the
     engine-side contract (schema, batch shape, per-partition
     parallelism, binary round-trip) is real. At 100 TB this is the
     pattern for bulk image normalization: no shuffle, map-only, output
-    parquet binary columns."""
+    parquet binary columns. The registered query hex-encodes the bytes
+    at the output boundary purely so the DuckDB oracle can value-check
+    the binary round-trip (raw binary stringifies engine-specifically);
+    production consumers would keep the ``resized`` binary column."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    return payloads.mapInPandas(_resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
+    resized = payloads.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+    ).orderBy("doc_id")
 
 
 FRAME_SCHEMA = StructType(
@@ -223,7 +268,32 @@ def _frame_sample_batches(
         yield pd.DataFrame(out)
 
 
-@query("multimodal_frame_sample")  # no oracle: Python-side decode path
+@query(
+    "multimodal_frame_sample",
+    # Frame math mirrored in SQL: n_frames = max(1, n_bytes // 100),
+    # frame i = 32 bytes at offset (i*100) % max(1, n_bytes-32). The
+    # documents fixture is pure ASCII (asserted in tests), so byte
+    # slices of the payload equal char slices of the text and DuckDB's
+    # substr reproduces them; frames are hex-encoded at the boundary
+    # because raw binary stringifies engine-specifically.
+    oracle=f"""
+    WITH fanout AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             text,
+             unnest(range(0, greatest(1, octet_length(encode(text)) // 100)))
+               AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * {FRAME_SAMPLE_EVERY_MS} AS BIGINT) AS frame_ts_ms,
+           lower(hex(encode(substr(text,
+               CAST((frame_idx * 100) % greatest(1, n_bytes - 32) AS INT) + 1,
+               32)))) AS frame_hex
+    FROM fanout ORDER BY doc_id, frame_idx
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling path (video/audio): each binary payload explodes
     into N typed frame rows inside the Arrow batch iterator — the
@@ -231,6 +301,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle until someone aggregates frames)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    return payloads.mapInPandas(_frame_sample_batches, FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
-    )
+    frames = payloads.mapInPandas(_frame_sample_batches, FRAME_SCHEMA)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    ).orderBy("doc_id", "frame_idx")

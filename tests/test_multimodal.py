@@ -45,16 +45,33 @@ def test_decode_features_schema_and_rows(spark):
 
 def test_resize_output_contract(spark):
     df = multimodal_resize(spark, SF)
-    assert df.schema == RESIZE_SCHEMA
+    # registered query hex-encodes the binary at the output boundary
+    assert df.columns == ["doc_id", "width", "height", "resized_hex"]
     rows = df.limit(3).collect()
     for r in rows:
-        assert len(r.resized) == RESIZE_TARGET[0] * RESIZE_TARGET[1]
+        # 2 hex chars per output byte
+        assert len(r.resized_hex) == RESIZE_TARGET[0] * RESIZE_TARGET[1] * 2
         assert (r.width, r.height) == RESIZE_TARGET
+
+
+def test_documents_fixture_is_ascii(spark):
+    """The frame-sample oracle equates byte slices of the payload with
+    char slices of the text — valid only while the documents fixture is
+    pure ASCII. If this ever fails, the oracle must switch to a
+    byte-accurate form."""
+    from end2end_data_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF, "documents")
+    n_multibyte = docs.where(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_multibyte == 0
 
 
 def test_frame_sample_fanout(spark):
     df = multimodal_frame_sample(spark, SF)
-    assert df.schema == FRAME_SCHEMA
+    assert df.columns == ["doc_id", "frame_idx", "frame_ts_ms", "frame_hex"]
     # one doc fans out to multiple frames with millisecond spacing
     first = df.where("doc_id = 0").collect()
     assert len(first) >= 1

@@ -41,6 +41,30 @@ def test_oracle_output_types_driver_safe(name, con):
     assert unsafe_oracle_types(con, ORACLE[name]) == []
 
 
+def test_checked_window_contract():
+    """The driver value-checks only the first 50 registered queries.
+    Guarantee that window is fully provable: 50 unique names, every
+    one oracle-paired, and all ten operator families represented."""
+    ordered = list(QUERIES)
+    window = ordered[:50]
+    assert len(set(window)) == 50
+    assert all(n in ORACLE for n in window)
+    families = {
+        "dedup_": "dedup",
+        "event_": "event analytics",
+        "multimodal_": "multimodal",
+        "props_": "semistructured",
+        "ann_": "similarity",
+        "asof_": "temporal",
+        "text_": "text analysis",
+        "q3_": "tpch",
+        "lineitem_": "relational",
+        "salted_": "skew pattern",
+    }
+    for prefix, family in families.items():
+        assert any(n.startswith(prefix) for n in window), family
+
+
 def test_every_query_runs(spark, sf_dir):
     """Queries without an oracle still must run and return a schema."""
     for name, fn in QUERIES.items():
