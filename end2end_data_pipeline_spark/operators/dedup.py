@@ -194,6 +194,15 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH bucket-size cap: a (band_id, band_key) bucket holding f docs
+# contributes f^2/2 candidate pairs, so one degenerate bucket (e.g.
+# empty-ish documents all hashing alike) can go quadratic on a skewed
+# real corpus. Buckets larger than the cap are dropped from candidate
+# generation on BOTH engines; at 100 TB pair this with multi-probe /
+# more bands to recover the recall the dropped bucket carried.
+LSH_BUCKET_CAP = 200
+
+
 @query(
     "dedup_minhash_pairs",
     oracle=_signatures_sql(th.DUCK)
@@ -202,9 +211,14 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                b.band_id,
                CASE b.band_id {' '.join(f'WHEN {b} THEN {_band_key(b, th.DUCK)}' for b in range(N_BANDS))} END AS band_key
         FROM sigs, (VALUES (0), (1), (2), (3)) b(band_id)
+      ), ok_buckets AS (
+        SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+        HAVING count(*) <= {LSH_BUCKET_CAP}
+      ), bands_capped AS (
+        SELECT bands.* FROM bands JOIN ok_buckets USING (band_id, band_key)
       ), cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
+        FROM bands_capped x JOIN bands_capped y
           ON x.band_id = y.band_id AND x.band_key = y.band_key
          AND x.doc_id < y.doc_id
       ), verified AS (
@@ -223,10 +237,15 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
 )
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact-Jaccard
     verification of candidates only. The candidate join is an equi-join
-    on (band_id, band_key) — O(n x bucket) not O(n^2)."""
+    on (band_id, band_key) — O(n x bucket) not O(n^2) — and buckets
+    larger than ``bucket_cap`` are dropped before the self-join (the
+    hot-bucket guard; the oversize-bucket list is tiny so the filter
+    is a broadcast anti-join)."""
     sigs = _signatures(spark, sf_dir).cache()
     bands = sigs.select(
         "doc_id",
@@ -242,6 +261,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+    oversize = (
+        bands.groupBy("band_id", "band_key")
+        .count()
+        .where(F.col("count") > bucket_cap)
+        .select("band_id", "band_key")
+    )
+    bands = bands.join(F.broadcast(oversize), ["band_id", "band_key"], "left_anti")
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
@@ -394,6 +420,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Candidate-generation document-frequency cap: a shingle present in
+# more than this many documents is dropped from the inverted index
+# BEFORE the self-join (verification still uses full shingle sets).
+# Without it a boilerplate shingle shared by f documents contributes
+# f^2/2 candidate pairs — quadratic blowup on a skewed real corpus.
+# A true near-dup pair (jaccard >= 0.8) shares many shingles, so it
+# still surfaces via its non-hot ones unless EVERY common shingle is
+# hotter than the cap — per-corpus tuning trades that tail for cost.
+SHINGLE_DF_CAP = 100
+
+
 @query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
@@ -401,9 +438,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_shingle_set(th.DUCK)} AS sh FROM documents
     ), inv AS (
       SELECT doc_id, unnest(sh) AS shingle FROM sh
+    ), df AS (
+      SELECT shingle FROM inv GROUP BY shingle
+      HAVING count(*) <= {SHINGLE_DF_CAP}
+    ), inv_capped AS (
+      SELECT inv.doc_id, inv.shingle FROM inv JOIN df USING (shingle)
     ), cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      FROM inv_capped x
+      JOIN inv_capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
     ), verified AS (
       SELECT doc_a, doc_b,
              {_jaccard_parts('a.sh', 'b.sh', th.DUCK)[0]} AS n_common,
@@ -416,15 +459,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
 )
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle
     index (ground truth for the MinHash approximation). The candidate
-    join is shingle-equality — at 100 TB this needs the frequency cap
-    of dropping ultra-common shingles; here the corpus is small enough
-    to skip it."""
+    join is shingle-equality with a document-frequency cap: shingles
+    hotter than ``df_cap`` are dropped from the index (NOT from the
+    verification sets), bounding any shingle's candidate contribution
+    at df_cap^2/2 pairs — the guard that keeps a skewed corpus from
+    going quadratic at 100 TB. The hot-shingle list is tiny by
+    construction, so the filter is a broadcast anti-join."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")).cache()
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    hot = (
+        inv.groupBy("shingle")
+        .count()
+        .where(F.col("count") > df_cap)
+        .select("shingle")
+    )
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     x = inv.alias("x")
     y = inv.alias("y")
     cand = (
@@ -583,6 +638,14 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # a component with diameter > MAX_CC_ITERATIONS would exit with
+        # wrong labels — refuse to ship them silently
+        raise RuntimeError(
+            f"connected-components did not converge in {MAX_CC_ITERATIONS} "
+            f"iterations ({changed} labels still changing); raise "
+            "MAX_CC_ITERATIONS or switch to large-star/small-star"
+        )
     bidir.unpersist()
     return labels
 

@@ -159,17 +159,20 @@ def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style shipping-priority: fact-fact sort-merge join on
-    orderkey + broadcastable customer filter; top-10 with a total-order
-    tie-break on l_orderkey."""
+    """TPC-H Q3-style shipping-priority: broadcast the filtered
+    customer dim into orders FIRST (shrinks the orders side ~5x, a
+    map-side hash join with no shuffle), THEN run the fact-fact
+    sort-merge join on orderkey — CBO is off, so Catalyst keeps the
+    written join order and the cheap reduction must come first.
+    Top-10 with a total-order tie-break on l_orderkey."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
+    building_orders = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(building_orders, li.l_orderkey == building_orders.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
             F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(

@@ -201,24 +201,38 @@ def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "status_extreme_orders",
+    # Tie-break: two orders in a status group can share the same
+    # rounded price, and bare arg_max/max_by would then return an
+    # engine-nondeterministic orderkey. Both sides order by
+    # (cents, orderkey): Spark via struct ordering, DuckDB via a
+    # zero-padded fixed-width string key (lexicographic == numeric
+    # for nonnegative ints).
     oracle="""
     SELECT o_orderstatus,
-           arg_max(o_orderkey, ROUND(o_totalprice * 100)) AS max_price_orderkey,
-           arg_min(o_orderkey, ROUND(o_totalprice * 100)) AS min_price_orderkey,
+           arg_max(o_orderkey,
+                   lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 14, '0')
+                   || lpad(CAST(o_orderkey AS VARCHAR), 14, '0'))
+               AS max_price_orderkey,
+           arg_min(o_orderkey,
+                   lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 14, '0')
+                   || lpad(CAST(o_orderkey AS VARCHAR), 14, '0'))
+               AS min_price_orderkey,
            MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def status_extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax) aggregates on the integer-cents domain."""
+    """max_by/min_by (argmax) aggregates on the integer-cents domain,
+    with a total-order (cents, orderkey) tie-break."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    key = F.struct(cents.alias("cents"), F.col("o_orderkey"))
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.max_by("o_orderkey", cents).alias("max_price_orderkey"),
-            F.min_by("o_orderkey", cents).alias("min_price_orderkey"),
-            F.max(cents.cast("bigint")).alias("max_cents"),
+            F.max_by("o_orderkey", key).alias("max_price_orderkey"),
+            F.min_by("o_orderkey", key).alias("min_price_orderkey"),
+            F.max(cents).alias("max_cents"),
         )
         .orderBy("o_orderstatus")
     )

@@ -194,16 +194,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_COSINE = 0.30  # driver corpus is near-orthogonal random; real
 # near-dup corpora use ~0.95 — the plan shape is threshold-independent
 
+# Hot-bucket guard, mirroring dedup.LSH_BUCKET_CAP: an LSH bucket of f
+# vectors yields f^2/2 candidate pairs, so degenerate buckets (e.g.
+# zero-vectors all landing in bucket 0) are dropped from candidate
+# generation on BOTH engines before the self-join.
+EMB_BUCKET_CAP = 200
+
 
 @query(
     "dedup_embedding_neardup",
     oracle=_qbase_sql()
     + f""", bucketed AS (
       SELECT *, {vec.lsh_bucket('qv', th.DUCK)} AS bucket FROM qbase
+    ), ok_buckets AS (
+      SELECT bucket FROM bucketed GROUP BY bucket
+      HAVING count(*) <= {EMB_BUCKET_CAP}
+    ), capped AS (
+      SELECT bucketed.* FROM bucketed JOIN ok_buckets USING (bucket)
     )
     SELECT a.vec_id AS left_id, b.vec_id AS right_id,
            {vec.cosine_q('a.qv', 'b.qv', 'a.norm2', 'b.norm2', th.DUCK)} AS cosine
-    FROM bucketed a JOIN bucketed b
+    FROM capped a JOIN capped b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {vec.cosine_q('a.qv', 'b.qv', 'a.norm2', 'b.norm2', th.DUCK)}
           >= {NEARDUP_COSINE}
@@ -222,6 +233,13 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _qbase(spark, sf_dir).withColumn(
         "bucket", F.expr(vec.lsh_bucket("qv", th.SPARK))
     )
+    oversize = (
+        base.groupBy("bucket")
+        .count()
+        .where(F.col("count") > EMB_BUCKET_CAP)
+        .select("bucket")
+    )
+    base = base.join(F.broadcast(oversize), ["bucket"], "left_anti")
     left = base.select(
         F.col("vec_id").alias("left_id"),
         F.col("qv").alias("l_qv"),

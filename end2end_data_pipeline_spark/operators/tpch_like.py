@@ -241,9 +241,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
+    # broadcast the filtered customer keys into orders BEFORE the
+    # fact-fact SMJ so the segment filter shrinks the shuffled side
+    building_orders = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        li.join(building_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),

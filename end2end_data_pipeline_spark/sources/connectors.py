@@ -155,15 +155,23 @@ def s3a_conf(
     access_key: str,
     secret_key: str,
     path_style: bool = True,
+    ssl: bool | None = None,
 ) -> dict[str, str]:
     """The s3a configuration block the reference injects per spark-submit
     (``airflow/dags/pipeline.py:188-194``), as a conf dict for
-    ``get_spark(extra_conf=...)``. MinIO needs path-style access."""
+    ``get_spark(extra_conf=...)``. MinIO needs path-style access.
+
+    SSL defaults from the endpoint scheme (an ``https://`` endpoint —
+    or a bare host, which s3a treats as https — keeps SSL on) so
+    credentials never travel plaintext unless the caller explicitly
+    opted into an ``http://`` endpoint or passed ``ssl=False``."""
+    if ssl is None:
+        ssl = not endpoint.startswith("http://")
     return {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
         "spark.hadoop.fs.s3a.access.key": access_key,
         "spark.hadoop.fs.s3a.secret.key": secret_key,
         "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
         "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
-        "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
     }

@@ -189,10 +189,12 @@ def stream_events(
                 (1 + F.floor(r(7) * PRODUCT_ID_MAX)).cast("int"),
             ),
         )
-        # geometric-ish session index without state: hash-partition the
-        # id space into ~1/p sized spans per user
+        # geometric-ish session index without state: a user's events
+        # arrive ~n_users global ids apart, so the span must cover
+        # n_users/p ids for the user to see ~1/p events per session
         .withColumn(
-            "session_idx", F.floor(F.col("id") * SESSION_ROTATE_P).cast("long")
+            "session_idx",
+            F.floor(F.col("id") * SESSION_ROTATE_P / n_users).cast("long"),
         )
     )
     return df.select(

@@ -16,7 +16,9 @@ Scale posture:
   in the state store — bounded by |users|, not |events|;
 - the Python hop is Arrow-batched per group (``applyInPandasWithState``),
   not row-at-a-time;
-- rows within a micro-batch are sorted per group in the worker.
+- each group's micro-batch rows are materialized and sorted ONCE in
+  the worker (multi-chunk groups included — Arrow chunk order after
+  the shuffle is arbitrary, so per-chunk sorting would be wrong).
   Across micro-batches Spark delivers whole watermark-closed groups,
   but strict event-time ordering between batches is the deployment's
   job (pair with ``withWatermark`` + a small trigger so a user's
@@ -49,7 +51,14 @@ def _track_streaks(threshold: int, ts_col: str, error_col: str):
         (user_id,) = key
         (streak,) = state.get if state.exists else (0,)
         alerts: list[tuple[Any, Any, int]] = []
-        for pdf in batches:
+        # A large group arrives as MULTIPLE Arrow chunks whose relative
+        # order is arbitrary after the shuffle — sorting each chunk
+        # independently would process rows out of event-time order.
+        # Materialize the whole group (its rows are already this
+        # operator's working set; state stays one int) and sort once.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(ts_col)
             for ts, is_err in zip(pdf[ts_col], pdf[error_col]):
                 if is_err:

@@ -1,0 +1,74 @@
+"""Hot-key guard tests for the dedup layer.
+
+Two caps protect candidate generation from quadratic blowup on skewed
+corpora: the shingle document-frequency cap in exact n-gram Jaccard
+(``SHINGLE_DF_CAP``) and the LSH bucket-size cap in MinHash banding
+(``LSH_BUCKET_CAP``). Both must (a) be no-ops on the benign driver
+fixture — the default caps change nothing — and (b) actually gate a
+synthetic hot-key corpus where every shingle/bucket is oversize.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from end2end_data_pipeline_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
+    SHINGLE_DF_CAP,
+    dedup_minhash_pairs,
+    dedup_ngram_jaccard_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def hot_dir(spark, tmp_path_factory):
+    """A degenerate corpus: 20 identical documents. Every shingle has
+    document frequency 20 and every LSH band bucket holds all 20 docs,
+    so an uncapped index generates all 190 pairs."""
+    out = str(tmp_path_factory.mktemp("hotcorpus"))
+    text = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, text, "en", "synthetic", len(text)) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_ngram_cap_inert_on_benign_corpus(spark):
+    """Default cap == uncapped results on the driver fixture (no
+    shingle there is hot), so the guard costs no recall."""
+    capped = dedup_ngram_jaccard_pairs(spark, SF, df_cap=SHINGLE_DF_CAP).collect()
+    uncapped = dedup_ngram_jaccard_pairs(spark, SF, df_cap=1 << 40).collect()
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_ngram_cap_gates_hot_shingles(spark, hot_dir):
+    # uncapped: 20 identical docs -> all 190 pairs at jaccard 1.0
+    uncapped = dedup_ngram_jaccard_pairs(spark, hot_dir, df_cap=1 << 40).collect()
+    assert len(uncapped) == 20 * 19 // 2
+    # every shingle has df=20 > 10 -> dropped from the index ->
+    # no candidates survive, bounding the join away from quadratic
+    capped = dedup_ngram_jaccard_pairs(spark, hot_dir, df_cap=10).collect()
+    assert capped == []
+
+
+def test_minhash_bucket_cap_inert_on_benign_corpus(spark):
+    capped = dedup_minhash_pairs(spark, SF, bucket_cap=LSH_BUCKET_CAP).collect()
+    uncapped = dedup_minhash_pairs(spark, SF, bucket_cap=1 << 40).collect()
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_minhash_bucket_cap_gates_hot_buckets(spark, hot_dir):
+    # identical docs share identical signatures -> one bucket of 20
+    # per band -> uncapped yields all 190 verified pairs
+    uncapped = dedup_minhash_pairs(spark, hot_dir, bucket_cap=1 << 40).collect()
+    assert len(uncapped) == 20 * 19 // 2
+    capped = dedup_minhash_pairs(spark, hot_dir, bucket_cap=10).collect()
+    assert capped == []
