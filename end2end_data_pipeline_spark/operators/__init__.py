@@ -7,6 +7,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     relational_ext,
+    sampling,
     semistructured,
     similarity,
     temporal,

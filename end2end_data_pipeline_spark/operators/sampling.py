@@ -1,0 +1,151 @@
+"""Deterministic sampling & dataset-split operators over ``documents``.
+
+A training-data pipeline needs reproducible sampling: the same corpus
+must yield the same sample on every run, on every engine, regardless
+of partitioning — so all sampling here is CONTENT-KEYED (portable md5
+of the stable doc_id, ``functions/texthash.py``), never ``rand()`` or
+partition-dependent ``TABLESAMPLE``. That makes each operator exactly
+DuckDB-oracle-checkable and, at 100 TB, embarrassingly parallel: the
+sample predicate is a per-row filter the scanner evaluates — no
+shuffle, no coordination, prunes at the parquet scan.
+
+Reference scope note: the reference engine has no sampling surface;
+these extend SURVEY.md's LLM-pipeline layer (its event generator
+seeds randomness the same deterministic way, `generator.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.functions import texthash as th
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+SAMPLE_PCT = 20  # stratified-sample keep rate, percent
+SPLIT_TRAIN_PCT = 80  # train/val/test = 80/10/10
+SPLIT_VAL_PCT = 10
+PER_KEY_K = 5  # per-source uniform sample size
+
+
+def _doc_hash_pct(salt: str, dialect: str) -> str:
+    """Portable per-doc percentile in [0, 100): md5 of the salted
+    doc_id, reduced mod 100. Content-keyed -> stable across runs,
+    engines, and partitionings."""
+    if dialect == th.SPARK:
+        key = f"concat('{salt}:', CAST(doc_id AS STRING))"
+    else:
+        key = f"concat('{salt}:', CAST(doc_id AS VARCHAR))"
+    return f"({th.md5h(key, dialect)} % 100)"
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(SUM(CASE WHEN {_doc_hash_pct('sample', th.DUCK)} < {SAMPLE_PCT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN {_doc_hash_pct('sample', th.DUCK)} < {SAMPLE_PCT}
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ~{SAMPLE_PCT}% sample audit per language stratum.
+    The keep-predicate is a pure per-row hash filter — at scale it
+    rides the parquet scan (no shuffle beyond the O(|langs|) rollup),
+    and the sample is identical on every rerun."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.expr(_doc_hash_pct("sample", th.SPARK)) < SAMPLE_PCT
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "docs_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_doc_hash_pct('split', th.DUCK)} < {SPLIT_TRAIN_PCT}
+                  THEN 'train'
+                  WHEN {_doc_hash_pct('split', th.DUCK)}
+                       < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+                  THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment ({SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/
+    {100 - SPLIT_TRAIN_PCT - SPLIT_VAL_PCT}) by content-keyed hash —
+    a document NEVER changes split when the corpus grows (the property
+    random assignment loses), and the split needs no stored state."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.expr(_doc_hash_pct("split", th.SPARK))
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, "train")
+        .when(pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "docs_per_source_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_doc_hash_pct('persrc', th.DUCK)}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {PER_KEY_K}
+    ORDER BY source, rk
+    """,
+)
+def docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-key sample (the distributed stand-in for per-key
+    reservoir sampling): rank each source's docs by content-keyed hash
+    with a doc_id tie-break and keep the first {PER_KEY_K}. One
+    shuffle on the key; skewed keys cost only their own partition. At
+    100 TB swap row_number for a bounded per-partition top-k combine
+    (min-heap aggregate) if a single key outgrows an executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_doc_hash_pct("persrc", th.SPARK)), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= PER_KEY_K)
+        .orderBy("source", "rk")
+    )

@@ -14,7 +14,7 @@ are the portable md5-based hash (functions/texthash.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
@@ -236,4 +236,127 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "token")
         .limit(TOP_VOCAB)
+    )
+
+
+TFIDF_TOP_K = 10
+
+
+@query(
+    "tfidf_top_terms",
+    # idf uses the log-free BM25-style rational form
+    # (N - df + 0.5)/(df + 0.5): ln() is not guaranteed bit-identical
+    # across engines, but +,-,/ on exact integers are IEEE
+    # correctly-rounded in both, so the score hashes identically.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), nlang AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), stats AS (
+      SELECT lang, term,
+             count(*) AS tf,
+             count(DISTINCT doc_id) AS df
+      FROM tok WHERE term <> '' GROUP BY lang, term
+    ), scored AS (
+      SELECT s.lang, s.term,
+             CAST(tf AS BIGINT) AS tf,
+             CAST(df AS BIGINT) AS df,
+             CAST(tf AS DOUBLE)
+               * ((n.n_docs - df + 0.5) / (df + 0.5)) AS tfidf
+      FROM stats s JOIN nlang n USING (lang)
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY tfidf DESC, term
+             ) AS rk
+      FROM scored
+    )
+    SELECT lang, term, tf, df, tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {TFIDF_TOP_K}
+    ORDER BY lang, rk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TF-IDF head terms: explode tokens, one aggregation
+    for (tf, df) per (lang, term) — count_distinct(doc_id) expands to
+    a two-phase aggregate with map-side partials — then a broadcast of
+    the O(|langs|) doc-count table and a per-lang top-k window. The
+    shuffle carries distinct (lang, term) pairs, never token
+    occurrences. Scoring uses the log-free BM25-style idf so both
+    engines produce bit-identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    nlang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    stats = tok.groupBy("lang", "term").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+    )
+    scored = stats.join(F.broadcast(nlang), "lang").select(
+        "lang",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .orderBy("lang", "rk")
+    )
+
+
+PREFIX_TOKENS = 8
+
+
+@query(
+    "boilerplate_prefix_groups",
+    oracle=f"""
+    WITH pref AS (
+      SELECT doc_id,
+             CAST({th.fingerprint(f"(string_split(text, ' '))[1:{PREFIX_TOKENS}]", th.DUCK)}
+                  AS BIGINT) AS prefix_fp
+      FROM documents
+    )
+    SELECT prefix_fp,
+           count(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM pref
+    GROUP BY prefix_fp
+    HAVING count(*) > 1
+    ORDER BY n_docs DESC, prefix_fp
+    """,
+)
+def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/header detection: fingerprint each document's first
+    {PREFIX_TOKENS} tokens (order-sensitive rolling-hash polynomial,
+    ``texthash.fingerprint``) and group on it — docs sharing a prefix
+    fingerprint share an opening passage (scraped template headers,
+    license preambles). One shuffle on an 8-byte key; the fingerprint
+    itself is per-row codegen'd integer math."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = f"slice(split(text, ' '), 1, {PREFIX_TOKENS})"
+    pref = docs.select(
+        "doc_id",
+        F.expr(th.fingerprint(prefix, th.SPARK)).alias("prefix_fp"),
+    )
+    return (
+        pref.groupBy("prefix_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "prefix_fp")
     )
