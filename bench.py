@@ -53,9 +53,14 @@ HEADLINE = [
     "dedup_simhash_signatures",
     "text_quality_scores",
     "token_stats_by_lang",
+    "tfidf_top_terms",
+    "docs_split_assign",
     "knn_bruteforce",
     "embedding_lsh_buckets",
     "dedup_embedding_neardup",
+    "ann_ivf_topk_nprobe",
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
 ]
 
 

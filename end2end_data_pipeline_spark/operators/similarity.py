@@ -365,16 +365,52 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (nprobe=1): queries search only their own centroid cell
     — candidates shrink ~K-fold vs brute force. The recall dial is
-    nprobe (search the p nearest cells: rn <= p in the assignment
-    window); the complementary scale path to the LSH variant
-    (``ann_lsh_topk``). Same equi-join shape either way."""
-    assigned = _ivf_assign(spark, sf_dir)
-    queries = assigned.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("norm2").alias("q_norm2"),
-        F.col("cell_id").alias("q_cell"),
+    nprobe (``ann_ivf_topk_nprobe`` searches the 2 nearest cells); the
+    complementary scale path to the LSH variant (``ann_lsh_topk``).
+    Same equi-join shape either way."""
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+def _ivf_probes(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Query-side probe list: each query vector paired with its
+    ``nprobe`` nearest centroid cells (same broadcast O(n x K) pass as
+    the corpus assignment, keeping the top-nprobe ranks instead of 1)."""
+    base = _qbase(spark, sf_dir)
+    centroids = F.broadcast(
+        base.where(F.col("vec_id") < N_IVF_CELLS).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("qv").alias("c_qv"),
+            F.col("norm2").alias("c_norm2"),
+        )
     )
+    scored = (
+        base.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .crossJoin(centroids)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("norm2").alias("q_norm2"),
+            "cell_id",
+            F.expr(
+                vec.cosine_q("qv", "c_qv", "norm2", "c_norm2", th.SPARK)
+            ).alias("c_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), "cell_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "q_qv", "q_norm2", F.col("cell_id").alias("q_cell"))
+    )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF search: corpus stays in its rn=1 cell; each query
+    probes its ``nprobe`` nearest cells. A corpus vector lives in
+    exactly one cell, so multi-probe never duplicates a candidate
+    pair and needs no distinct."""
+    assigned = _ivf_assign(spark, sf_dir)
+    queries = _ivf_probes(spark, sf_dir, nprobe)
     pairs = queries.join(
         assigned,
         (F.col("cell_id") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
@@ -394,6 +430,47 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+IVF_NPROBE = 2
+
+
+@query(
+    "ann_ivf_topk_nprobe",
+    oracle=_qbase_sql()
+    + _ivf_assign_sql()
+    + f""", probes AS (
+      SELECT query_id, qv, norm2, cell_id FROM (
+        SELECT v.vec_id AS query_id, v.qv, v.norm2, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {vec.cosine_q('v.qv', 'c.qv', 'v.norm2', 'c.norm2', th.DUCK)} DESC, c.cell_id) AS rn
+        FROM qbase v CROSS JOIN centroids c
+        WHERE v.vec_id % {QUERY_STRIDE} = 0
+      ) WHERE rn <= {IVF_NPROBE}
+    ), pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {vec.cosine_q('q.qv', 'c.qv', 'q.norm2', 'c.norm2', th.DUCK)} AS cosine
+      FROM probes q JOIN assigned c
+        ON q.cell_id = c.cell_id AND c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe={IVF_NPROBE}): each query
+    searches its 2 nearest cells, recovering the recall lost when a
+    true neighbor sits just across a cell boundary. Candidate volume
+    scales linearly with nprobe (still ~K/nprobe-fold below brute
+    force); the corpus-side layout is unchanged, so the probe dial is
+    purely query-side — the property that makes recall tunable per
+    query class at 100 TB without re-sharding the index."""
+    return _ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
 @query(

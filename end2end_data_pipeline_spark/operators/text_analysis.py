@@ -360,3 +360,131 @@ def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy(F.col("n_docs").desc(), "prefix_fp")
     )
+
+
+@query(
+    "training_corpus_filter",
+    # The composition an LLM data pipeline actually ships: quality
+    # gate AND lang-ID agreement AND exact-dedup survivorship, with a
+    # per-stage funnel so the drop reasons are auditable. Survivorship
+    # = doc is the min doc_id of its md5(text) group (the
+    # dedup_exact_survivors policy).
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars, text,
+             {_quality_exprs(th.DUCK)['quality_ok']} AS quality_ok,
+             CASE WHEN {_langid_exprs(th.DUCK)[1]} = lang
+                  THEN 1 ELSE 0 END AS lang_ok
+      FROM documents
+    ), survivors AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)
+    ), flagged AS (
+      SELECT s.lang, s.n_chars, s.quality_ok, s.lang_ok,
+             CASE WHEN v.keep_id = s.doc_id THEN 1 ELSE 0 END AS dedup_ok
+      FROM scored s JOIN survivors v ON md5(s.text) = v.h
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(quality_ok) AS BIGINT) AS n_quality_ok,
+           CAST(SUM(quality_ok * lang_ok) AS BIGINT) AS n_lang_ok,
+           CAST(SUM(quality_ok * lang_ok * dedup_ok) AS BIGINT) AS n_kept,
+           CAST(SUM(quality_ok * lang_ok * dedup_ok * n_chars) AS BIGINT)
+               AS kept_chars
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+)
+def training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus filter funnel: per language, how many docs
+    pass the quality gate, then also lang-ID agreement, then also
+    exact-dedup survivorship — and how many chars the surviving corpus
+    keeps. Composes three operator families in ONE plan: per-row
+    quality/lang math rides the scan; the only shuffle is the
+    md5-groupBy for survivorship (8-byte keys, map-side combined) and
+    the O(|langs|) rollup. This is the query shape that materializes a
+    training corpus at 100 TB — filters first, dedup on hashes, never
+    moving document bodies more than once."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = _quality_exprs(th.SPARK)["quality_ok"]
+    pred = _langid_exprs(th.SPARK)[1]
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.expr(q).alias("quality_ok"),
+        F.when(F.expr(pred) == F.col("lang"), 1).otherwise(0).alias("lang_ok"),
+    )
+    survivors = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flagged = scored.join(survivors, "h").select(
+        "lang",
+        "n_chars",
+        "quality_ok",
+        "lang_ok",
+        F.when(F.col("keep_id") == F.col("doc_id"), 1).otherwise(0).alias(
+            "dedup_ok"
+        ),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("quality_ok").cast("bigint").alias("n_quality_ok"),
+            F.sum(F.col("quality_ok") * F.col("lang_ok"))
+            .cast("bigint")
+            .alias("n_lang_ok"),
+            F.sum(F.col("quality_ok") * F.col("lang_ok") * F.col("dedup_ok"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.col("quality_ok")
+                * F.col("lang_ok")
+                * F.col("dedup_ok")
+                * F.col("n_chars")
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_HIST_BUCKET = 25
+
+
+@query(
+    "token_count_histogram",
+    oracle=f"""
+    WITH counted AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST((n_tokens // {TOKEN_HIST_BUCKET}) * {TOKEN_HIST_BUCKET} AS BIGINT)
+               AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM counted
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in {TOKEN_HIST_BUCKET}-token buckets
+    per language — the length-distribution audit run before choosing a
+    training sequence length. Integer bucket math (floor division) is
+    engine-portable; one O(|langs| x |buckets|) shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    bucket_lo = (
+        (n_tokens / TOKEN_HIST_BUCKET).cast("int") * TOKEN_HIST_BUCKET
+    ).cast("bigint")
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"), bucket_lo.alias("bucket_lo"))
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "bucket_lo")
+    )
