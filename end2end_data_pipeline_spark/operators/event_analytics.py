@@ -384,3 +384,27 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(viewer.cast("bigint")).alias("n_viewers"),
         F.sum(converted.cast("bigint")).alias("n_converted"),
     )
+
+
+@query("events_approx_cardinality")  # no oracle: HLL sketch internals
+# are engine-specific (Spark HyperLogLog++ vs DuckDB's approx_distinct
+# implementation differ by design); accuracy is golden-tested against
+# the exact distinct count in tests/test_sketches.py instead.
+def events_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality: HyperLogLog++ distinct users per
+    event type next to the exact count. At 100 TB the exact
+    count_distinct expands every (type, user) pair through the shuffle;
+    the HLL sketch is fixed-size per group, combines map-side, and is
+    the only form that stays one-pass when the group count explodes —
+    the SCALE.md 'sketches replace exact where the consumer tolerates
+    error' path, materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -465,3 +465,47 @@ def lineitem_charge_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("cents").alias("total_cents"))
         .orderBy("l_returnflag", "charge_type")
     )
+
+
+@query(
+    "order_value_distribution",
+    # percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are double
+    # divisions of exact integers — IEEE correctly-rounded the same in
+    # both engines, so the hashes match bit-for-bit.
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(10) OVER w AS INT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY ROUND(o_totalprice * 100), o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-rank family over orders: percent_rank / cume_dist /
+    ntile per status partition with a total-order tie-break. One
+    shuffle on the partition key; each partition ranks independently
+    (at 100 TB the per-status partitions are the unit of parallelism —
+    a single giant status would call for range-partitioned global
+    sorting instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.round(F.col("o_totalprice") * 100), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            cents.alias("cents"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -210,3 +210,49 @@ def value_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+GAP_BUCKET_MS = 60_000
+
+
+@query(
+    "event_interarrival_histogram",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ) AS gap_ms
+      FROM events
+    )
+    SELECT CAST((gap_ms // {GAP_BUCKET_MS}) AS BIGINT) AS gap_minutes,
+           count(*) AS n_gaps
+    FROM gaps WHERE gap_ms IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def event_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time histogram (minute buckets): lag over
+    (user_id, event-time) then an integer-bucket rollup — the session-
+    gap diagnostic behind choosing a sessionization timeout. One
+    shuffle on user_id for the lag, one tiny rollup; the event-time
+    sort happens within each user partition, never globally."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts"), F.col("event_id")
+    )
+    gaps = ev.select(
+        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias(
+            "gap_ms"
+        )
+    ).where(F.col("gap_ms").isNotNull())
+    return (
+        gaps.select(
+            F.floor(F.col("gap_ms") / GAP_BUCKET_MS)
+            .cast("bigint")
+            .alias("gap_minutes")
+        )
+        .groupBy("gap_minutes")
+        .agg(F.count("*").alias("n_gaps"))
+        .orderBy("gap_minutes")
+    )
