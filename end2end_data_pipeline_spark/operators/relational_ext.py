@@ -509,3 +509,48 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "customer_order_bookends",
+    # first_value/last_value demand an explicit frame: the default
+    # RANGE ... CURRENT ROW makes last_value mean "current row" — the
+    # classic window-frame trap, pinned here to the full partition.
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def customer_order_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-pinned positional window functions: each order annotated
+    with its customer's first / second / last order over the FULL
+    partition frame (UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING) — with
+    the default frame, last_value degenerates to the current row. One
+    shuffle on o_custkey; total-order (date, orderkey) within."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+            F.count("*").over(w).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

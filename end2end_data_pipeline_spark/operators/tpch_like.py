@@ -488,3 +488,233 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS cust_nation,
+           n2.n_name AS supp_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({CENTS}) AS BIGINT) AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'CHINA' AND n2.n_name = 'FRANCE')
+        OR (n1.n_name = 'FRANCE' AND n2.n_name = 'CHINA'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation pair predicate is pushed into BOTH broadcast
+    dims before the fact joins — customer and supplier each shrink to
+    ~1/25 of their rows ahead of the only real shuffle (the orderkey
+    SMJ), instead of filtering the joined fact stream after the fact."""
+    n = load_table(spark, sf_dir, "nation")
+    pair = n.where(F.col("n_name").isin("CHINA", "FRANCE"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair.select(F.col("n_nationkey").alias("c_nk"),
+                                    F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair.select(F.col("n_nationkey").alias("s_nk"),
+                                    F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap_partkey,
+             SUM(l_quantity) / CAST(count(*) AS DOUBLE) AS avg_q
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS small_lot_cents,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON ap_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity * 5 < avg_q * 2
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate+join — the rewrite
+    Catalyst itself applies to the spec's correlated form, written
+    explicitly so the plan is deterministic. The threshold compare is
+    cross-multiplied (qty*5 < avg*2 instead of qty < 0.4*avg) to keep
+    one side exact-integer. Per-part averages are a map-side-combined
+    aggregate; the probe join is broadcast (parts are dimension-sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#2"
+    ).select("p_partkey")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum("l_quantity") / F.count("*").cast("double")).alias("avg_q")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(avg_qty), F.col("ap_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") * 5 < F.col("avg_q") * 2)
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("small_lot_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({CENTS}) AS BIGINT) AS revenue_cents,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 15 AND 35)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 25 AND 45)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd conjunctive branches spanning both
+    join sides. The common l_partkey = p_partkey equi-condition is kept
+    OUT of the disjunction so the join stays a broadcast hash join with
+    the OR as a post-join filter — folding it into the OR would force a
+    nested-loop join (the spec's trap)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(15, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(25, 45)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH multi AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING count(DISTINCT l_suppkey) > 1
+    ), late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1997-06-01'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late
+    JOIN multi ON late.l_orderkey = multi.l_orderkey
+    JOIN orders ON o_orderkey = late.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = late.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'CHINA'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the fixture has no receipt/commit
+    dates, so 'late' = shipped after a cutoff): suppliers who shipped
+    late on finalized multi-supplier orders. Composes a HAVING
+    distinct-count subquery, a DISTINCT projection, a semi-join-style
+    reduction, and two broadcast dims — the aggregates run against
+    lineitem FIRST so the joins move order keys, not line items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        li.where(F.col("l_shipdate") > "1997-06-01")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "CHINA")
+    china_supp = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        late.join(multi, "l_orderkey")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(china_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
