@@ -226,15 +226,23 @@ def nation_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                              AND o_orderdate <  TIMESTAMP '1998-01-01')
     ORDER BY c_custkey
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (the NOT-IN/NOT-EXISTS decorrelation Catalyst
-    performs automatically when written as an anti join)."""
+    performs automatically when written as an anti join): customers
+    with no 1997 order — the window keeps the result non-empty on the
+    fixture (every customer has SOME order, so the unwindowed anti
+    join would be vacuously 0 rows and prove nothing)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")

@@ -133,21 +133,24 @@ def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "customer_only_nations",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
     ORDER BY nationkey
     """,
 )
 def customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (EXCEPT DISTINCT): nations with customers but no
-    suppliers."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
+    """Set difference (EXCEPT DISTINCT): nations hosting a high-balance
+    customer but no high-balance supplier. The balance predicate keeps
+    the difference non-empty on the fixture (every nation has both
+    customers and suppliers, so the unfiltered EXCEPT is vacuously
+    empty and proves nothing)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 9000
+    ).select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") > 9000
+    ).select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s).orderBy("nationkey")
 
 

@@ -503,8 +503,8 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation n1 ON c_nationkey = n1.n_nationkey
     JOIN nation n2 ON s_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'CHINA' AND n2.n_name = 'FRANCE')
-        OR (n1.n_name = 'FRANCE' AND n2.n_name = 'CHINA'))
+    WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_9')
+        OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_2'))
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
     """,
@@ -516,7 +516,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/25 of their rows ahead of the only real shuffle (the orderkey
     SMJ), instead of filtering the joined fact stream after the fact."""
     n = load_table(spark, sf_dir, "nation")
-    pair = n.where(F.col("n_name").isin("CHINA", "FRANCE"))
+    pair = n.where(F.col("n_name").isin("NATION_2", "NATION_9"))
     c = (
         load_table(spark, sf_dir, "customer")
         .join(
@@ -674,7 +674,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN multi ON late.l_orderkey = multi.l_orderkey
     JOIN orders ON o_orderkey = late.l_orderkey AND o_orderstatus = 'F'
     JOIN supplier ON s_suppkey = late.l_suppkey
-    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'CHINA'
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 25
@@ -705,7 +705,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
-    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "CHINA")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
     china_supp = s.join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
@@ -717,4 +717,139 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             {CENTS} AS volume_cents,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+        AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume_cents ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+           CAST(SUM(volume_cents) AS BIGINT) AS total_cents,
+           SUM(CASE WHEN supp_nation = 'NATION_3'
+                    THEN volume_cents ELSE 0 END)
+               / CAST(SUM(volume_cents) AS DOUBLE) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    AMERICA-customer ECONOMY-part revenue by order year. Eight-way
+    join where everything except orders ⋈ lineitem is a broadcast:
+    lineitem is pre-reduced by the broadcast part filter (~1/6 of
+    rows) and orders by the date filter + broadcast AMERICA-customer
+    semi-reduction BEFORE the single fact-fact shuffle. The share is
+    a DOUBLE division of two exactly-summed BIGINT cent totals, so
+    the oracle hash is engine-stable (registry.py contract)."""
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    america_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("am_nk"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(america_nations), F.col("c_nationkey") == F.col("am_nk")
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(F.lit(0))
+    )
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            nation_cents.alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+            (nation_cents / F.sum(cents).cast("double")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_cents
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier, the spec's CREATE VIEW query):
+    quarterly revenue per supplier, keep the max. The revenue agg is
+    computed ONCE and reused for both the max scalar and the final
+    filter (Spark reuses the exchange; the 1-row max side is
+    broadcast, so no second scan of lineitem and no driver collect).
+    Ties all surface (= max, not row_number), ordered by s_suppkey."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents).alias("total_revenue_cents")
+    )
+    top = revenue.agg(F.max("total_revenue_cents").alias("max_cents"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(
+            F.broadcast(top),
+            F.col("total_revenue_cents") == F.col("max_cents"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
     )
