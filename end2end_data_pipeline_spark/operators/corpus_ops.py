@@ -1,0 +1,382 @@
+"""Training-corpus preparation operators over the ``documents`` table —
+the pipeline stages an LLM data build runs AFTER cleaning/dedup
+(text_analysis.py, dedup.py): sequence packing into fixed token
+budgets, benchmark-contamination screening, within-document repetition
+profiling, source-mix rebalancing, and a shingle novelty curve.
+
+Scale design: every operator is a scan plus at most two key-partitioned
+shuffles; the contamination check broadcasts the (small, by
+construction) eval-set shingle inventory so the 100 TB train side never
+shuffles; packing windows are keyed by (source, shard) so parallelism
+is O(sources x shards), not O(sources). All hashing is the portable
+md5-based family (functions/texthash.py) so the DuckDB oracle is
+value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.functions import texthash as th
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+# --- sequence packing ------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 2  # window-parallelism shards per source
+
+# --- contamination ---------------------------------------------------
+
+EVAL_MOD = 23  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" doc
+CONTAM_N = 4  # word n-gram width for overlap screening
+CONTAM_MIN_SHARED = 5  # shared shingles to flag a train doc
+
+# --- repetition ------------------------------------------------------
+
+REPEAT_MAX_FREQ = 8  # max occurrences of any single token before flag
+
+
+@query(
+    "corpus_pack_chunks",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source,
+             doc_id % {PACK_SHARDS} AS pack_shard,
+             doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, pack_shard, n_tokens,
+             CAST(FLOOR(
+               (SUM(n_tokens) OVER (PARTITION BY source, pack_shard
+                                    ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id
+      FROM sized
+    )
+    SELECT source, pack_shard, chunk_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+           SUM(n_tokens) / {PACK_BUDGET}.0 AS fill_ratio
+    FROM packed
+    GROUP BY source, pack_shard, chunk_id
+    ORDER BY source, pack_shard, chunk_id
+    """,
+)
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents are laid out in
+    deterministic (source, shard, doc_id) order and cut into chunks at
+    every {PACK_BUDGET}-token boundary of the running total (the
+    concat-then-chunk layout LLM pretraining uses; each chunk is one
+    training sequence). chunk_id derives from the PRE-doc cumulative
+    sum, so a document starts the chunk its first token lands in.
+
+    Scale: the only shuffle is the (source, pack_shard) window; shards
+    keep window parallelism O(sources x shards) and bound per-task
+    state to one shard's documents, so a hot source cannot serialize
+    the stage. Raise PACK_SHARDS with corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    sized = docs.select(
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("pack_shard"),
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "pack_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "chunk_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return (
+        packed.groupBy("source", "pack_shard", "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            (F.sum("n_tokens") / F.lit(float(PACK_BUDGET))).alias("fill_ratio"),
+        )
+        .orderBy("source", "pack_shard", "chunk_id")
+    )
+
+
+def _contam_shingles_sql(dialect: str, side_filter: str) -> str:
+    """doc_id + distinct hashed n-gram shingle array for one side."""
+    toks = th.tokens("text", dialect)
+    return f"""
+        SELECT doc_id, {th.shingle_combine('th_arr', CONTAM_N, dialect)} AS shh
+        FROM (
+          SELECT doc_id, {th.reduced_token_hashes(toks, dialect)} AS th_arr
+          FROM documents
+          WHERE {side_filter} AND len({toks}) >= {CONTAM_N}
+        )"""
+
+
+def _contam_shingles_spark(spark: SparkSession, sf_dir: str, eval_side: bool) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    cond = F.col("doc_id") % EVAL_MOD == 0 if eval_side else F.col("doc_id") % EVAL_MOD != 0
+    return (
+        docs.where(cond)
+        .where(F.expr(f"size({toks}) >= {CONTAM_N}"))
+        .select(
+            "doc_id", F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr")
+        )
+        .select(
+            "doc_id",
+            F.expr(th.shingle_combine("th_arr", CONTAM_N, th.SPARK)).alias("shh"),
+        )
+    )
+
+
+@query(
+    "eval_contamination",
+    oracle=f"""
+    WITH train AS ({_contam_shingles_sql(th.DUCK, f'doc_id % {EVAL_MOD} != 0')}),
+    eval_sh AS (
+      SELECT DISTINCT unnest(shh) AS sh
+      FROM ({_contam_shingles_sql(th.DUCK, f'doc_id % {EVAL_MOD} = 0')})
+    ),
+    train_sh AS (
+      SELECT doc_id, unnest(shh) AS sh FROM train
+    ),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+      GROUP BY t.doc_id
+    )
+    SELECT train.doc_id,
+           CAST(len(shh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(n_shared, 0) / CAST(len(shh) AS DOUBLE) AS contamination,
+           CAST(CASE WHEN COALESCE(n_shared, 0) >= {CONTAM_MIN_SHARED}
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+    ORDER BY train.doc_id
+    """,
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: share of each training
+    document's distinct word {CONTAM_N}-gram shingles that also appear
+    anywhere in the held-out eval split (doc_id % {EVAL_MOD} == 0 — a
+    stand-in for a benchmark suite). Decontamination then drops or
+    rewrites flagged docs before training.
+
+    Scale: the eval shingle inventory is DISTINCT-reduced and
+    broadcast (eval suites are tiny vs a 100 TB train corpus), so the
+    train side is a scan + explode + broadcast-hash semi-probe + one
+    doc_id-partitioned count — the train corpus never shuffles its
+    text, only (doc_id, matched) pairs."""
+    train = _contam_shingles_spark(spark, sf_dir, eval_side=False)
+    eval_sh = (
+        _contam_shingles_spark(spark, sf_dir, eval_side=True)
+        .select(F.explode("shh").alias("sh"))
+        .distinct()
+    )
+    train_sh = train.select("doc_id", F.explode("shh").alias("sh"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_raw"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("shh").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_shared_raw"), F.lit(0)).cast("bigint").alias("n_shared"),
+            (
+                F.coalesce(F.col("n_shared_raw"), F.lit(0))
+                / F.size("shh").cast("double")
+            ).alias("contamination"),
+            F.when(
+                F.coalesce(F.col("n_shared_raw"), F.lit(0)) >= CONTAM_MIN_SHARED, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_repetition_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           count(*) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio,
+           CAST(max(c) AS BIGINT) AS max_token_freq,
+           CAST(CASE WHEN max(c) > {REPEAT_MAX_FREQ} THEN 1 ELSE 0 END AS INT)
+               AS repetitive
+    FROM freq
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile: distinct-token ratio and the
+    hottest token's frequency — the signal used to drop degenerate
+    generated/boilerplate text (low distinct ratio = the document
+    repeats itself). Flag when any token occurs > {REPEAT_MAX_FREQ}
+    times.
+
+    Scale: explode + two-level aggregate, both partially aggregated
+    map-side; the shuffle key is (doc_id, token) then doc_id, so data
+    volume drops at each step and no single key can be hot (a document
+    is one group)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    freq = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            (F.count("*") / F.sum("c").cast("double")).alias("distinct_ratio"),
+            F.max("c").alias("max_token_freq"),
+            F.when(F.max("c") > REPEAT_MAX_FREQ, 1).otherwise(0).cast("int").alias(
+                "repetitive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "source_mix_rebalance",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), totals AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             count(*) AS n_sources
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           n_tokens / CAST(total_tokens AS DOUBLE) AS token_share,
+           (total_tokens / CAST(n_sources AS DOUBLE))
+               / n_tokens AS rebalance_weight
+    FROM per_source, totals
+    ORDER BY source
+    """,
+)
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: each source's token share and the
+    sampling weight that equalizes shares (weight > 1 = upsample,
+    < 1 = downsample) — how a pretraining mix is retargeted to a
+    uniform domain distribution.
+
+    Scale: one O(sources) aggregate; the totals side is a 1-row
+    broadcast cross join, so nothing large moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(f"size({toks})")).cast("bigint").alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("total_tokens").cast("double")).alias(
+                "token_share"
+            ),
+            (
+                (F.col("total_tokens") / F.col("n_sources").cast("double"))
+                / F.col("n_tokens")
+            ).alias("rebalance_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "shingle_novelty_curve",
+    oracle=f"""
+    WITH sh AS ({_contam_shingles_sql(th.DUCK, 'TRUE')}),
+    exploded AS (
+      SELECT doc_id, unnest(shh) AS s FROM sh
+    ), firsts AS (
+      SELECT s, min(doc_id) AS first_doc FROM exploded GROUP BY s
+    ), introduced AS (
+      SELECT first_doc AS doc_id, count(*) AS n_new
+      FROM firsts GROUP BY first_doc
+    )
+    SELECT sh.doc_id,
+           CAST(len(shh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_shingles,
+           COALESCE(n_new, 0) / CAST(len(shh) AS DOUBLE) AS novelty
+    FROM sh LEFT JOIN introduced ON sh.doc_id = introduced.doc_id
+    ORDER BY sh.doc_id
+    """,
+)
+def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingestion order),
+    how many of its distinct word {CONTAM_N}-gram shingles had never
+    appeared in any earlier document — the diminishing-returns signal
+    data teams use to decide when more of a source stops adding
+    information.
+
+    Scale: explode + min-aggregate keyed by shingle hash (uniform
+    8-byte keys, partial agg map-side), then an O(docs) count and a
+    doc_id-keyed left join — never all-pairs, no per-doc state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    sh = (
+        docs.where(F.expr(f"size({toks}) >= {CONTAM_N}"))
+        .select(
+            "doc_id", F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr")
+        )
+        .select(
+            "doc_id",
+            F.expr(th.shingle_combine("th_arr", CONTAM_N, th.SPARK)).alias("shh"),
+        )
+    )
+    exploded = sh.select("doc_id", F.explode("shh").alias("s"))
+    firsts = exploded.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    introduced = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_new")
+    )
+    return (
+        sh.join(introduced, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("shh").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new_shingles"),
+            (
+                F.coalesce(F.col("n_new"), F.lit(0)) / F.size("shh").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
