@@ -61,6 +61,10 @@ HEADLINE = [
     "ann_ivf_topk_nprobe",
     "q5_local_supplier_volume",
     "q13_customer_distribution",
+    "q8_market_share",
+    "corpus_pack_chunks",
+    "eval_contamination",
+    "shingle_novelty_curve",
 ]
 
 

@@ -408,3 +408,109 @@ def events_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_minute_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('minute', min(ts)) AS tmin,
+             date_trunc('minute', max(ts)) AS tmax
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 MINUTE)) AS m
+      FROM bounds
+    ), counts AS (
+      SELECT date_trunc('minute', ts) AS m, count(*) AS c
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(spine.m, '%Y-%m-%d %H:%M') AS event_minute,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN c IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM spine LEFT JOIN counts ON spine.m = counts.m
+    ORDER BY event_minute
+    """,
+)
+def event_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (resample + gap fill): every minute
+    from the first to the last event, with 0-filled counts and a gap
+    flag — the step that turns sparse event counts into a regular
+    series for rate charts / anomaly baselines.
+
+    Scale: the minute spine is generated from a 1-row min/max
+    aggregate (a year is only ~526k minutes — driver-trivial,
+    broadcast as the LEFT side builds); the event side is the usual
+    partial-agg minute rollup, so nothing new shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("tmin"),
+        F.date_trunc("minute", F.max("ts")).alias("tmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("tmin", "tmax", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("m")
+    )
+    counts = ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("m")).agg(
+        F.count("*").alias("c")
+    )
+    return (
+        spine.join(counts, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM-dd HH:mm").alias("event_minute"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.when(F.col("c").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        )
+        .orderBy("event_minute")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id
+             ) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           n / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS transition_prob
+    FROM pairs
+    ORDER BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each consecutive
+    per-user event pair, the count and conditional probability of
+    event_type -> next_type (the Markov-chain view of user journeys
+    that funnels/next-action models start from). Ordering ties on ts
+    break deterministically by event_id; the oracle truncates its
+    ns timestamps to the microseconds Spark reads, so both engines
+    sort identically.
+
+    Scale: one user_id-partitioned window (the sessionization shuffle,
+    reusable across queries), then an O(|types|^2) aggregate — the
+    transition matrix itself is 25 rows however big the corpus is."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wt).cast("double")).alias("transition_prob"),
+    ).orderBy("event_type", "next_type")

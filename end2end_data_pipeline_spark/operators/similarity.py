@@ -513,3 +513,54 @@ def docs_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, {vec.quantize('embedding', vec.DUCK)} AS qv
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             unnest(range(1, len(qv) + 1)) AS pos,
+             unnest(qv) AS v
+      FROM q
+    )
+    SELECT label,
+           CAST(pos AS BIGINT) AS pos,
+           count(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_q,
+           SUM(v) / (count(*) * {vec.SCALE}.0) AS centroid_component
+    FROM e
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the training step of
+    nearest-centroid classification / k-means-style partitioning):
+    component-wise mean vector per label, accumulated in exact
+    quantized-integer arithmetic so both engines agree bit-for-bit
+    (vectors.py contract); the single float division happens at the
+    output boundary.
+
+    Scale: posexplode turns the corpus into (label, pos, v) triples
+    that partially aggregate map-side — the shuffle carries at most
+    |labels| x dim rows of int sums, not vectors; no collect, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.expr(vec.quantize("embedding", vec.SPARK)).alias("qv")
+    )
+    e = q.select("label", F.posexplode("qv").alias("pos0", "v"))
+    return (
+        e.groupBy("label", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_q"),
+            (F.sum("v") / (F.count("*") * F.lit(float(vec.SCALE)))).alias(
+                "centroid_component"
+            ),
+        )
+        .orderBy("label", "pos")
+    )

@@ -60,6 +60,8 @@ def test_checked_window_contract():
         "q3_": "tpch",
         "lineitem_": "relational",
         "salted_": "skew pattern",
+        "corpus_pack": "corpus prep",
+        "eval_contamination": "contamination",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
