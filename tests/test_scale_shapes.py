@@ -51,18 +51,24 @@ def test_asof_join_has_single_user_shuffle_and_no_join(spark):
     assert "Window" in plan
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "event_status_pivot",
-        "dedup_minhash_signatures",
-        "dedup_simhash_signatures",
-        "knn_bruteforce",
-        "text_quality_scores",
-    ],
-)
-def test_no_row_at_a_time_python(spark, name):
-    assert "BatchEvalPython" not in _plan(spark, name)
+def test_no_row_at_a_time_python_anywhere(spark):
+    """EVERY registered query must stay off the row-at-a-time Python
+    path (BatchEvalPython); Python is allowed only as Arrow-batched
+    mapInPandas (the multimodal boundary). Plan-build only — no jobs
+    run, so sweeping the full registry stays cheap."""
+    offenders = []
+    for name in entrymod.queries():
+        if "BatchEvalPython" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_contamination_probe_broadcasts_eval_side(spark):
+    """The train side must probe a BROADCAST eval-shingle inventory —
+    if this degrades to a shuffle join, the 100 TB train corpus
+    reshuffles on shingle hash."""
+    plan = _plan(spark, "eval_contamination")
+    assert "BroadcastHashJoin" in plan
 
 
 def test_multimodal_uses_arrow_batches(spark):
