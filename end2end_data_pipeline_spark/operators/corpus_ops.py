@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
 
 # --- sequence packing ------------------------------------------------
 
@@ -120,7 +120,7 @@ def _contam_shingles_sql(dialect: str, side_filter: str) -> str:
 
 
 def _contam_shingles_spark(spark: SparkSession, sf_dir: str, eval_side: bool) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
     cond = F.col("doc_id") % EVAL_MOD == 0 if eval_side else F.col("doc_id") % EVAL_MOD != 0
     return (
@@ -174,9 +174,19 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train side is a scan + explode + broadcast-hash semi-probe + one
     doc_id-partitioned count — the train corpus never shuffles its
     text, only (doc_id, matched) pairs."""
-    train = _contam_shingles_spark(spark, sf_dir, eval_side=False)
+    # cache: train is consumed twice (explode probe + final join) and
+    # its shingle column is an expensive md5-pass expression — without
+    # materialization Catalyst's projection collapse re-inlines the
+    # whole token-hash pass into every downstream reference (the
+    # dedup.py lesson; measured ~80x slower here)
+    train = _contam_shingles_spark(spark, sf_dir, eval_side=False).cache()
+    # the eval side must ALSO materialize before its explode: a
+    # Generate over the raw shingle expression re-inlines the token-
+    # hash array into every element_at reference (~8x the md5 work,
+    # measured as the whole query's bottleneck)
     eval_sh = (
         _contam_shingles_spark(spark, sf_dir, eval_side=True)
+        .cache()
         .select(F.explode("shh").alias("sh"))
         .distinct()
     )
@@ -351,7 +361,7 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode + min-aggregate keyed by shingle hash (uniform
     8-byte keys, partial agg map-side), then an O(docs) count and a
     doc_id-keyed left join — never all-pairs, no per-doc state."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
     sh = (
         docs.where(F.expr(f"size({toks}) >= {CONTAM_N}"))
@@ -362,6 +372,9 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(th.shingle_combine("th_arr", CONTAM_N, th.SPARK)).alias("shh"),
         )
+        # cache: consumed twice (explode + final join); see
+        # eval_contamination for why materialization is load-bearing
+        .cache()
     )
     exploded = sh.select("doc_id", F.explode("shh").alias("s"))
     firsts = exploded.groupBy("s").agg(F.min("doc_id").alias("first_doc"))

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
 
 SHINGLE_N = 3
 N_MINHASH = 8
@@ -136,7 +136,7 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are affine transforms over the shingle-hash array. No
     shingle strings are ever materialized — ~4.5x cheaper and the
     verify-join payload is 8-byte ints."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
     # The empty-shingle filter is expressed on the RAW text (tokens >= n
     # <=> shingle set nonempty): a predicate on `shh` would be pushed
@@ -312,7 +312,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row serial. Values are identical to the fold form (the oracle
     keeps DuckDB's list-fold formulation).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
     tok_rows = docs.select("doc_id", F.explode(F.expr(toks)).alias("t"))
     hashed = tok_rows.select("doc_id", F.expr(th.md5h("t", th.SPARK)).alias("h"))
@@ -470,7 +470,7 @@ def dedup_ngram_jaccard_pairs(
     at df_cap^2/2 pairs — the guard that keeps a skewed corpus from
     going quadratic at 100 TB. The hot-shingle list is tiny by
     construction, so the filter is a broadcast anti-join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")).cache()
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     hot = (

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.functions import vectors as vec
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
 
 QUERY_STRIDE = 50  # vec_id % 50 == 0 -> 2% of vectors are queries
 TOP_K = 3
@@ -40,7 +40,7 @@ def _qbase_sql() -> str:
 
 
 def _qbase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     q = vec.quantize("embedding", th.SPARK)
     return emb.select(
         "vec_id",

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
 
 STOPWORDS = ("the", "a", "of", "and", "is")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -167,8 +167,9 @@ def _fingerprint_sql(dialect: str) -> str:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-weighted polynomial fingerprint per document (rolling-
     hash style: permutations of the same words fingerprint differently).
-    Pure per-row array math — no shuffle at all."""
-    docs = load_table(spark, sf_dir, "documents")
+    Pure per-row array math — no shuffle at all (fan_out only
+    rescues the degenerate single-split scan)."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.expr(_fingerprint_sql(th.SPARK)).cast("bigint").alias("fingerprint"),

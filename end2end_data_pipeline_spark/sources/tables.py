@@ -54,6 +54,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(spark: SparkSession, df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Ensure at least cluster-parallelism partitions ahead of a
+    CPU-heavy per-row pass (md5 shingling, vector quantization).
+
+    Small single-row-group parquet files scan as ONE partition, which
+    serializes whole-stage-codegen'd-but-expensive row expressions on a
+    single core. The guard makes this a no-op whenever the upstream
+    already has enough splits — on a real multi-file 100 TB table this
+    never repartitions (the scan has thousands of splits); it only
+    rescues the degenerate small-file case, paying one cheap shuffle of
+    the raw rows to unlock N-core execution."""
+    n = partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables (all by default) as a name->DataFrame dict."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
