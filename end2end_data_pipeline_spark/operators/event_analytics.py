@@ -514,3 +514,107 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") / F.sum("n").over(wt).cast("double")).alias("transition_prob"),
     ).orderBy("event_type", "next_type")
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             strftime(date_trunc('microseconds', ts), '%Y-%m-%d %H:%M:%S.%f')
+                 AS last_ts,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value, last_ts
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot compaction (the CDC/SCD-1 'current state' view):
+    one row per user carrying the most recent event, ties broken
+    deterministically by event_id. The op a warehouse runs to compact
+    an append-only change stream into a keyed snapshot.
+
+    Scale: single user_id-partitioned window; at 100 TB this is the
+    canonical candidate for max_by partial aggregation instead of a
+    full sort window — kept as row_number here because the whole-row
+    payload rides the same shuffle either way, and AQE handles the
+    user-key skew."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "event_dedup_within_window",
+    oracle="""
+    WITH bucketed AS (
+      SELECT event_type, user_id,
+             to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT))
+                 AS bucket,
+             event_id,
+             row_number() OVER (
+               PARTITION BY user_id, event_type,
+                            CAST(floor(epoch(ts) / 600) AS BIGINT)
+               ORDER BY date_trunc('microseconds', ts), event_id
+             ) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           count(*) FILTER (WHERE rn = 1) / CAST(count(*) AS DOUBLE)
+               AS keep_ratio
+    FROM bucketed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup keep-first — the batch twin of the streaming
+    ``dropDuplicatesWithinWatermark`` path (streaming/pipeline.py):
+    within each (user, event_type, 10-minute bucket), only the first
+    event survives; the output summarizes survivor ratios per type
+    (the delivery-guarantee dashboard number).
+
+    Scale: the bucket key is computed from epoch seconds (no
+    timezone/calendar ambiguity), the window partitions by
+    (user, type, bucket) — high-cardinality composite, no hot key —
+    and the final rollup is O(|types|)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 600).cast("bigint")
+    w = Window.partitionBy("user_id", "event_type", bucket).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("rn") == 1, 1)).cast("bigint").alias("n_kept"),
+            (
+                F.count(F.when(F.col("rn") == 1, 1))
+                / F.count("*").cast("double")
+            ).alias("keep_ratio"),
+        )
+        .orderBy("event_type")
+    )
