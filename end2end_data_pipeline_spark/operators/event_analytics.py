@@ -618,3 +618,94 @@ def event_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "user_value_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, value,
+             strftime(date_trunc('microseconds', ts), '%Y-%m-%d %H:%M:%S.%f')
+                 AS valid_from,
+             strftime(lead(date_trunc('microseconds', ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id
+             ), '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, value, valid_from,
+           COALESCE(valid_to, '9999-12-31 00:00:00.000000') AS valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_current
+    FROM iv
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval build: each purchase's value becomes a
+    [valid_from, valid_to) validity interval per user, closed by the
+    next purchase and open-ended (9999-12-31 sentinel + is_current
+    flag) for the latest — the slowly-changing-dimension history table
+    a warehouse derives from a change stream.
+
+    Scale: one user_id-partitioned window (lead), no joins; the
+    sentinel keeps the schema non-null so downstream range predicates
+    (AS OF queries) never branch on NULL."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.coalesce(
+                F.date_format("next_ts", fmt),
+                F.lit("9999-12-31 00:00:00.000000"),
+            ).alias("valid_to"),
+            F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("int").alias(
+                "is_current"
+            ),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+@query(
+    "event_hour_dow_heatmap",
+    oracle="""
+    SELECT CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases
+    FROM events
+    GROUP BY dow, hour
+    ORDER BY dow, hour
+    """,
+)
+def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap rollup (ISO day-of-week x hour): the seasonality
+    profile behind capacity planning and anomaly baselines. Exercises
+    the calendar extraction functions on both engines (ISO dow: Monday
+    = 1 ... Sunday = 7, which Spark's dayofweek does NOT use — the
+    expression maps it explicitly).
+
+    Scale: pure scan + O(168)-group aggregate, partials map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: Sunday=1..Saturday=7; ISO wants Monday=1..Sunday=7
+    isodow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("bigint")
+    return (
+        ev.groupBy(isodow.alias("dow"), F.hour("ts").cast("bigint").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -77,3 +77,50 @@ def purchases_after_views(
         "view_id",
         (F.unix_millis("purchase_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
     )
+
+
+def views_without_purchase(
+    views: DataFrame,
+    purchases: DataFrame,
+    within: str = "15 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "event_timestamp",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view, matched
+    to a purchase in the following ``within`` interval when one exists,
+    emitted with a NULL purchase once the watermark proves none can
+    still arrive — the streaming abandonment feed (the complement of
+    ``purchases_after_views``).
+
+    Outer semantics are watermark-driven: an unmatched view is held in
+    state until event time passes view_ts + within + watermark, THEN
+    emitted with nulls. Until that point it is neither matched nor
+    abandoned — late-purchase safety, not a bug. State bound matches
+    the inner join's.
+    """
+    v = views.withWatermark(ts_col, watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col(ts_col).alias("view_ts"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user AND
+            purchase_ts > view_ts AND
+            purchase_ts <= view_ts + INTERVAL {within}
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.when(F.col("purchase_id").isNull(), 0).otherwise(1).alias("converted"),
+    )

@@ -98,3 +98,58 @@ def test_stream_stream_view_purchase_join(spark, tmp_path, funnel_events):
     assert streamed == batch
     # exactly one qualifying pair: u1 view e0 -> payment e1 within 15 min
     assert streamed == [("u1", "e1", "e0", 60000)]
+
+
+def test_stream_stream_left_outer_abandonment(spark, tmp_path):
+    """Unmatched views emit with NULL purchase only after the watermark
+    proves no purchase can still arrive; a second drain with a later
+    tail event advances the watermark and flushes the outer row."""
+    from end2end_data_pipeline_spark.streaming.joins import views_without_purchase
+
+    src = str(tmp_path / "outer_src")
+    ckpt = str(tmp_path / "outer_ckpt")
+    out = str(tmp_path / "outer_out")
+    first = [
+        _ev(0, "u1", "VIEW_PRODUCT", 0),
+        _ev(1, "u1", "PAYMENT", 60),       # converts e0
+        _ev(3, "u2", "VIEW_PRODUCT", 0),   # never converts
+    ]
+    spark.createDataFrame(first, EVENT_SCHEMA).write.mode("append").parquet(src)
+
+    def drain():
+        # file sink: the one sink that supports restart from the same
+        # checkpoint (memory sink does not recover)
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        v = stream.where(F.col("event_type") == "VIEW_PRODUCT")
+        p = stream.where(F.col("event_type") == "PAYMENT")
+        q = (
+            views_without_purchase(v, p)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    got1 = drain()
+    # the match can emit as soon as both sides meet
+    assert ("u1", "e0", "e1", 1) in got1
+    assert not any(r[1] == "e3" for r in got1)  # outer row held back
+
+    # tail event pushes the watermark far past e3's join window
+    # Two subtleties drive the choreography below: (1) the GLOBAL
+    # watermark is the MIN over both join inputs' watermark nodes, so
+    # the tail must advance BOTH event types — a view-only tail leaves
+    # the purchase branch's watermark (and therefore eviction) frozen;
+    # (2) the watermark advances at the END of the batch that reads a
+    # tail, and outer emission happens in the NEXT batch.
+    tail = [_ev(9, "u9", "VIEW_PRODUCT", 7200), _ev(8, "u8", "PAYMENT", 7200)]
+    spark.createDataFrame(tail, EVENT_SCHEMA).write.mode("append").parquet(src)
+    drain()
+    tail2 = [_ev(10, "u9", "VIEW_PRODUCT", 7260), _ev(11, "u8", "PAYMENT", 7260)]
+    spark.createDataFrame(tail2, EVENT_SCHEMA).write.mode("append").parquet(src)
+    got3 = drain()
+    assert ("u2", "e3", None, 0) in got3
