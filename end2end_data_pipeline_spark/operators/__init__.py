@@ -5,6 +5,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     corpus_ops,
     dedup,
     event_analytics,
+    graph,
     multimodal,
     relational,
     relational_ext,

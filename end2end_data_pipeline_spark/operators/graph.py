@@ -1,0 +1,176 @@
+"""Graph analytics over the trade network — iterative algorithms
+beyond the connected-components machinery in ``operators/dedup.py``.
+
+The graph: nations are nodes; an edge cust_nation -> supp_nation
+carries the lineitem revenue its customers paid that nation's
+suppliers (the q7 bilateral-volume aggregation, all pairs). Weighted
+PageRank then ranks nations by trade centrality.
+
+Cross-engine exactness: PageRank is normally float math whose
+summation order differs between engines. Here every step is BIGINT:
+ranks live at a 10^12 scale, the damping factor 0.85 is the exact
+rational 17/20 applied with integer division, and per-edge
+contributions floor-divide by the source's out-weight. Both engines
+execute the identical floor arithmetic, so an 8-iteration run is
+bit-for-bit reproducible — the DuckDB oracle unrolls the loop as
+chained CTEs.
+
+Scale: the edge list aggregates once from the fact tables (the only
+heavy shuffle); each iteration is then edges ⋈ broadcast(ranks) +
+a groupBy(dst) over |edges| rows. At 100 TB the fact scan dominates;
+the iteration loop touches only the O(|nations|^2) edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (10^12)
+PR_ITERS = 8
+N_NATIONS = 25
+# damping 0.85 as the exact rational 17/20; teleport = (1-d)/N
+TELEPORT = PR_SCALE * 3 // (20 * N_NATIONS)
+# per-edge weight share pre-normalized to this scale so the iteration
+# multiply stays < 2^63: rank*17/20 (<= 8.5e11) * wshare (<= 1e6)
+W_SHARE_SCALE = 1_000_000
+
+_EDGES_SQL = """
+    SELECT n1.n_name AS src,
+           n2.n_name AS dst,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS w
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY src, dst
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 8-iteration weighted PageRank as chained CTEs."""
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        """outw AS (
+          SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY src
+        )""",
+        f"""eshare AS (
+          SELECT e.src, e.dst,
+                 CAST(e.w * {W_SHARE_SCALE} // o.wout AS BIGINT) AS wshare
+          FROM edges e JOIN outw o ON e.src = o.src
+        )""",
+        f"""r0 AS (
+          SELECT n_name AS node, CAST({PR_SCALE // N_NATIONS} AS BIGINT) AS rank
+          FROM nation
+        )""",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""r{i + 1} AS (
+          SELECT n.node,
+                 CAST({TELEPORT} + COALESCE(c.contrib, 0) AS BIGINT) AS rank
+          FROM r0 n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(((r.rank * 17) // 20) * e.wshare
+                            // {W_SHARE_SCALE}) AS BIGINT) AS contrib
+            FROM eshare e
+            JOIN r{i} r ON e.src = r.node
+            GROUP BY e.dst
+          ) c ON n.node = c.node
+        )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT node, rank,
+           rank / CAST((SELECT SUM(rank) FROM r{PR_ITERS}) AS DOUBLE)
+               AS rank_share
+    FROM r{PR_ITERS}
+    ORDER BY node
+    """
+    )
+
+
+@query("nation_trade_pagerank", oracle=_pagerank_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph, 8 fixed-point
+    iterations (see module docstring for the exact-integer contract).
+
+    Spark side: the edge aggregation is the only fact-table pass
+    (orders ⋈ lineitem SMJ with broadcast dims, exactly the q7 shape);
+    ranks then iterate as broadcast joins against the tiny cached edge
+    list — each round is one O(|edges|) stage, no lineage blowup at
+    8 iterations."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    edges = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                 F.col("n_name").alias("src"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("dst"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w"))
+        .cache()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    eshare = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"w * {W_SHARE_SCALE} div wout").cast("bigint").alias("wshare"),
+        )
+        .cache()
+    )
+    nodes = n.select(F.col("n_name").alias("node"))
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // N_NATIONS).cast("bigint").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            eshare.join(ranks, eshare.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"((rank * 17) div 20) * wshare div {W_SHARE_SCALE}").alias(
+                    "c"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(TELEPORT) + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    total = ranks.agg(F.sum("rank").alias("total"))
+    return (
+        ranks.crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            "rank",
+            (F.col("rank") / F.col("total").cast("double")).alias("rank_share"),
+        )
+        .orderBy("node")
+    )
