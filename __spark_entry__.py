@@ -72,7 +72,8 @@ CHECKED_FIRST = [
     "lang_id_confusion",
     "doc_fingerprints",
     "corpus_stats_by_source",
-    "vocab_top_tokens",
+    # iterative graph analytics (fixed-point PageRank)
+    "nation_trade_pagerank",
     # TPC-H shapes (full set proven locally; representatives here)
     "q3_shipping_priority",
     "q6_forecast_revenue",

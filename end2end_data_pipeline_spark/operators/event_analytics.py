@@ -709,3 +709,33 @@ def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# Registered WITHOUT an oracle by design (like events_approx_cardinality):
+# approx_percentile is a sketch whose internals are engine-specific, so
+# there is no cross-engine value identity to assert. Accuracy is
+# golden-tested against the exact percentiles within rank tolerance in
+# tests/test_sketches.py; the driver records a rows-only check, outside
+# the 50-slot window.
+@query("events_approx_quantiles")
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch beside the exact answer: p50/p95/p99
+    of event value per type via approx_percentile next to exact
+    percentile. At 100 TB the exact form needs a full sort (or a
+    per-group collect) — the sketch is fixed-size per group, combines
+    map-side, and is the only one-pass option; the SCALE.md sketch
+    policy, quantile edition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("approx_pcts"),
+            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias(
+                "exact_pcts"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

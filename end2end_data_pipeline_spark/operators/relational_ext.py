@@ -557,3 +557,69 @@ def customer_order_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "lineitem_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS VARCHAR) AS min_v,
+           CAST(MAX(l_quantity) AS VARCHAR) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           count(DISTINCT l_returnflag),
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(*),
+           CAST(count(*) - count(l_linenumber) AS BIGINT),
+           count(DISTINCT l_linenumber),
+           CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (the quality report a pipeline runs on
+    ingest): per-column row/null/distinct counts and min/max, stringly
+    typed so heterogeneous columns stack in one result. Spark computes
+    ALL columns in a single scan (one wide aggregate, then an explode
+    of per-column structs) — the oracle's UNION ALL formulation scans
+    once per column, fine for DuckDB, wrong at 100 TB.
+
+    Scale: one pass, count_distinct expands per column into a partial
+    two-phase aggregate; min/max/count are trivial partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_returnflag", "l_linenumber"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__null"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    struct_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(struct_arr).alias("p"))
+        .select("p.col", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_v", "p.max_v")
+        .orderBy("col")
+    )
