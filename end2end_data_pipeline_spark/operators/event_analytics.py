@@ -739,3 +739,51 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_sliding_window_counts",
+    oracle="""
+    WITH grid AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS ws,
+             event_type
+      FROM events
+      UNION ALL
+      SELECT to_timestamp(CAST(floor((epoch(ts) - 300) / 600) * 600 + 300
+                               AS BIGINT)),
+             event_type
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM grid
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def event_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (10-minute windows sliding every 5): each
+    event lands in exactly two overlapping windows — the batch form of
+    Structured Streaming's ``window(ts, '10 minutes', '5 minutes')``,
+    and the oracle proves the semantics by rebuilding the same answer
+    from two staggered tumbling grids.
+
+    Scale: F.window expands each row into slide_count=2 rows before a
+    standard partial-agg rollup — state is O(windows x types), and the
+    expansion factor is window/slide, a planner-visible constant."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -564,3 +564,85 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "centroid_separation",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, {vec.quantize('embedding', vec.DUCK)} AS qv
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             unnest(range(1, len(qv) + 1)) AS pos,
+             unnest(qv) AS v
+      FROM q
+    ), sums AS (
+      SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+      FROM e GROUP BY label, pos
+    ), norms AS (
+      SELECT label, CAST(SUM(s * s) AS BIGINT) AS n2
+      FROM sums GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, dot,
+           dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON label_a = na.label
+    JOIN norms nb ON label_b = nb.label
+    ORDER BY label_a, label_b
+    """,
+)
+def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine separation between class centroids — the
+    confusion-structure diagnostic run after computing
+    ``label_centroids`` (close centroids = classes a nearest-centroid
+    model will confuse). Works on the per-label SUM vectors: the 1/n
+    mean factors cancel inside cosine, so the whole computation stays
+    in exact BIGINT until the final sqrt division (vectors.py
+    contract).
+
+    Scale: reuses the label_centroids aggregation (|labels| x dim int
+    rows), then an O(|labels|^2 x dim) self-join on pos — tiny
+    however large the corpus; nothing re-touches the raw vectors."""
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("label", F.expr(vec.quantize("embedding", vec.SPARK)).alias("qv"))
+    sums = (
+        q.select("label", F.posexplode("qv").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("v").alias("s"))
+        .cache()
+    )
+    norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("n2"))
+    a = sums.select(F.col("label").alias("label_a"), "pos", F.col("s").alias("sa"))
+    b = sums.select(F.col("label").alias("label_b"), "pos", F.col("s").alias("sb"))
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot",
+            (
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -61,6 +61,13 @@ WAIVERS: dict[str, str] = {
     # cross join; the corpus side never shuffles.
     "ann_ivf_cells": "bnlj-over-two-scans",
     "ann_ivf_topk": "bnlj-over-two-scans",
+    "ann_ivf_topk_nprobe": "bnlj-over-two-scans",
+    # 1-row broadcast scalar attach (global aggregate cross-joined back
+    # onto the distributed side) — the standard way to apply a global
+    # total/max without collecting to the driver; nothing large moves.
+    "q22_dormant_high_balance": "bnlj-over-two-scans",
+    "source_mix_rebalance": "bnlj-over-two-scans",
+    "nation_trade_pagerank": "bnlj-over-two-scans",
 }
 
 
