@@ -611,42 +611,44 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(MAX_CC_ITERATIONS):
-        neighbor_min = (
-            bidir.join(labels, bidir.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # the `changed` flag rides the checkpointed frame, so detecting
-        # convergence is a scan of already-materialized partitions —
-        # no extra join/shuffle per round
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("new_label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
-                    "changed"
-                ),
+    try:
+        for _ in range(MAX_CC_ITERATIONS):
+            neighbor_min = (
+                bidir.join(labels, bidir.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .withColumnRenamed("new_label", "label")
-            .localCheckpoint()
-        )
-        changed = new_labels.where("changed").count()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
-    else:
-        # a component with diameter > MAX_CC_ITERATIONS would exit with
-        # wrong labels — refuse to ship them silently
-        raise RuntimeError(
-            f"connected-components did not converge in {MAX_CC_ITERATIONS} "
-            f"iterations ({changed} labels still changing); raise "
-            "MAX_CC_ITERATIONS or switch to large-star/small-star"
-        )
-    bidir.unpersist()
+            # the `changed` flag rides the checkpointed frame, so detecting
+            # convergence is a scan of already-materialized partitions —
+            # no extra join/shuffle per round
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("new_label"),
+                    (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                        "changed"
+                    ),
+                )
+                .withColumnRenamed("new_label", "label")
+                .localCheckpoint()
+            )
+            changed = new_labels.where("changed").count()
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
+        else:
+            # a component with diameter > MAX_CC_ITERATIONS would exit with
+            # wrong labels — refuse to ship them silently
+            raise RuntimeError(
+                f"connected-components did not converge in {MAX_CC_ITERATIONS} "
+                f"iterations ({changed} labels still changing); raise "
+                "MAX_CC_ITERATIONS or switch to large-star/small-star"
+            )
+    finally:
+        bidir.unpersist()
     return labels
 
 

@@ -62,11 +62,20 @@ def fan_out(spark: SparkSession, df: DataFrame, partitions: int | None = None) -
     serializes whole-stage-codegen'd-but-expensive row expressions on a
     single core. The guard makes this a no-op whenever the upstream
     already has enough splits — on a real multi-file 100 TB table this
-    never repartitions (the scan has thousands of splits); it only
+    never repartitions (the scan has thousands of files); it only
     rescues the degenerate small-file case, paying one cheap shuffle of
-    the raw rows to unlock N-core execution."""
+    the raw rows to unlock N-core execution.
+
+    The probe is ``df.inputFiles()`` — a driver-side catalog listing
+    with no job, no RDD conversion, and no extra physical-plan
+    compilation (the previous ``df.rdd.getNumPartitions()`` probe
+    forced a plan-to-RDD translation at every query-build; flagged in
+    round-2 review). File count under-estimates split count for huge
+    splittable files, but every caller passes a freshly loaded parquet
+    table where files >= ``n`` implies splits >= ``n``, and at 100 TB
+    the listing has thousands of entries so this stays a no-op."""
     n = partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    if len(df.inputFiles()) < n:
         return df.repartition(n)
     return df
 
