@@ -10,6 +10,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     relational,
     relational_ext,
     sampling,
+    scrubbing,
     semistructured,
     similarity,
     temporal,
