@@ -1,0 +1,192 @@
+"""Lloyd's k-means over the ``embeddings`` table — the iterative ML
+primitive complementing the one-shot ``label_centroids`` step in
+``operators/similarity.py`` (same quantized-integer contract, same
+unrolled-CTE oracle pattern as ``operators/graph.py`` PageRank).
+
+Cross-engine exactness: every quantity is BIGINT. Vectors are
+quantized once (functions/vectors.py); distances are exact integer
+squared-Euclidean sums; centroid updates use a SHIFTED floor division
+``(sum + n*SHIFT) div n - SHIFT`` whose numerator is always positive,
+so truncating division (Spark ``div``, Python ``//`` on non-negative,
+DuckDB ``//``) is floor division in all three and a 4-iteration run is
+bit-for-bit reproducible. Ties in the argmin break on the smaller
+centroid id via struct ordering — also exact.
+
+Scale shape (the canonical distributed-k-means / MLlib layout): the
+corpus NEVER shuffles for assignment — centroids are embedded as
+literal arrays (K x dim integers), so assignment is a codegen'd
+per-row expression; the only shuffle per iteration is the partial
+aggregation of component sums, which moves O(K x dim) rows however
+big the corpus is. The driver collects exactly those K x dim = 512
+integers per iteration to fold the next centroid literals — the same
+O(model-size) driver traffic every parameter-server design pays, not
+a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.functions import texthash as th
+from end2end_data_pipeline_spark.functions import vectors as vec
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
+
+K = 8
+ITERS = 4
+# Positivity shift for the floor-division centroid update: components
+# are |q| <= ~5.3e3 (embedding values in [-0.53, 0.46] at SCALE=1e4),
+# so sum >= -n * 5.3e3 and (sum + n*SHIFT) is always > 0.
+SHIFT = 10_000_000
+
+
+def _dist2_spark(cv: list[int]) -> str:
+    lit = "array(" + ", ".join(f"{c}L" for c in cv) + ")"
+    return (
+        f"aggregate(zip_with(qv, {lit}, (x, c) -> (x - c) * (x - c)), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+
+
+def _assign(base: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
+    """Add (cluster, dist2) via a literal-centroid argmin expression —
+    per-row codegen'd math, no join, corpus stays in place."""
+    structs = ", ".join(
+        f"named_struct('d', {_dist2_spark(cv)}, 'cid', {cid}L)"
+        for cid, cv in sorted(centroids.items())
+    )
+    best = F.expr(f"array_min(array({structs}))")
+    return base.withColumn("best", best).select(
+        "vec_id",
+        "label",
+        "qv",
+        F.col("best.cid").alias("cluster"),
+        F.col("best.d").alias("dist2"),
+    )
+
+
+def _fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run ITERS Lloyd's rounds; return the final assignment frame
+    (vec_id, label, cluster, dist2)."""
+    base = (
+        fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(vec.quantize("embedding", th.SPARK)).alias("qv"),
+        )
+        .cache()
+    )
+    centroids = {
+        int(r["vec_id"]): [int(x) for x in r["qv"]]
+        for r in base.where(F.col("vec_id") < K).collect()
+    }
+    for _ in range(ITERS):
+        sums = (
+            _assign(base, centroids)
+            .select("cluster", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()  # K x dim rows — model-sized, not data-sized
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["cluster"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        for cid in centroids:
+            comp = by_cid.get(cid)
+            if comp:  # empty cluster keeps its previous centroid
+                centroids[cid] = [
+                    (s + n * SHIFT) // n - SHIFT
+                    for _, (s, n) in sorted(comp.items())
+                ]
+    return _assign(base, centroids).select("vec_id", "label", "cluster", "dist2")
+
+
+def _kmeans_ctes() -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (PageRank pattern:
+    graph.py:56). Assignment a{i} uses centroids c{i}; update folds
+    a{i} into c{i+1}; the final read is a{ITERS}."""
+    d = "CAST(list_sum(list_transform(q.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS BIGINT)"
+    ctes = [
+        f"""q AS (
+          SELECT vec_id, label, {vec.quantize('embedding', th.DUCK)} AS qv
+          FROM embeddings
+        )""",
+        f"""c0 AS (
+          SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {K}
+        )""",
+    ]
+    for i in range(ITERS + 1):
+        ctes.append(f"""a{i} AS (
+          SELECT vec_id, label, qv, cid, dist2 FROM (
+            SELECT q.vec_id, q.label, q.qv, c.cid, {d} AS dist2,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {d}, c.cid) AS rn
+            FROM q CROSS JOIN c{i} c
+          ) WHERE rn = 1
+        )""")
+        if i == ITERS:
+            break
+        ctes.append(f"""s{i} AS (
+          SELECT cid, pos, CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT cid, unnest(range(1, len(qv) + 1)) AS pos,
+                       unnest(qv) AS v
+                FROM a{i})
+          GROUP BY cid, pos
+        )""")
+        ctes.append(f"""u{i} AS (
+          SELECT cid, list((s + n * {SHIFT}) // n - {SHIFT} ORDER BY pos) AS cv
+          FROM s{i} GROUP BY cid
+        )""")
+        ctes.append(f"""c{i + 1} AS (
+          SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+          FROM c{i} p LEFT JOIN u{i} u ON p.cid = u.cid
+        )""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+@query(
+    "kmeans_assignments",
+    oracle=_kmeans_ctes()
+    + f"""
+    SELECT vec_id, label, CAST(cid AS BIGINT) AS cluster, dist2
+    FROM a{ITERS} ORDER BY vec_id
+    """,
+)
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cluster assignment after {ITERS} exact-integer
+    Lloyd's iterations (K={K}, init = vectors with vec_id < K), with
+    the final squared distance to the winning centroid."""
+    return _fit(spark, sf_dir).orderBy("vec_id")
+
+
+@query(
+    "kmeans_cluster_profile",
+    oracle=_kmeans_ctes()
+    + f"""
+    SELECT CAST(cid AS BIGINT) AS cluster,
+           count(*) AS n_vectors,
+           count(DISTINCT label) AS n_labels,
+           CAST(SUM(dist2) AS BIGINT) AS inertia
+    FROM a{ITERS} GROUP BY cid ORDER BY cluster
+    """,
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster census after the fit: size, label diversity (how well
+    unsupervised structure recovers the labels), and exact integer
+    inertia per cluster — the convergence diagnostic."""
+    return (
+        _fit(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count_distinct("label").alias("n_labels"),
+            F.sum("dist2").cast("bigint").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
