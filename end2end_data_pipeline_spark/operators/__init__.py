@@ -6,6 +6,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     dedup,
     event_analytics,
     graph,
+    incremental,
     kmeans,
     multimodal,
     relational,

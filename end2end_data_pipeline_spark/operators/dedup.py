@@ -128,15 +128,18 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct hashed-shingle set + k minhashes, all per-row
-    math. One md5 per TOKEN (not per shingle, not per (shingle, hash)):
-    token hashes are projected once, shingle hashes are affine
-    combinations of n consecutive token hashes, and the k signature
-    values are affine transforms over the shingle-hash array. No
-    shingle strings are ever materialized — ~4.5x cheaper and the
-    verify-join payload is 8-byte ints."""
-    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+def signatures_for(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct hashed-shingle set + k minhashes for any
+    (doc_id, text) frame, all per-row math. One md5 per TOKEN (not per
+    shingle, not per (shingle, hash)): token hashes are projected once,
+    shingle hashes are affine combinations of n consecutive token
+    hashes, and the k signature values are affine transforms over the
+    shingle-hash array. No shingle strings are ever materialized —
+    ~4.5x cheaper and the verify-join payload is 8-byte ints.
+
+    Shared by the batch dedup suite here and the incremental
+    cross-snapshot dedup (operators/incremental.py), which persists
+    this frame as its fingerprint store."""
     toks = th.tokens("text", th.SPARK)
     # The empty-shingle filter is expressed on the RAW text (tokens >= n
     # <=> shingle set nonempty): a predicate on `shh` would be pushed
@@ -157,24 +160,35 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", "shh", *cols)
 
 
-def _signatures_sql(dialect: str) -> str:
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signatures_for(fan_out(spark, load_table(spark, sf_dir, "documents")))
+
+
+def sig_ctes(dialect: str, src: str = "documents", prefix: str = "") -> str:
+    """The signature CTE chain ``{p}tok, {p}base, {p}sigs`` WITHOUT the
+    leading WITH, so callers can compose several chains (the
+    incremental dedup oracle runs one per snapshot view)."""
     toks = th.tokens("text", dialect)
     mh = ",\n             ".join(
         f"{e} AS mh{j}" for j, e in enumerate(_minhash_cols(dialect))
     )
-    return f"""
-      WITH tok AS (
+    p = prefix
+    return f"""{p}tok AS (
         SELECT doc_id, {th.reduced_token_hashes(toks, dialect)} AS th_arr
-        FROM documents
+        FROM {src}
         WHERE len({toks}) >= {SHINGLE_N}
-      ), base AS (
+      ), {p}base AS (
         SELECT doc_id, {th.shingle_combine('th_arr', SHINGLE_N, dialect)} AS shh
-        FROM tok
-      ), sigs AS (
+        FROM {p}tok
+      ), {p}sigs AS (
         SELECT doc_id, shh,
              {mh}
-        FROM base
+        FROM {p}base
       )"""
+
+
+def _signatures_sql(dialect: str) -> str:
+    return "\n      WITH " + sig_ctes(dialect)
 
 
 @query(
@@ -192,6 +206,26 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)]).orderBy(
         "doc_id"
     )
+
+
+def bands_for(sigs: DataFrame) -> DataFrame:
+    """Explode a signature frame into (doc_id, band_id, band_key) LSH
+    band rows — the candidate-join key space. Shared with
+    operators/incremental.py."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(_band_key(b, th.SPARK)).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
 
 
 # LSH bucket-size cap: a (band_id, band_key) bucket holding f docs
@@ -247,20 +281,7 @@ def dedup_minhash_pairs(
     hot-bucket guard; the oversize-bucket list is tiny so the filter
     is a broadcast anti-join)."""
     sigs = _signatures(spark, sf_dir).cache()
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.expr(_band_key(b, th.SPARK)).alias("band_key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    bands = bands_for(sigs)
     oversize = (
         bands.groupBy("band_id", "band_key")
         .count()
