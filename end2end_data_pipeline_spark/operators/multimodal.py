@@ -2,11 +2,17 @@
 columns with typed metadata, plus the Pandas-UDF decode/feature path
 (BASELINE.json north star).
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked STUB (deterministic fake behind an import-try); the
-Spark-side plumbing — binary columns, Arrow-batched ``mapInPandas``,
-explicit output schema, partition-preserving batch iteration — is real
-and tested. Swapping the stub for PIL/librosa changes one function.
+The decode step is ONE code path with an optional dependency: when
+PIL imports, ``decode_features``/``resize_payload`` decode real image
+bytes (format, dimensions, bands, mean luminance / raw grayscale
+thumbnails); bytes PIL cannot parse — including this fixture's
+synthetic text payloads, and every payload in this PIL-less container
+— fall back to a deterministic sha256-derived stub that the DuckDB
+oracle reproduces exactly. So the oracle stays green with or without
+the dependency, and the real path is golden-tested whenever PIL
+exists (tests/test_multimodal.py). The Spark-side plumbing — binary
+columns, Arrow-batched ``mapInPandas``, explicit output schema,
+partition-preserving batch iteration — is identical either way.
 
 Scale notes: payload bytes ride in the row (parquet binary columns are
 page-compressed and column-pruned away by any query not selecting
@@ -88,16 +94,10 @@ FEATURE_SCHEMA = StructType(
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """STUB decode. With PIL installed this would be
-    ``Image.open(io.BytesIO(payload))`` -> real width/height/channels;
-    here it derives deterministic fake dimensions from the content
-    hash so tests are stable and the Arrow plumbing is exercised
-    end-to-end."""
-    if _HAS_PIL:
-        raise NotImplementedError(
-            "real decode intentionally disabled: payloads are synthetic "
-            "text bytes, not images; plug Image.open here for real data"
-        )
+    """Deterministic fallback decode: fake dimensions derived from the
+    content hash, so non-image payloads (and this container, which has
+    no PIL) get stable, oracle-checkable features and the Arrow
+    plumbing is exercised end-to-end."""
     digest = hashlib.sha256(payload).digest()
     return {
         "format": "fake/raw",
@@ -108,12 +108,43 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
+def _decode_real(payload: bytes) -> dict:
+    """Real decode (requires PIL): format, dimensions, band count, and
+    integer mean luminance over the 8-bit grayscale rendering."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    gray = img.convert("L").tobytes()
+    return {
+        "format": (img.format or "unknown").lower(),
+        "width": img.width,
+        "height": img.height,
+        "n_channels": len(img.getbands()),
+        "mean_luma": int(sum(gray) // max(1, len(gray))),
+    }
+
+
+def decode_features(payload: bytes) -> dict:
+    """ONE decode path: try the real decoder when PIL is importable,
+    fall back to the deterministic stub for bytes PIL cannot parse
+    (including this fixture's text payloads — so the stub oracle stays
+    green even on a machine where PIL exists)."""
+    if _HAS_PIL:
+        try:
+            return _decode_real(payload)
+        except OSError:  # UnidentifiedImageError subclasses OSError
+            pass
+    return _decode_stub(payload)
+
+
 def _extract_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow record batches in, feature rows out."""
     for pdf in batches:
-        feats = [_decode_stub(p) for p in pdf["payload"]]
+        feats = [decode_features(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
@@ -178,18 +209,30 @@ RESIZE_SCHEMA = StructType(
 
 
 def _resize_stub(payload: bytes, target: tuple[int, int]) -> bytes:
-    """STUB resize. With PIL: ``Image.open(...).resize(target)`` and
-    re-encode. Here: deterministic byte projection to target w*h bytes
-    (repeat/truncate the content hash) so output SIZE and determinism
-    match what a real thumbnail path must guarantee."""
-    if _HAS_PIL:
-        raise NotImplementedError(
-            "real resize intentionally disabled: payloads are synthetic"
-        )
+    """Deterministic fallback resize: byte projection to target w*h
+    bytes (repeat/truncate the content hash) so output SIZE and
+    determinism match what a real thumbnail path must guarantee."""
     w, h = target
     need = w * h
     digest = hashlib.sha256(payload).digest()
     return (digest * (need // len(digest) + 1))[:need]
+
+
+def resize_payload(payload: bytes, target: tuple[int, int]) -> bytes:
+    """ONE resize path: real grayscale thumbnail (w*h raw bytes) when
+    PIL can parse the payload, the deterministic stub otherwise —
+    both emit exactly ``target[0] * target[1]`` bytes."""
+    if _HAS_PIL:
+        try:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload))
+            return img.convert("L").resize(target).tobytes()
+        except OSError:
+            pass
+    return _resize_stub(payload, target)
 
 
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,7 +242,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "doc_id": pdf["doc_id"].values,
                 "width": RESIZE_TARGET[0],
                 "height": RESIZE_TARGET[1],
-                "resized": [_resize_stub(p, RESIZE_TARGET) for p in pdf["payload"]],
+                "resized": [resize_payload(p, RESIZE_TARGET) for p in pdf["payload"]],
             }
         )
 

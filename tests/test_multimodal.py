@@ -96,3 +96,57 @@ def test_frame_sample_counts_match_payload_size(spark):
         .collect()
     }
     assert got == expected
+
+
+# --- real-decode path (one code path, optional dependency) ---------------
+
+def test_dispatch_falls_back_to_stub_on_non_image_bytes():
+    """Text bytes are not an image: the dispatcher must produce the
+    stub's deterministic features whether or not PIL is installed —
+    this is what keeps the registered queries oracle-green."""
+    from end2end_data_pipeline_spark.operators.multimodal import (
+        decode_features,
+        resize_payload,
+    )
+
+    payload = b"just some document text, definitely not a PNG"
+    assert decode_features(payload) == _decode_stub(payload)
+    assert resize_payload(payload, RESIZE_TARGET) == _resize_stub(
+        payload, RESIZE_TARGET
+    )
+
+
+def _pil_or_skip():
+    return pytest.importorskip("PIL.Image", reason="PIL not installed")
+
+
+def test_real_decode_when_pil_present():
+    """Golden test for the real path: a genuine in-memory PNG decodes
+    to its true dimensions/bands, not the stub's hash-derived fakes."""
+    Image = _pil_or_skip()
+    import io
+
+    from end2end_data_pipeline_spark.operators.multimodal import decode_features
+
+    img = Image.new("RGB", (5, 3), color=(120, 200, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feats = decode_features(buf.getvalue())
+    assert feats["format"] == "png"
+    assert (feats["width"], feats["height"]) == (5, 3)
+    assert feats["n_channels"] == 3
+    assert 0 <= feats["mean_luma"] <= 255
+
+
+def test_real_resize_when_pil_present():
+    Image = _pil_or_skip()
+    import io
+
+    from end2end_data_pipeline_spark.operators.multimodal import resize_payload
+
+    img = Image.new("L", (100, 40), color=77)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = resize_payload(buf.getvalue(), RESIZE_TARGET)
+    assert len(out) == RESIZE_TARGET[0] * RESIZE_TARGET[1]
+    assert set(out) == {77}  # constant image stays constant through resize
