@@ -22,75 +22,78 @@ SF0001_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order); the rest are covered by the identical local
-# gate (tests/test_oracle_parity.py runs all of them). This list pins
-# the checked window so every operator family — dedup, event
-# analytics, multimodal, semistructured JSON, ANN/similarity, temporal
-# joins, text analysis, TPC-H shapes, relational core — lands in it.
+# gate (tests/test_oracle_parity.py runs all of them). The window
+# ROTATES per round so the union of driver-green rows converges on the
+# whole registry: round 3 keeps one proven anchor per operator family
+# (all 50/50 green in CORRECTNESS_r02) and fills the other 35 slots
+# with queries the driver has never checked — the round-2 families
+# that shipped outside the window (sampling, CDC/SCD, gap-fill /
+# transition, set-ops / rollup / cube, window functions, formats,
+# TPC-H Q7/Q8/Q15/Q17/Q21, IVF multi-probe, TF-IDF) plus every
+# round-3 query (scrubbing, k-means, incremental dedup).
 CHECKED_FIRST = [
-    # dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, clustering;
-    # the signature-matrix queries are proven locally — the pairs
-    # queries in this window exercise the same signature machinery)
+    # proven family anchors (driver-green in CORRECTNESS_r02)
     "dedup_exact_stats",
-    "dedup_exact_survivors",
     "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_cluster_survivors",
-    # event analytics (reference-pipeline parity surface)
     "event_status_pivot",
-    "event_report_totals",
-    "event_minute_counts",
-    "event_error_rate",
-    "event_value_stats",
     "event_sessionization",
-    "event_top_event_type_daily",
-    "event_error_streaks",
-    "event_funnel_conversion",
-    # multimodal binary columns (Arrow mapInPandas paths)
-    "multimodal_meta",
     "multimodal_decode_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # semistructured JSON props
     "props_k_extract",
-    # similarity / ANN over embeddings
-    "embedding_norms",
     "knn_bruteforce",
-    "ann_lsh_topk",
-    "dedup_embedding_neardup",
-    "ann_ivf_cells",
-    "ann_ivf_topk",
-    "docs_embedding_profile",
-    # temporal joins (as-of, banded self-join, range join)
     "asof_last_view_before_purchase",
-    "event_pairs_within_window",
-    "value_tier_range_join",
-    # text analysis
     "text_quality_scores",
-    "token_stats_by_lang",
-    "lang_id_confusion",
-    "doc_fingerprints",
-    "corpus_stats_by_source",
-    # iterative graph analytics (fixed-point PageRank)
     "nation_trade_pagerank",
-    # TPC-H shapes (full set proven locally; representatives here)
     "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    # training-corpus prep (packing, contamination, repetition,
-    # source mix, novelty)
     "corpus_pack_chunks",
-    "eval_contamination",
-    "doc_repetition_profile",
-    "source_mix_rebalance",
-    "shingle_novelty_curve",
-    # relational core representatives
-    "lineitem_pricing_summary",
     "top_revenue_orders",
-    "customers_without_orders",
     "customer_running_spend",
-    "salted_user_event_counts",
+    "lineitem_pricing_summary",
+    # round 3: PII scrubbing + normalization
+    "docs_scrubbed",
+    "docs_scrubbed_stats",
+    "docs_normalized_profile",
+    # round 3: Lloyd's k-means (exact fixed-point)
+    "kmeans_assignments",
+    "kmeans_cluster_profile",
+    # round 3: incremental cross-snapshot dedup
+    "incr_dedup_decisions",
+    "incr_dedup_stats",
+    # sampling / splits (never driver-checked before round 3)
+    "docs_split_assign",
+    "docs_stratified_sample",
+    "docs_per_source_sample",
+    # CDC / SCD / windowed dedup
+    "latest_event_per_user",
+    "user_value_intervals",
+    "event_dedup_within_window",
+    # time-series gap-fill / transitions / sliding windows
+    "event_minute_gapfill",
+    "event_transition_matrix",
+    "event_sliding_window_counts",
+    # set ops / rollup / cube / grouping sets
+    "shared_nations",
+    "customer_only_nations",
+    "order_priority_cube",
+    "orders_grouping_sets",
+    "region_customer_rollup",
+    # window functions / unpivot
+    "customer_order_bookends",
+    "orders_moving_revenue",
+    "lineitem_charge_unpivot",
+    # formats / timezone / epoch round-trip
+    "string_munging_props",
+    "epoch_ms_roundtrip",
+    "event_tehran_display",
+    # TPC-H shapes never driver-checked
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    # ANN multi-probe + centroids, TF-IDF
+    "ann_ivf_topk_nprobe",
+    "label_centroids",
+    "tfidf_top_terms",
 ]
 
 
