@@ -24,76 +24,66 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # (registration order); the rest are covered by the identical local
 # gate (tests/test_oracle_parity.py runs all of them). The window
 # ROTATES per round so the union of driver-green rows converges on the
-# whole registry: round 3 keeps one proven anchor per operator family
-# (all 50/50 green in CORRECTNESS_r02) and fills the other 35 slots
-# with queries the driver has never checked — the round-2 families
-# that shipped outside the window (sampling, CDC/SCD, gap-fill /
-# transition, set-ops / rollup / cube, window functions, formats,
-# TPC-H Q7/Q8/Q15/Q17/Q21, IVF multi-probe, TF-IDF) plus every
-# round-3 query (scrubbing, k-means, incremental dedup).
+# whole registry. Round 5: (a) the 6 queries repaired after the
+# Spark-4 TIMESTAMP_NTZ fixture change must re-prove green to the
+# driver, (b) 22 queries never driver-checked in r1-r4 get their first
+# check, (c) 22 proven anchors keep one green row per operator family.
 CHECKED_FIRST = [
-    # proven family anchors (driver-green in CORRECTNESS_r02)
+    # (a) repaired after the TIMESTAMP_NTZ fixture regeneration
+    "event_sessionization",
+    "asof_last_view_before_purchase",
+    "epoch_ms_roundtrip",
+    "event_error_streaks",
+    "event_funnel_conversion",
+    "event_pairs_within_window",
+    # (b) first driver check: event analytics + distributions
+    "event_hour_dow_heatmap",
+    "event_interarrival_histogram",
+    "props_k_distribution",
+    "order_value_distribution",
+    "lineitem_quantity_quartiles",
+    "lineitem_profile",
+    "sql_region_summary",
+    # (b) first driver check: TPC-H shapes
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q16_parts_supplier_breadth",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_dormant_high_balance",
+    # (b) first driver check: text / corpus / similarity
+    "vocab_top_tokens",
+    "boilerplate_prefix_groups",
+    "training_corpus_filter",
+    "token_count_histogram",
+    "embedding_lsh_buckets",
+    "centroid_separation",
+    # (c) proven per-family anchors (driver-green in r1-r4)
     "dedup_exact_stats",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "event_status_pivot",
-    "event_sessionization",
     "multimodal_decode_features",
     "props_k_extract",
-    "knn_bruteforce",
-    "asof_last_view_before_purchase",
-    "text_quality_scores",
-    "nation_trade_pagerank",
-    "q3_shipping_priority",
-    "corpus_pack_chunks",
-    "top_revenue_orders",
-    "customer_running_spend",
-    "lineitem_pricing_summary",
-    # round 3: PII scrubbing + normalization
-    "docs_scrubbed",
-    "docs_scrubbed_stats",
-    "docs_normalized_profile",
-    # round 3: Lloyd's k-means (exact fixed-point)
-    "kmeans_assignments",
-    "kmeans_cluster_profile",
-    # round 3: incremental cross-snapshot dedup
-    "incr_dedup_decisions",
-    "incr_dedup_stats",
-    # sampling / splits (never driver-checked before round 3)
-    "docs_split_assign",
-    "docs_stratified_sample",
-    "docs_per_source_sample",
-    # CDC / SCD / windowed dedup
-    "latest_event_per_user",
-    "user_value_intervals",
-    "event_dedup_within_window",
-    # time-series gap-fill / transitions / sliding windows
-    "event_minute_gapfill",
-    "event_transition_matrix",
-    "event_sliding_window_counts",
-    # set ops / rollup / cube / grouping sets
-    "shared_nations",
-    "customer_only_nations",
-    "order_priority_cube",
-    "orders_grouping_sets",
-    "region_customer_rollup",
-    # window functions / unpivot
-    "customer_order_bookends",
-    "orders_moving_revenue",
-    "lineitem_charge_unpivot",
-    # formats / timezone / epoch round-trip
-    "string_munging_props",
-    "epoch_ms_roundtrip",
-    "event_tehran_display",
-    # TPC-H shapes never driver-checked
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    # ANN multi-probe + centroids, TF-IDF
     "ann_ivf_topk_nprobe",
-    "label_centroids",
-    "tfidf_top_terms",
+    "knn_bruteforce",
+    "text_quality_scores",
+    "q3_shipping_priority",
+    "lineitem_pricing_summary",
+    "salted_user_event_counts",
+    "corpus_pack_chunks",
+    "eval_contamination",
+    "docs_scrubbed_stats",
+    "kmeans_assignments",
+    "incr_dedup_decisions",
+    "docs_split_assign",
+    "latest_event_per_user",
+    "event_minute_gapfill",
+    "order_priority_cube",
+    "customer_order_bookends",
 ]
 
 

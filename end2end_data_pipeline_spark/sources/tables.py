@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -32,14 +32,34 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-local TIMESTAMP.
+
+    The testdata stores untagged ``timestamp[us]`` parquet columns, which
+    Spark 4 infers as TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ
+    .enabled`` defaults true). The engine's event-time contract is
+    instant-typed TIMESTAMP (session TZ pinned UTC at session.py, so the
+    cast is value-identical), and epoch-math builtins (``unix_millis``,
+    ``cast(double)``, watermarks) reject NTZ — normalizing once here keeps
+    every downstream operator type-stable across Spark 3/4 and both
+    fixture layouts. DuckDB reads the same parquet as naive timestamps,
+    so oracle comparisons stay value-aligned.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Path layout: ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is written as a nanosecond parquet timestamp, which
-    Spark's TimestampType (microseconds) cannot represent; we read it as
-    a raw int64 (``nanosAsLong``) and truncate to microseconds — the
-    same truncation DuckDB applies when casting TIMESTAMP_NS down, so
-    oracle comparisons stay aligned (FIXTURES.md §4).
+    Older fixtures wrote ``events.ts`` as a nanosecond parquet timestamp,
+    which Spark's TimestampType (microseconds) cannot represent; we read
+    it as a raw int64 (``nanosAsLong``) and truncate to microseconds —
+    the same truncation DuckDB applies when casting TIMESTAMP_NS down, so
+    oracle comparisons stay aligned (FIXTURES.md §4). Current fixtures
+    write untagged micros, normalized by ``_normalize_ntz``.
     """
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -50,8 +70,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division keeps full precision (a double round-trip
             # would corrupt epoch-nanos > 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def fan_out(spark: SparkSession, df: DataFrame, partitions: int | None = None) -> DataFrame:

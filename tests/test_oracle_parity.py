@@ -44,9 +44,13 @@ def test_oracle_output_types_driver_safe(name, con):
 def test_checked_window_contract():
     """The driver value-checks only the first 50 registered queries.
     Guarantee that window is fully provable: 50 unique names, every
-    one oracle-paired, and all ten operator families represented."""
+    one oracle-paired, registration order actually honors the
+    maintained window, and the core operator families are represented.
+    The family map must be re-aligned whenever CHECKED_FIRST rotates
+    (it asserts the CURRENT window, not a historical one)."""
     ordered = list(QUERIES)
     window = ordered[:50]
+    assert window == entrymod.CHECKED_FIRST
     assert len(set(window)) == 50
     assert all(n in ORACLE for n in window)
     families = {
@@ -62,6 +66,10 @@ def test_checked_window_contract():
         "salted_": "skew pattern",
         "corpus_pack": "corpus prep",
         "eval_contamination": "contamination",
+        "docs_scrubbed": "scrubbing",
+        "kmeans_": "clustering",
+        "incr_": "incremental dedup",
+        "docs_split": "splits/sampling",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
