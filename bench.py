@@ -111,32 +111,50 @@ def main() -> None:
         tasks[name] = _group_tasks(sc, name)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # contention fingerprint: wall times are only comparable
-                # across rounds at similar ambient load. The r1->r2
-                # "regression" (33.2s -> 56.1s on identical code) was
-                # ambient contention at recording time — r3 on an idle
-                # machine measured the same 24-query subset at 28.0s,
-                # 16% FASTER than r1 (fan_out probe fix included).
-                "env": {
-                    "loadavg_start_1m": round(load_start[0], 2),
-                    "loadavg_end_1m": round(os.getloadavg()[0], 2),
-                    "cpus": os.cpu_count(),
-                },
-                # plan-shape fingerprint: total tasks per query; stable
-                # across machines, so a plan blowup is distinguishable
-                # from machine contention in any future round.
-                "tasks": tasks,
-            }
-        )
-    )
+    # contention fingerprint: wall times are only comparable across
+    # rounds at similar ambient load. The r1->r2 "regression" (33.2s ->
+    # 56.1s on identical code) was ambient contention at recording time
+    # — r3 on an idle machine measured the same 24-query subset at
+    # 28.0s, 16% FASTER than r1 (fan_out probe fix included).
+    env = {
+        "loadavg_start_1m": round(load_start[0], 2),
+        "loadavg_end_1m": round(os.getloadavg()[0], 2),
+        "cpus": os.cpu_count(),
+    }
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": env,
+        # plan-shape fingerprint: total tasks per query; stable across
+        # machines, so a plan blowup is distinguishable from machine
+        # contention in any future round.
+        "tasks": tasks,
+    }
+    # The full record (33 timings + 33 task counts, ~2.7 kB) outgrows
+    # the driver's tail capture, which truncated BENCH_r03/r04 to
+    # unparseable fragments. Persist it to a file for forensics and
+    # keep the final stdout line compact (<1.5 kB): total + the 5
+    # slowest queries with their task fingerprints.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": full["sf"],
+        "env": env,
+        "tasks": {k: tasks[k] for k in slowest},
+        "full_record": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -134,7 +134,12 @@ def decode_features(payload: bytes) -> dict:
     if _HAS_PIL:
         try:
             return _decode_real(payload)
-        except OSError:  # UnidentifiedImageError subclasses OSError
+        except (OSError, ValueError, SyntaxError):
+            # UnidentifiedImageError subclasses OSError; truncated or
+            # malformed payloads can also surface as ValueError
+            # (decompression) or SyntaxError (PIL's PNG plugin raises
+            # it for bad headers) — any undecodable byte string falls
+            # back to the stub instead of crashing the task
             pass
     return _decode_stub(payload)
 

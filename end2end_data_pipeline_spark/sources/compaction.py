@@ -43,6 +43,20 @@ def plan_compaction(part_dir: str, target_bytes: int) -> tuple[int, int, int]:
     return len(files), n_bytes, n_target
 
 
+def _swap_paths(part_dir: str) -> tuple[str, str]:
+    """Staging/old sibling paths whose basenames are dot-prefixed so
+    Spark's partition discovery ignores them: a suffix-named sibling
+    (``event_minute=X._compact_staging``) still matches the
+    ``{col}={value}`` pattern, so a crash between the staging write and
+    cleanup would surface a phantom partition; ``._compact_*`` dirs are
+    invisible to readers no matter when the process dies."""
+    parent, base = os.path.split(part_dir.rstrip("/"))
+    return (
+        os.path.join(parent, f"._compact_staging_{base}"),
+        os.path.join(parent, f"._compact_old_{base}"),
+    )
+
+
 def compact_partition(
     spark: SparkSession,
     part_dir: str,
@@ -61,9 +75,8 @@ def compact_partition(
     cols = [c for c in sort_cols if c in df.columns]
     if cols:
         out = out.sortWithinPartitions(*cols)
-    staging = part_dir.rstrip("/") + "._compact_staging"
+    staging, old = _swap_paths(part_dir)
     out.write.mode("overwrite").parquet(staging)
-    old = part_dir.rstrip("/") + "._compact_old"
     os.rename(part_dir, old)
     os.rename(staging, part_dir)
     shutil.rmtree(old)
@@ -78,7 +91,18 @@ def compact_warehouse(
     sort_cols: tuple[str, ...] = ("event_type",),
 ) -> dict[str, int]:
     """Compact every ``{partition_col}=...`` directory under ``root``.
-    Returns {partition_name: resulting_file_count}."""
+    Returns {partition_name: resulting_file_count}.
+
+    Fails fast on leftover ``._compact_*`` staging/old dirs from a
+    crashed prior run — they hold a superseded or partial copy of a
+    partition, so silent cleanup could discard the only good copy;
+    an operator must inspect and remove them."""
+    leftovers = [n for n in os.listdir(root) if n.startswith("._compact_")]
+    if leftovers:
+        raise RuntimeError(
+            f"leftover compaction staging dirs under {root!r}: {sorted(leftovers)}; "
+            "a prior compaction crashed mid-swap — inspect and remove before rerunning"
+        )
     result: dict[str, int] = {}
     for name in sorted(os.listdir(root)):
         pdir = os.path.join(root, name)

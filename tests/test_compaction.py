@@ -75,3 +75,30 @@ def test_healthy_partitions_are_left_alone(spark, tmp_path):
     assert n_target >= n_files
     compact_warehouse(spark, root, target_bytes=1)
     assert sorted(os.listdir(p)) == before_files
+
+
+def test_staging_dirs_invisible_to_partition_discovery(spark, tmp_path):
+    """A crash between the staging write and the swap must not surface
+    a phantom partition: staging/old dirs are dot-prefixed so Spark's
+    partition discovery skips them."""
+    import pytest
+
+    from end2end_data_pipeline_spark.sources.compaction import _swap_paths
+
+    root = str(tmp_path / "warehouse4")
+    before = _rows(_fragmented_warehouse(spark, root))
+    parts = sorted(d for d in os.listdir(root) if d.startswith("event_minute="))
+    p = os.path.join(root, parts[0])
+
+    # simulate the crash: a staged copy exists alongside the partition
+    staging, old = _swap_paths(p)
+    assert os.path.basename(staging).startswith("._compact_")
+    assert os.path.basename(old).startswith("._compact_")
+    spark.read.parquet(p).write.parquet(staging)
+
+    # readers see the exact pre-crash rows — no duplicates, no phantom
+    assert _rows(spark.read.parquet(root)) == before
+
+    # and a rerun fails fast instead of silently discarding a copy
+    with pytest.raises(RuntimeError, match="_compact_"):
+        compact_warehouse(spark, root, target_bytes=1)

@@ -150,3 +150,18 @@ def test_real_resize_when_pil_present():
     out = resize_payload(buf.getvalue(), RESIZE_TARGET)
     assert len(out) == RESIZE_TARGET[0] * RESIZE_TARGET[1]
     assert set(out) == {77}  # constant image stays constant through resize
+
+
+def test_real_decode_falls_back_on_malformed_payload(monkeypatch):
+    """Payloads that make the real decoder raise ValueError/SyntaxError
+    (truncated/corrupt images) fall back to the stub instead of
+    crashing the task."""
+    from end2end_data_pipeline_spark.operators import multimodal
+
+    for exc in (ValueError("bad zlib"), SyntaxError("broken PNG header"), OSError("x")):
+        def boom(payload, _exc=exc):
+            raise _exc
+
+        monkeypatch.setattr(multimodal, "_decode_real", boom)
+        monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+        assert multimodal.decode_features(b"junk") == _decode_stub(b"junk")
