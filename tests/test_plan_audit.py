@@ -1,6 +1,9 @@
-"""Unit tests for the plan-audit heuristics (pure function — no Spark)."""
+"""Unit tests for the plan-audit heuristics (pure function — no Spark),
+plus the slow registry-wide physical-plan gate."""
 
-from tools.plan_audit import audit_plan
+import pytest
+
+from tools.plan_audit import WAIVERS, audit_plan
 
 
 def test_flags_cartesian():
@@ -27,3 +30,28 @@ def test_flags_wide_scan():
 
 def test_clean_plan():
     assert audit_plan("*(3) HashAggregate\n+- Exchange hashpartitioning\n+- Scan parquet") == []
+
+
+@pytest.mark.slow
+def test_registry_plans_are_clean(spark):
+    """Build EVERY registered query's executed plan at sf0.01 and fail
+    on any unwaived flag. Doubles as an analysis gate: a query that no
+    longer resolves against the current fixtures (e.g. a type change
+    in regenerated testdata) fails here at plan-build time instead of
+    surfacing a round later in the driver's correctness report."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.01"
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # analysis failure IS a finding
+            failures[name] = f"plan build failed: {str(exc).splitlines()[0][:200]}"
+            continue
+        flags = audit_plan(plan)
+        if WAIVERS.get(name) in flags:
+            flags.remove(WAIVERS[name])
+        if flags:
+            failures[name] = ", ".join(flags)
+    assert not failures, failures
