@@ -65,6 +65,13 @@ HEADLINE = [
     "corpus_pack_chunks",
     "eval_contamination",
     "shingle_novelty_curve",
+    # round-5 additions (per-query r3/r4 comparisons unaffected; the
+    # total is only comparable within the same HEADLINE revision)
+    "bigram_surprise_profile",
+    "docs_chunk_overlap",
+    "user_retention_cohorts",
+    "embedding_quantization_profile",
+    "key_skew_profile",
 ]
 
 

@@ -393,3 +393,71 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- overlapping chunking -------------------------------------------
+
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride between chunk starts (25% overlap)
+
+# portable hash of the chunk's token window, DuckDB side (1-based
+# inclusive slice, mirroring Spark's slice(t, start, W))
+_CHUNK_HASH_DUCK = th.md5h(
+    f"array_to_string(t[start:start + {CHUNK_W} - 1], ' ')", th.DUCK
+)
+
+
+@query(
+    "docs_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) + 1, {CHUNK_S})) AS start,
+             t
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_S} AS INT) AS chunk_idx,
+           CAST(least({CHUNK_W}, len(t) - start + 1) AS INT) AS chunk_len,
+           {_CHUNK_HASH_DUCK} AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the context-window
+    chunker an embedding/RAG pipeline runs (W={CHUNK_W} tokens, stride
+    {CHUNK_S}, so consecutive chunks share W-S tokens and no token is
+    orphaned at a hard boundary). Emits (doc_id, chunk_idx, chunk_len,
+    portable chunk hash) rather than the chunk text itself — the hash
+    proves content equality to the oracle without shipping strings.
+
+    Scale: pure per-row array math (sequence + slice + md5, all
+    codegen'd builtins) followed by explode — embarrassingly parallel,
+    no shuffle at all except the presentation sort; expansion factor is
+    ~n_tokens/stride, planner-visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(spark, docs).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    chunk_txt = f"concat_ws(' ', slice(t, start, {CHUNK_W}))"
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(f"sequence(1, size(t), {CHUNK_S})")
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (((F.col("start") - 1) / CHUNK_S).cast("int")).alias("chunk_idx"),
+            F.least(
+                F.lit(CHUNK_W), F.expr("size(t) - start + 1")
+            ).cast("int").alias("chunk_len"),
+            F.expr(th.md5h(chunk_txt, th.SPARK)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -787,3 +787,197 @@ def event_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+ROBUST_Z_CUT = 3.5  # |robust z| above this is an outlier (Iglewicz-Hoaglin)
+MAD_SCALE = 0.6745  # modified z-score constant (Iglewicz & Hoaglin 1993)
+
+
+@query(
+    "event_value_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+           {MAD_SCALE} * (e.value - m.med) / d.mad AS robust_z
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE d.mad > 0
+      AND abs({MAD_SCALE} * (e.value - m.med) / d.mad) > {ROBUST_Z_CUT}
+    ORDER BY e.event_type, e.event_id
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on event values: modified z-score
+    (Iglewicz-Hoaglin) from the per-type median and MAD — immune to the
+    outliers it hunts, unlike mean/stddev z-scores. Exact interpolated
+    medians (percentile / quantile_cont agree bit-wise on sorted-pair
+    interpolation) and per-row IEEE arithmetic keep both engines
+    hash-identical.
+
+    Scale: two tiny aggregations (O(|event_types|) rows each) broadcast
+    back onto the fact scan — the events table itself never shuffles;
+    each pass is a map-side partial aggregate plus a broadcast join."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    z = F.lit(MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) > ROBUST_Z_CUT))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            z.alias("robust_z"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+SKEW_TOP_SHARE_K = 10
+
+
+@query(
+    "key_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rk
+      FROM per_key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           quantile_cont(c, 0.5) AS p50_count,
+           quantile_cont(c, 0.99) AS p99_count,
+           MAX(c) / quantile_cont(c, 0.5) AS skew_ratio,
+           SUM(CASE WHEN rk <= {SKEW_TOP_SHARE_K} THEN c ELSE 0 END)
+             / CAST(SUM(c) AS DOUBLE) AS top{SKEW_TOP_SHARE_K}_share
+    FROM ranked
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew diagnostics for the events fact table —
+    the profile run BEFORE picking a partitioning strategy at 100 TB
+    (salting threshold, AQE skew-join effectiveness, broadcast
+    candidacy). Reports key cardinality, heaviest key, p50/p99 key
+    sizes, max/p50 skew ratio, and the row share held by the top
+    {SKEW_TOP_SHARE_K} keys.
+
+    Scale: one shuffle keyed on user_id with map-side partial counts;
+    the per-key count table (O(n_keys)) then reduces to a single row —
+    the top-k share uses a rank window over counts, which AQE executes
+    as a single-partition sort of the count table, not of the facts."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    ranked = per_key.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "user_id"))
+        .alias("rk"),
+    )
+    top_c = F.when(F.col("rk") <= SKEW_TOP_SHARE_K, F.col("c")).otherwise(0)
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.expr("percentile(c, 0.5)").alias("p50_count"),
+        F.expr("percentile(c, 0.99)").alias("p99_count"),
+        (F.max("c") / F.expr("percentile(c, 0.5)")).alias("skew_ratio"),
+        (F.sum(top_c) / F.sum("c").cast("double")).alias(
+            f"top{SKEW_TOP_SHARE_K}_share"
+        ),
+    )
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events
+      GROUP BY user_id
+    ), cohort_sizes AS (
+      SELECT cohort_date, count(*) AS cohort_size FROM firsts
+      GROUP BY cohort_date
+    ), active AS (
+      SELECT DISTINCT e.user_id, f.cohort_date,
+             datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(a.cohort_date AS VARCHAR) AS cohort_date,
+           CAST(a.day_offset AS INT) AS day_offset,
+           count(*) AS n_active,
+           CAST(MAX(s.cohort_size) AS BIGINT) AS cohort_size,
+           count(*) / CAST(MAX(s.cohort_size) AS DOUBLE) AS retention
+    FROM active a JOIN cohort_sizes s USING (cohort_date)
+    GROUP BY a.cohort_date, a.day_offset
+    ORDER BY cohort_date, day_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen date,
+    counted as active per day-offset from their cohort date — the
+    engagement decay curve behind every DAU/WAU dashboard. Exact
+    integer counts + one final division keep it engine-portable.
+
+    Scale: first-seen is one shuffle keyed on user_id (map-side MIN
+    partials); the facts then join that table on the same user_id key
+    (co-partitioned, no second fact shuffle under AQE reuse), distinct
+    (user, cohort, offset) collapses with partial aggregation, and the
+    O(|days|) cohort sizes broadcast onto the final rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    cohort_sizes = firsts.groupBy("cohort_date").agg(
+        F.count("*").alias("cohort_size")
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        active.join(F.broadcast(cohort_sizes), "cohort_date")
+        .groupBy("cohort_date", "day_offset")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.max("cohort_size").cast("bigint").alias("cohort_size"),
+            (F.count("*") / F.max("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .select(
+            F.col("cohort_date").cast("string").alias("cohort_date"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            "retention",
+        )
+        .orderBy("cohort_date", "day_offset")
+    )

@@ -149,3 +149,68 @@ def docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= PER_KEY_K)
         .orderBy("source", "rk")
     )
+
+
+PRIORITY_K = 50  # weighted-sample size
+
+
+def _priority(dialect: str) -> str:
+    """Priority-sampling key (Duffield, Lund & Thorup, JACM 2007):
+    q_i = w_i / u_i with u_i uniform in (0, 1]; the k largest
+    priorities form a weighted-without-replacement sample. u_i is the
+    portable 60-bit content hash scaled into (0, 1] — deterministic
+    across engines and partitionings, and each q_i is two
+    IEEE-correctly-rounded divisions, so both engines produce
+    bit-identical doubles. The 2^60 divisor must be an explicit DOUBLE
+    cast: a ``...976.0`` literal parses as DECIMAL in DuckDB and its
+    decimal division rounds differently in the last ulp."""
+    if dialect == th.SPARK:
+        key = "concat('prio:', CAST(doc_id AS STRING))"
+    else:
+        key = "concat('prio:', CAST(doc_id AS VARCHAR))"
+    two60 = "CAST(1152921504606846976 AS DOUBLE)"
+    u = f"(({th.md5h(key, dialect)} + 1) / {two60})"
+    return f"(CAST(n_chars AS DOUBLE) / {u})"
+
+
+@query(
+    "docs_priority_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             {_priority(th.DUCK)} AS priority,
+             row_number() OVER (
+               ORDER BY {_priority(th.DUCK)} DESC, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           priority, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {PRIORITY_K}
+    ORDER BY rk
+    """,
+)
+def docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted sample without replacement via priority sampling:
+    long documents are proportionally more likely to be kept, yet the
+    sample is fully deterministic (content-keyed uniforms, no rand()).
+    The global top-k executes as TakeOrderedAndProject — each partition
+    keeps only its k best candidates, so no full sort and no shuffle of
+    the corpus; at 100 TB the data moved is O(k x partitions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr(_priority(th.SPARK)).alias("priority"),
+    ).orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        ranked.limit(PRIORITY_K)
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("priority").desc(), "doc_id"))
+            .cast("int"),
+        )
+        .orderBy("rk")
+    )

@@ -646,3 +646,101 @@ def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# --- scalar quantization audit --------------------------------------
+
+QUANT_BITS_MAX = 127  # int8 symmetric quantization range
+
+
+def _quant_exprs(dialect: str) -> dict[str, str]:
+    """Shared Spark/DuckDB expression set for the int8 scalar
+    quantization audit. All per-dimension arithmetic is IEEE double
+    ops (float32 widens exactly), reductions are exact-integer sums —
+    a float reduction's summation order is engine-dependent, so the
+    per-dim reconstruction error is floored into integer micro-units
+    BEFORE summing."""
+    c127 = f"CAST({QUANT_BITS_MAX} AS DOUBLE)"
+    if dialect == th.SPARK:
+        maxabs = "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+        q = f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {c127} / maxabs) AS BIGINT))"
+        q_sum = "aggregate(q, 0L, (acc, x) -> acc + x)"
+        q_min, q_max = "array_min(q)", "array_max(q)"
+        n_sat = f"size(filter(q, x -> abs(x) >= {QUANT_BITS_MAX}))"
+        err = (
+            f"aggregate(zip_with(embedding, q, (v, x) -> "
+            f"CAST(floor(abs(CAST(v AS DOUBLE) * {c127} / maxabs - x) * CAST(1000000 AS DOUBLE)) AS BIGINT)), "
+            f"0L, (acc, e) -> acc + e)"
+        )
+    else:
+        maxabs = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+        q = f"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {c127} / maxabs) AS BIGINT))"
+        q_sum = "CAST(list_sum(q) AS BIGINT)"
+        q_min, q_max = "list_min(q)", "list_max(q)"
+        n_sat = f"len(list_filter(q, x -> abs(x) >= {QUANT_BITS_MAX}))"
+        err = (
+            f"CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> "
+            f"CAST(floor(abs(CAST(embedding[i] AS DOUBLE) * {c127} / maxabs - q[i]) * CAST(1000000 AS DOUBLE)) AS BIGINT))) AS BIGINT)"
+        )
+    return {
+        "maxabs": maxabs,
+        "q": q,
+        "q_sum": q_sum,
+        "q_min": q_min,
+        "q_max": q_max,
+        "n_sat": n_sat,
+        "err": err,
+    }
+
+
+_QD = _quant_exprs(th.DUCK)
+
+
+@query(
+    "embedding_quantization_profile",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT vec_id, label, embedding, {_QD['maxabs']} AS maxabs
+      FROM embeddings WHERE {_QD['maxabs']} > 0
+    ), quantized AS (
+      SELECT vec_id, label, embedding, maxabs, {_QD['q']} AS q FROM scaled
+    )
+    SELECT vec_id, CAST(label AS INT) AS label, maxabs,
+           {_QD['q_sum']} AS q_sum,
+           CAST({_QD['q_min']} AS BIGINT) AS q_min,
+           CAST({_QD['q_max']} AS BIGINT) AS q_max,
+           CAST({_QD['n_sat']} AS BIGINT) AS n_sat,
+           {_QD['err']} AS err_micro
+    FROM quantized ORDER BY vec_id
+    """,
+)
+def embedding_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar-quantization audit per vector — the
+    compression step an ANN index applies before storing 100 TB of
+    embeddings, with the information it needs to budget: per-vector
+    scale (maxabs), quantized checksum/extremes, saturated-dimension
+    count, and total reconstruction error in exact integer micro-units
+    (floored per dimension before summing, so the reduction order an
+    engine picks cannot change the answer).
+
+    Scale: pure per-row array math over codegen'd higher-order
+    builtins — embarrassingly parallel, zero shuffles beyond the
+    presentation sort."""
+    e = _quant_exprs(th.SPARK)
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    return (
+        emb.withColumn("maxabs", F.expr(e["maxabs"]))
+        .where(F.col("maxabs") > 0)
+        .withColumn("q", F.expr(e["q"]))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            "maxabs",
+            F.expr(e["q_sum"]).alias("q_sum"),
+            F.expr(e["q_min"]).cast("bigint").alias("q_min"),
+            F.expr(e["q_max"]).cast("bigint").alias("q_max"),
+            F.expr(e["n_sat"]).cast("bigint").alias("n_sat"),
+            F.expr(e["err"]).alias("err_micro"),
+        )
+        .orderBy("vec_id")
+    )

@@ -489,3 +489,66 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket_lo")
     )
+
+
+RARE_BIGRAM_MAX = 2  # corpus frequency at or below which a bigram is "rare"
+
+
+@query(
+    "bigram_surprise_profile",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({th.shingles(th.tokens('text', th.DUCK), 2, th.DUCK)})
+                 AS bigram
+      FROM documents
+    ), lm AS (
+      SELECT bigram, count(*) AS c FROM occ GROUP BY bigram
+    )
+    SELECT o.doc_id,
+           count(*) AS n_bigrams,
+           CAST(count(DISTINCT o.bigram) AS BIGINT) AS n_distinct,
+           CAST(MIN(lm.c) AS BIGINT) AS rarest_count,
+           CAST(SUM(CASE WHEN lm.c <= {RARE_BIGRAM_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           SUM(CASE WHEN lm.c <= {RARE_BIGRAM_MAX} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS rare_ratio
+    FROM occ o JOIN lm USING (bigram)
+    GROUP BY o.doc_id ORDER BY o.doc_id
+    """,
+)
+def bigram_surprise_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM surprise profile per document — the log-free stand-in
+    for perplexity-based quality filtering: build a bigram language
+    model from the corpus itself, then score each document by how many
+    of its bigrams are corpus-rare (frequency <= {RARE_BIGRAM_MAX}) and
+    by its rarest bigram's corpus count. Gibberish and boilerplate sit
+    at the two extremes of rare_ratio. Exact-integer counts plus one
+    per-row division keep the score engine-portable (ln()-based
+    perplexity is not bit-stable across engines — same rationale as
+    tfidf_top_terms' rational idf).
+
+    Scale: the LM table is bounded by distinct corpus bigrams (vocab-
+    bounded, shuffle-partitioned by bigram), occurrences join it on the
+    bigram key — both sides hash-partition on the same key, and AQE
+    handles stop-bigram skew; nothing quadratic, nothing driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = fan_out(spark, docs).select(
+        "doc_id",
+        F.explode(
+            F.expr(th.shingles(th.tokens("text", th.SPARK), 2, th.SPARK))
+        ).alias("bigram"),
+    )
+    lm = occ.groupBy("bigram").agg(F.count("*").alias("c"))
+    rare = F.when(F.col("c") <= RARE_BIGRAM_MAX, 1).otherwise(0)
+    return (
+        occ.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count_distinct("bigram").cast("bigint").alias("n_distinct"),
+            F.min("c").cast("bigint").alias("rarest_count"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            (F.sum(rare) / F.count("*").cast("double")).alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+    )

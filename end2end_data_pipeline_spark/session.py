@@ -47,6 +47,11 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Belt-and-braces for untagged parquet timestamps: read them as
+        # instant-typed TIMESTAMP directly. The primary defense is the
+        # load-time normalization in sources/tables.py (_normalize_ntz)
+        # — that one also protects sessions the engine doesn't build.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
