@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.functions import vectors as vec
-from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
 
 QUERY_STRIDE = 50  # vec_id % 50 == 0 -> 2% of vectors are queries
@@ -743,4 +743,62 @@ def embedding_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr(e["err"]).alias("err_micro"),
         )
         .orderBy("vec_id")
+    )
+
+
+# --- ANN recall evaluation ------------------------------------------
+
+
+def _recall_oracle() -> str:
+    """Compose the brute-force and IVF oracles (already registered
+    above) into a recall@k evaluation — the oracle reuses the exact
+    SQL of both sides as derived tables, so the eval can never drift
+    from the operators it measures."""
+    return f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE["knn_bruteforce"]}) t
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE["ann_ivf_topk_nprobe"]}) a
+    )
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS recall
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id ORDER BY t.query_id
+    """
+
+
+@query("ann_recall_eval", oracle=_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF multi-probe index against the brute-force
+    ground truth, per query — the measure-don't-guess harness for the
+    nprobe/cells recall dial: run it after any index-parameter change
+    and read the recall column instead of trusting intuition.
+
+    Scale: the expensive side (brute force) is already sampled to the
+    query stride; the eval itself joins two O(queries x k) result sets
+    — trivially broadcastable at any corpus size."""
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        ann_ivf_topk_nprobe(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count("*").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
     )

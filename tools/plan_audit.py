@@ -56,6 +56,10 @@ WAIVERS: dict[str, str] = {
     # small is the correct brute-force top-k shape — the corpus scan
     # never shuffles.
     "knn_bruteforce": "bnlj-over-two-scans",
+    # recall eval composes knn_bruteforce + ann_ivf_topk_nprobe and
+    # inherits their (waived) broadcast BNLJ shapes; the eval's own
+    # join is an O(queries x k) broadcast equi-join.
+    "ann_recall_eval": "bnlj-over-two-scans",
     # IVF coarse quantizer: every vector scores against the N_IVF_CELLS
     # (=16) broadcast centroids — an intentional O(n x K) broadcast
     # cross join; the corpus side never shuffles.
