@@ -96,3 +96,68 @@ def error_streak_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- first-seen (new-entity) detection ------------------------------
+
+FIRST_SEEN_SCHEMA = "user_id string, first_ts timestamp"
+SEEN_STATE_SCHEMA = "seen int"
+
+
+def _track_first_seen(ts_col: str):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            # already announced in an earlier micro-batch: drain and emit
+            # nothing (the state store, not the output sink, is the
+            # dedup authority across restarts)
+            for _ in batches:
+                pass
+            yield pd.DataFrame([], columns=["user_id", "first_ts"])
+            return
+        first_ts = None
+        for pdf in batches:
+            if len(pdf):
+                m = pdf[ts_col].min()
+                first_ts = m if first_ts is None else min(first_ts, m)
+        if first_ts is None:
+            yield pd.DataFrame([], columns=["user_id", "first_ts"])
+            return
+        state.update((1,))
+        yield pd.DataFrame([(user_id, first_ts)], columns=["user_id", "first_ts"])
+
+    return fn
+
+
+def first_seen_users(
+    events: DataFrame,
+    ts_col: str = "event_timestamp",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """New-entity detection: exactly one row per user, emitted in the
+    first micro-batch that user appears in, carrying their earliest
+    event time seen in that batch — the streaming feeder for cohort
+    tables (``user_retention_cohorts`` builds the same first-seen basis
+    in batch via groupBy-min).
+
+    Scale posture: state is ONE flag per user key (bounded by |users|),
+    shuffled once on user_id; the Python hop is Arrow-batched per
+    group. Within a micro-batch only the group min is taken, so chunk
+    order is irrelevant; across batches the state flag suppresses
+    re-emission, surviving restarts through the checkpointed state
+    store."""
+    src = events
+    if events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    keyed = src.select("user_id", ts_col).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _track_first_seen(ts_col),
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

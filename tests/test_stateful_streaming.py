@@ -137,3 +137,74 @@ def test_state_survives_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table(sink_name).collect()
     assert [(r.user_id, r.streak) for r in rows] == [("u9", 3)]
+
+
+# --- first-seen detection -------------------------------------------
+
+
+def test_first_seen_stream_matches_batch(spark, tmp_path, streak_events):
+    """Stream first-seen == batch groupBy-min on the same fixture."""
+    from end2end_data_pipeline_spark.streaming.stateful import first_seen_users
+
+    src = str(tmp_path / "fs_src")
+    streak_events.write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        first_seen_users(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.first_ts)
+        for r in spark.sql("SELECT * FROM first_seen").collect()
+    }
+    expect = {
+        (r.user_id, r.first_ts)
+        for r in streak_events.groupBy("user_id")
+        .agg(F.min("event_timestamp").alias("first_ts"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_first_seen_suppresses_across_restarts(spark, tmp_path, streak_events):
+    """A second availableNow run over the same checkpoint emits only
+    genuinely new users — the state store is the dedup authority."""
+    from end2end_data_pipeline_spark.streaming.stateful import first_seen_users
+
+    src = str(tmp_path / "fs2_src")
+    sink = str(tmp_path / "fs2_sink")
+    ckpt = str(tmp_path / "fs2_ckpt")
+    streak_events.write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            first_seen_users(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert {r.user_id for r in first} == {"u1", "u2", "u3"}
+
+    # new file: one known user (later events) + one new user
+    extra = spark.createDataFrame(
+        [_mk(90, "u1", "SUCCESS"), _mk(91, "u9", "SUCCESS")], EVENT_SCHEMA
+    )
+    extra.write.mode("append").parquet(src)
+    run_once()
+    after = spark.read.parquet(sink).collect()
+    assert len(after) == len(first) + 1
+    new_rows = {r.user_id for r in after} - {r.user_id for r in first}
+    assert new_rows == {"u9"}
