@@ -724,3 +724,96 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"))
         .orderBy("survivor_id")
     )
+
+
+# --- asymmetric containment (quote / subset detection) ---------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingle_set(th.DUCK)} AS sh FROM documents
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM sh
+    ), df AS (
+      SELECT shingle FROM inv GROUP BY shingle
+      HAVING count(*) <= {SHINGLE_DF_CAP}
+    ), inv_capped AS (
+      SELECT inv.doc_id, inv.shingle FROM inv JOIN df USING (shingle)
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM inv_capped x
+      JOIN inv_capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             {_jaccard_parts('a.sh', 'b.sh', th.DUCK)[0]} AS n_common,
+             CAST(len(a.sh) AS BIGINT) AS n_a,
+             CAST(len(b.sh) AS BIGINT) AS n_b
+      FROM cand JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, n_a, n_b,
+           n_common / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+    FROM verified
+    WHERE n_common / CAST(least(n_a, n_b) AS DOUBLE)
+            >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    (Broder 1997's second resemblance measure): |A∩B| / min(|A|,|B|).
+    Jaccard misses a short document quoted whole inside a long one
+    (the union term swamps the overlap); containment flags exactly
+    that quote/subset relationship — the screen a training-data
+    pipeline runs for boilerplate wrappers and embedded licenses.
+
+    Scale: identical candidate machinery to the exact Jaccard check —
+    inverted shingle index with the document-frequency cap (hot
+    shingles leave the index, never the verification sets), candidates
+    verified only on joined shingle sets. Same quadratic guard, same
+    broadcast anti-join."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")).cache()
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    hot = (
+        inv.groupBy("shingle")
+        .count()
+        .where(F.col("count") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    x = inv.alias("x")
+    y = inv.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common, _ = _jaccard_parts("sh_a", "sh_b", th.SPARK)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(common).alias("n_common"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least("n_a", "n_b").cast("double"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -802,3 +802,71 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- kNN-as-classifier evaluation -----------------------------------
+
+
+@query(
+    "knn_label_confusion",
+    oracle=f"""
+    WITH knn AS (
+      SELECT query_id, neighbor_id FROM ({ORACLE["knn_bruteforce"]}) t
+    ), labels AS (
+      SELECT vec_id, label FROM embeddings
+    ), votes AS (
+      SELECT k.query_id, l.label, count(*) AS n_votes
+      FROM knn k JOIN labels l ON l.vec_id = k.neighbor_id
+      GROUP BY k.query_id, l.label
+    ), predicted AS (
+      SELECT query_id, label AS pred_label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT CAST(t.label AS INT) AS true_label,
+           CAST(p.pred_label AS INT) AS pred_label,
+           count(*) AS n_queries
+    FROM predicted p JOIN labels t ON t.vec_id = p.query_id
+    GROUP BY t.label, p.pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search as a classifier, evaluated: majority-vote the
+    top-k neighbors' labels per query (ties broken to the smallest
+    label — a total order both engines share) and cross-tabulate
+    predicted vs true label. The confusion matrix is the standard
+    embedding-space health check: labels that bleed into each other
+    here will also co-mingle in ANN buckets and dedup clusters.
+
+    Scale: reuses knn_bruteforce's result (O(queries x k) rows); label
+    lookups broadcast; every aggregate is exact integers."""
+    knn = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    labels = F.broadcast(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    )
+    votes = (
+        knn.join(labels, knn.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    predicted = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    return (
+        predicted.join(labels, predicted.query_id == labels.vec_id)
+        .groupBy(
+            F.col("label").cast("int").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count("*").alias("n_queries"))
+        .orderBy("true_label", "pred_label")
+    )

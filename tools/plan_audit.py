@@ -60,6 +60,7 @@ WAIVERS: dict[str, str] = {
     # inherits their (waived) broadcast BNLJ shapes; the eval's own
     # join is an O(queries x k) broadcast equi-join.
     "ann_recall_eval": "bnlj-over-two-scans",
+    "knn_label_confusion": "bnlj-over-two-scans",
     # IVF coarse quantizer: every vector scores against the N_IVF_CELLS
     # (=16) broadcast centroids — an intentional O(n x K) broadcast
     # cross join; the corpus side never shuffles.
