@@ -981,3 +981,73 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_date", "day_offset")
     )
+
+
+STICKY_WINDOW_DAYS = 7  # WAU lookback (inclusive of the report day)
+
+
+@query(
+    "user_stickiness_daily",
+    oracle=f"""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), spine AS (
+      SELECT DISTINCT day FROM active
+    ), wau AS (
+      SELECT s.day, count(DISTINCT a.user_id) AS wau
+      FROM spine s JOIN active a
+        ON a.day <= s.day
+       AND a.day >= s.day - {STICKY_WINDOW_DAYS - 1}
+      GROUP BY s.day
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM active GROUP BY day
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           d.dau / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY day
+    """,
+)
+def user_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day — the engagement ratio behind
+    every growth dashboard. Rolling distinct users canNOT be built from
+    daily distinct counts (users repeat across days), so WAU joins the
+    (user, day) activity set onto the day spine with a bounded
+    {STICKY_WINDOW_DAYS}-day band condition and re-counts distinct.
+
+    Scale: activity collapses to distinct (user, day) first (partial
+    agg on the fact scan — the only pass over raw events); the band
+    join then fans each activity row into at most {STICKY_WINDOW_DAYS}
+    spine days (planner-visible constant), and the spine side is
+    O(|days|), broadcastable at any horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    spine = F.broadcast(active.select("day").distinct().alias("s"))
+    a = active.alias("a")
+    wau = (
+        a.join(
+            spine,
+            (F.col("a.day") <= F.col("s.day"))
+            & (
+                F.col("a.day")
+                >= F.date_sub(F.col("s.day"), STICKY_WINDOW_DAYS - 1)
+            ),
+        )
+        .groupBy(F.col("s.day").alias("day"))
+        .agg(F.count_distinct("a.user_id").alias("wau"))
+    )
+    dau = active.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

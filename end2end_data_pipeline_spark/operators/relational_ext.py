@@ -11,7 +11,7 @@ first shuffle spreads a hot key over N reducers).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.registry import query
@@ -622,4 +622,87 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.select(F.explode(struct_arr).alias("p"))
         .select("p.col", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_v", "p.max_v")
         .orderBy("col")
+    )
+
+
+RFM_TILES = 5
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT o_custkey, frequency, monetary_cents,
+             ntile({RFM_TILES}) OVER (ORDER BY last_order DESC, o_custkey)
+               AS r_tile,
+             ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, o_custkey)
+               AS f_tile,
+             ntile({RFM_TILES}) OVER (ORDER BY monetary_cents DESC, o_custkey)
+               AS m_tile
+      FROM rfm
+    )
+    SELECT CAST(r_tile AS INT) AS r_tile,
+           CAST(f_tile AS INT) AS f_tile,
+           CAST(m_tile AS INT) AS m_tile,
+           count(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM tiled
+    GROUP BY r_tile, f_tile, m_tile
+    ORDER BY r_tile, f_tile, m_tile
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    quintile each customer on last order date, order count, and exact
+    lifetime spend, then roll up the {RFM_TILES}^3 segment grid — the
+    classic marketing-analytics cube. Money is summed in exact integer
+    cents (round(price*100)) so both engines agree bit-for-bit; ntile
+    runs over a TOTAL order (metric + custkey tie-break), which makes
+    tile assignment deterministic.
+
+    Scale: one shuffle keyed on o_custkey with map-side partials; the
+    three global ntile windows sort the per-customer table (O(customers),
+    not O(orders)) — at 100 TB swap the global sort for percentile-
+    bucketed tiles if customers outgrow a single window partition
+    (documented trade; the 125-cell rollup itself is trivial)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    tiled = rfm.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .alias("r_tile"),
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_tile"),
+        F.ntile(RFM_TILES)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .alias("m_tile"),
+    )
+    return (
+        tiled.groupBy(
+            F.col("r_tile").cast("int").alias("r_tile"),
+            F.col("f_tile").cast("int").alias("f_tile"),
+            F.col("m_tile").cast("int").alias("m_tile"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
     )

@@ -61,6 +61,11 @@ WAIVERS: dict[str, str] = {
     # join is an O(queries x k) broadcast equi-join.
     "ann_recall_eval": "bnlj-over-two-scans",
     "knn_label_confusion": "bnlj-over-two-scans",
+    # WAU band join: the broadcast side is the O(|days|) date spine and
+    # the range condition fans each (user, day) row into at most 7
+    # spine days — a bounded-expansion broadcast band join, not a
+    # quadratic surface.
+    "user_stickiness_daily": "bnlj-over-two-scans",
     # IVF coarse quantizer: every vector scores against the N_IVF_CELLS
     # (=16) broadcast centroids — an intentional O(n x K) broadcast
     # cross join; the corpus side never shuffles.
