@@ -706,3 +706,116 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+@query(
+    "customer_rfm_segments_bucketed",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             datediff('day', DATE '1970-01-01', MAX(o_orderdate))
+               AS last_order_days,
+             count(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), bounds AS (
+      SELECT quantile_cont(last_order_days, 0.2) AS r1,
+             quantile_cont(last_order_days, 0.4) AS r2,
+             quantile_cont(last_order_days, 0.6) AS r3,
+             quantile_cont(last_order_days, 0.8) AS r4,
+             quantile_cont(frequency, 0.2) AS f1,
+             quantile_cont(frequency, 0.4) AS f2,
+             quantile_cont(frequency, 0.6) AS f3,
+             quantile_cont(frequency, 0.8) AS f4,
+             quantile_cont(monetary_cents, 0.2) AS m1,
+             quantile_cont(monetary_cents, 0.4) AS m2,
+             quantile_cont(monetary_cents, 0.6) AS m3,
+             quantile_cont(monetary_cents, 0.8) AS m4
+      FROM rfm
+    ), tiled AS (
+      SELECT o_custkey, monetary_cents,
+             1 + CAST(last_order_days > r1 AS INT)
+               + CAST(last_order_days > r2 AS INT)
+               + CAST(last_order_days > r3 AS INT)
+               + CAST(last_order_days > r4 AS INT) AS r_bucket,
+             1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+               + CAST(frequency > f3 AS INT) + CAST(frequency > f4 AS INT)
+               AS f_bucket,
+             1 + CAST(monetary_cents > m1 AS INT)
+               + CAST(monetary_cents > m2 AS INT)
+               + CAST(monetary_cents > m3 AS INT)
+               + CAST(monetary_cents > m4 AS INT) AS m_bucket
+      FROM rfm CROSS JOIN bounds
+    )
+    SELECT CAST(r_bucket AS INT) AS r_bucket,
+           CAST(f_bucket AS INT) AS f_bucket,
+           CAST(m_bucket AS INT) AS m_bucket,
+           count(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM tiled
+    GROUP BY r_bucket, f_bucket, m_bucket
+    ORDER BY r_bucket, f_bucket, m_bucket
+    """,
+)
+def customer_rfm_segments_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB-safe RFM variant: instead of three global ntile
+    sorts over all customers (a single-partition window at scale),
+    compute the four quintile BOUNDARIES per metric once (one tiny
+    all-to-one aggregate) and assign buckets by comparison — a
+    per-row expression the scan evaluates, no global sort anywhere.
+    Boundary ties go to the lower bucket (strict >), so bucket
+    population can deviate from exact ntile on tied metrics — the
+    standard, documented trade of the scalable form. Same exact
+    integer-cent money math as customer_rfm_segments.
+
+    Scale: one o_custkey-keyed shuffle; the boundary row (12 doubles)
+    cross-joins back as a 1-row broadcast (the scalar-subquery attach
+    pattern, waived BNLJ)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .alias("last_order_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    bounds = rfm.agg(
+        *[
+            F.expr(f"percentile({m}, {p})").alias(f"{a}{i}")
+            for m, a in (
+                ("last_order_days", "r"),
+                ("frequency", "f"),
+                ("monetary_cents", "m"),
+            )
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    def bucket(metric: str, a: str):
+        e = F.lit(1)
+        for i in (1, 2, 3, 4):
+            e = e + (F.col(metric) > F.col(f"{a}{i}")).cast("int")
+        return e
+
+    tiled = rfm.join(F.broadcast(bounds)).select(
+        "o_custkey",
+        "monetary_cents",
+        bucket("last_order_days", "r").alias("r_bucket"),
+        bucket("frequency", "f").alias("f_bucket"),
+        bucket("monetary_cents", "m").alias("m_bucket"),
+    )
+    return (
+        tiled.groupBy(
+            F.col("r_bucket").cast("int").alias("r_bucket"),
+            F.col("f_bucket").cast("int").alias("f_bucket"),
+            F.col("m_bucket").cast("int").alias("m_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )

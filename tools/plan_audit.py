@@ -76,6 +76,7 @@ WAIVERS: dict[str, str] = {
     # onto the distributed side) — the standard way to apply a global
     # total/max without collecting to the driver; nothing large moves.
     "q22_dormant_high_balance": "bnlj-over-two-scans",
+    "customer_rfm_segments_bucketed": "bnlj-over-two-scans",
     "source_mix_rebalance": "bnlj-over-two-scans",
     "nation_trade_pagerank": "bnlj-over-two-scans",
 }
