@@ -817,3 +817,85 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "containment")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- LSH band-bucket diagnostics ------------------------------------
+
+BAND_STAT_TOP = 20
+
+
+@query(
+    "dedup_band_stats",
+    oracle=_signatures_sql(th.DUCK)
+    + f""", buckets AS (
+      SELECT band_id, band_key, count(*) AS bucket_size
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, {_band_key(b, th.DUCK)} AS band_key FROM sigs"
+            for b in range(N_BANDS)
+        )}
+      )
+      GROUP BY band_id, band_key
+    )
+    SELECT CAST(band_id AS INT) AS band_id,
+           count(*) AS n_buckets,
+           CAST(MAX(bucket_size) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_colliding,
+           CAST(SUM(CASE WHEN bucket_size > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_cap,
+           CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT)
+             AS candidate_pairs
+    FROM buckets
+    GROUP BY band_id ORDER BY band_id
+    """,
+)
+def dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket health check: per band, how many buckets exist,
+    the hottest bucket, how many buckets actually collide (produce
+    candidates), how many exceed LSH_BUCKET_CAP (and are therefore
+    dropped by the capped pair join), and the total candidate-pair
+    volume sum(k*(k-1)/2). This is the 'measure, don't guess' gauge
+    for the quadratic guard the near-dup pipeline relies on at 100 TB
+    — run it on a new corpus BEFORE trusting the cap.
+
+    Scale: one shuffle keyed on (band_id, band_key) with map-side
+    partial counts; the bucket table reduces to N_BANDS rows."""
+    sigs = _signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(_band_key(b, th.SPARK)).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    pairs = (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast(
+        "bigint"
+    )
+    return (
+        buckets.groupBy(F.col("band_id").cast("int").alias("band_id"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("bucket_size").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_colliding"),
+            F.sum(
+                F.when(F.col("bucket_size") > LSH_BUCKET_CAP, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_over_cap"),
+            F.sum(pairs).cast("bigint").alias("candidate_pairs"),
+        )
+        .orderBy("band_id")
+    )

@@ -1051,3 +1051,87 @@ def user_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "event_type_cooccurrence",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n_users AS (
+      SELECT count(DISTINCT user_id) AS n FROM events
+    ), type_counts AS (
+      SELECT event_type, count(*) AS n_type FROM ut GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(ta.n_type AS BIGINT) AS n_a,
+           CAST(tb.n_type AS BIGINT) AS n_b,
+           (p.n_both * u.n) / CAST(ta.n_type * tb.n_type AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN type_counts ta ON ta.event_type = p.type_a
+    JOIN type_counts tb ON tb.event_type = p.type_b
+    CROSS JOIN n_users u
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between event types: for each unordered
+    type pair, how many users perform both, and the lift
+    P(a,b)/(P(a)P(b)) — computed as the exact integer cross-product
+    n_both*n_users over n_a*n_b with ONE final division, so both
+    engines agree bit-for-bit. Complements the (sequential)
+    transition matrix with an order-free association view.
+
+    Scale: the basket set collapses to distinct (user, type) first —
+    the only pass over raw events; the self-join fans each user into
+    at most |types|-choose-2 pairs (a planner-visible constant for a
+    bounded type vocabulary), and the per-type counts broadcast onto
+    the O(|types|^2) pair table."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.count_distinct("user_id").alias("n"))
+    type_counts = ut.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = type_counts.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    tb = type_counts.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                (F.col("n_both") * F.col("n"))
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -77,6 +77,7 @@ WAIVERS: dict[str, str] = {
     # total/max without collecting to the driver; nothing large moves.
     "q22_dormant_high_balance": "bnlj-over-two-scans",
     "customer_rfm_segments_bucketed": "bnlj-over-two-scans",
+    "event_type_cooccurrence": "bnlj-over-two-scans",
     "source_mix_rebalance": "bnlj-over-two-scans",
     "nation_trade_pagerank": "bnlj-over-two-scans",
 }
