@@ -617,3 +617,47 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT order_month, total_cents,
+           CAST(lag(total_cents) OVER (ORDER BY order_month) AS BIGINT)
+             AS prev_cents,
+           (total_cents - lag(total_cents) OVER (ORDER BY order_month))
+             / CAST(lag(total_cents) OVER (ORDER BY order_month) AS DOUBLE)
+             AS mom_growth
+    FROM monthly ORDER BY order_month
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the monthly rollup (exact
+    integer cents) with a lag window and one growth division — NULL on
+    the first month, as the oracle's lag semantics dictate.
+
+    Scale: the window runs over the O(|months|) rollup, not the fact
+    table — a single-partition sort of a tiny aggregate is the correct
+    plan at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "order_month"
+        )
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
+    w = Window.orderBy("order_month")
+    prev = F.lag("total_cents").over(w)
+    return monthly.select(
+        "order_month",
+        "total_cents",
+        prev.cast("bigint").alias("prev_cents"),
+        ((F.col("total_cents") - prev) / prev.cast("double")).alias(
+            "mom_growth"
+        ),
+    ).orderBy("order_month")
