@@ -140,12 +140,16 @@ def main() -> None:
         # contention in any future round.
         "tasks": tasks,
     }
-    # The full record (33 timings + 33 task counts, ~2.7 kB) outgrows
+    # The full record (38 timings + 38 task counts, ~2.7 kB) outgrows
     # the driver's tail capture, which truncated BENCH_r03/r04 to
     # unparseable fragments. Persist it to a file for forensics and
     # keep the final stdout line compact (<1.5 kB): total + the 5
-    # slowest queries with their task fingerprints.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # slowest queries with their task fingerprints. The output file is
+    # gitignored so benchmark runs never dirty the checkout; round
+    # snapshots are committed deliberately (cp to BENCH_FULL.json).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.latest.json"
+    )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
@@ -159,7 +163,7 @@ def main() -> None:
         "sf": full["sf"],
         "env": env,
         "tasks": {k: tasks[k] for k in slowest},
-        "full_record": "BENCH_FULL.json",
+        "full_record": "BENCH_FULL.latest.json",
     }
     print(json.dumps(compact))
     spark.stop()

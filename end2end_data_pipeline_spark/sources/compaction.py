@@ -57,6 +57,16 @@ def _swap_paths(part_dir: str) -> tuple[str, str]:
     )
 
 
+def _check_no_leftovers(paths: tuple[str, ...], context: str) -> None:
+    leftovers = sorted(p for p in paths if os.path.exists(p))
+    if leftovers:
+        raise RuntimeError(
+            f"leftover compaction staging dirs for {context!r}: {leftovers}; "
+            "a prior compaction crashed mid-swap — they hold a superseded "
+            "or partial copy, so inspect and remove before rerunning"
+        )
+
+
 def compact_partition(
     spark: SparkSession,
     part_dir: str,
@@ -66,7 +76,11 @@ def compact_partition(
     """Rewrite one partition directory to ``ceil(bytes/target)`` files
     (staging write + atomic directory swap). Returns the resulting
     file count; a no-op (returns current count) when the partition is
-    already at or below the target count."""
+    already at or below the target count. Fails fast on leftover
+    ``._compact_*`` siblings from a crashed prior run (same contract
+    as ``compact_warehouse``, so direct callers get the curated error
+    instead of a raw ENOTEMPTY from ``os.rename``)."""
+    _check_no_leftovers(_swap_paths(part_dir), part_dir)
     n_files, _, n_target = plan_compaction(part_dir, target_bytes)
     if n_target >= n_files:
         return n_files

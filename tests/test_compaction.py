@@ -102,3 +102,10 @@ def test_staging_dirs_invisible_to_partition_discovery(spark, tmp_path):
     # and a rerun fails fast instead of silently discarding a copy
     with pytest.raises(RuntimeError, match="_compact_"):
         compact_warehouse(spark, root, target_bytes=1)
+
+    # a DIRECT compact_partition call on the crashed partition gets the
+    # same curated fail-fast (not a raw ENOTEMPTY mid-swap)
+    from end2end_data_pipeline_spark.sources.compaction import compact_partition
+
+    with pytest.raises(RuntimeError, match="_compact_"):
+        compact_partition(spark, p, target_bytes=1)

@@ -42,17 +42,26 @@ def test_oracle_output_types_driver_safe(name, con):
 
 
 def test_checked_window_contract():
-    """The driver value-checks only the first 50 registered queries.
-    Guarantee that window is fully provable: 50 unique names, every
-    one oracle-paired, registration order actually honors the
-    maintained window, and the core operator families are represented.
-    The family map must be re-aligned whenever CHECKED_FIRST rotates
-    (it asserts the CURRENT window, not a historical one)."""
-    ordered = list(QUERIES)
-    window = ordered[:50]
-    assert window == entrymod.CHECKED_FIRST
-    assert len(set(window)) == 50
-    assert all(n in ORACLE for n in window)
+    """The driver value-checks only the first 50 of ``queries()``.
+    ``queries()`` is constructed FROM ``CHECKED_FIRST``, so comparing
+    the two would be tautological (r5 ADVICE); assert the independent
+    invariants instead: the window is 50 unique, registered,
+    oracle-paired names; ``queries()`` loses no registered query while
+    reordering; and the core operator families are represented. The
+    family map must be re-aligned whenever CHECKED_FIRST rotates (it
+    asserts the CURRENT window, not a historical one)."""
+    window = entrymod.CHECKED_FIRST
+    assert len(window) == len(set(window)) == 50
+    missing = [n for n in window if n not in QUERIES]
+    assert not missing, missing
+    unoracled = [n for n in window if n not in ORACLE]
+    assert not unoracled, unoracled
+    # the driver-visible dict must cover the whole registry exactly
+    from end2end_data_pipeline_spark.registry import QUERIES as RAW
+
+    assert list(QUERIES)[: len(window)] == window
+    assert set(QUERIES) == set(RAW)
+    assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
         "dedup_": "dedup",
         "event_": "event analytics",
