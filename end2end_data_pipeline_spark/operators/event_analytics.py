@@ -386,18 +386,10 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_cardinality")  # no oracle: HLL sketch internals
-# are engine-specific (Spark HyperLogLog++ vs DuckDB's approx_distinct
-# implementation differ by design); accuracy is golden-tested against
-# the exact distinct count in tests/test_sketches.py instead.
-def events_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch cardinality: HyperLogLog++ distinct users per
-    event type next to the exact count. At 100 TB the exact
-    count_distinct expands every (type, user) pair through the shuffle;
-    the HLL sketch is fixed-size per group, combines map-side, and is
-    the only form that stays one-pass when the group count explodes —
-    the SCALE.md 'sketches replace exact where the consumer tolerates
-    error' path, materialized."""
+def approx_cardinality_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch next to the exact count, per event type — the raw
+    comparison surface for the accuracy golden tests
+    (tests/test_sketches.py)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -407,6 +399,47 @@ def events_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "events_approx_cardinality",
+    # The sketch VALUE is engine-specific (Spark HyperLogLog++ vs
+    # DuckDB approx_distinct differ by design), so the oracle checks
+    # the sketch's CONTRACT instead: the query emits the exact answer
+    # plus an integer within-10%-of-exact flag computed from the HLL
+    # estimate (rsd=0.02 -> 3-sigma ~6%; 10% is the documented bound,
+    # integer arithmetic so the hash is bit-stable); the oracle emits
+    # the exact answer and literal 1. A broken sketch (off by orders
+    # of magnitude) flips the flag and hash-FAILs at the driver.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           CAST(1 AS INT) AS hll_within_10pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality: HyperLogLog++ distinct users per
+    event type, driver-checked against the exact count via an integer
+    tolerance flag. At 100 TB the exact count_distinct expands every
+    (type, user) pair through the shuffle; the HLL sketch is fixed-size
+    per group, combines map-side, and is the only form that stays
+    one-pass when the group count explodes — the SCALE.md 'sketches
+    replace exact where the consumer tolerates error' path,
+    materialized (the exact column exists here only to be checkable;
+    the production form drops it)."""
+    d = approx_cardinality_detail(spark, sf_dir)
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users")) * F.lit(10)
+        <= F.col("exact_users")
+    )
+    return d.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        within.cast("int").alias("hll_within_10pct"),
     )
 
 
@@ -711,34 +744,88 @@ def event_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registered WITHOUT an oracle by design (like events_approx_cardinality):
-# approx_percentile is a sketch whose internals are engine-specific, so
-# there is no cross-engine value identity to assert. Accuracy is
-# golden-tested against the exact percentiles within rank tolerance in
-# tests/test_sketches.py; the driver records a rows-only check, outside
-# the 50-slot window.
-@query("events_approx_quantiles")
-def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketch beside the exact answer: p50/p95/p99
-    of event value per type via approx_percentile next to exact
-    percentile. At 100 TB the exact form needs a full sort (or a
-    per-group collect) — the sketch is fixed-size per group, combines
-    map-side, and is the only one-pass option; the SCALE.md sketch
-    policy, quantile edition."""
+def approx_quantiles_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (event_type, quantile) with the approx_percentile
+    sample value — the raw surface for the accuracy golden tests and
+    the flag computation below. accuracy=10000 -> rank error 1e-4."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.expr(
-                "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
-            ).alias("approx_pcts"),
-            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias(
-                "exact_pcts"
-            ),
-            F.count("*").alias("n_events"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias(
+            "approx_pcts"
+        ),
+        F.count("value").alias("n_values"),
     )
+    return agg.select(
+        "event_type",
+        "n_values",
+        F.posexplode("approx_pcts").alias("pos", "approx_value"),
+    ).select(
+        "event_type",
+        F.element_at(
+            F.array(F.lit("p50"), F.lit("p95"), F.lit("p99")), F.col("pos") + 1
+        ).alias("quantile"),
+        (
+            F.element_at(F.array(F.lit(50), F.lit(95), F.lit(99)), F.col("pos") + 1)
+        ).alias("pct"),
+        "approx_value",
+        "n_values",
+    )
+
+
+@query(
+    "events_approx_quantiles",
+    # approx_percentile's guarantee is on RANK, not value (it returns
+    # an actual sample; exact percentile interpolates), and its
+    # internals are engine-specific — so the oracle checks the
+    # contract: the query re-ranks each sketch value against the data
+    # and emits an integer within-2%-rank flag (ties handled by using
+    # <= for the lower bound and < for the upper); the oracle emits
+    # literal 1. Integer arithmetic throughout -> bit-stable hash.
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(count(value) AS BIGINT) AS n_values
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, quantile, n_values, CAST(1 AS INT) AS rank_ok
+    FROM t CROSS JOIN (VALUES ('p50'), ('p95'), ('p99')) AS q(quantile)
+    ORDER BY event_type, quantile
+    """,
+)
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with a driver-checkable accuracy
+    contract: p50/p95/p99 of event value per type via approx_percentile,
+    each sample re-ranked against the data and flagged if its rank is
+    within 2% of the target. At 100 TB the exact form needs a full sort
+    (or a per-group collect) — the sketch is fixed-size per group,
+    combines map-side, and is the only one-pass option; the SCALE.md
+    sketch policy, quantile edition. The re-rank pass is a broadcast
+    join of the O(types x 3) sketch values against the fact followed by
+    a partial-agg count — itself the scale-correct verification shape."""
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    d = approx_quantiles_detail(spark, sf_dir)
+    vals = ev.select("event_type", "value").where(F.col("value").isNotNull())
+    joined = vals.join(broadcast(d), "event_type")
+    ranked = joined.groupBy("event_type", "quantile", "pct", "n_values").agg(
+        F.sum((F.col("value") <= F.col("approx_value")).cast("bigint")).alias(
+            "cnt_le"
+        ),
+        F.sum((F.col("value") < F.col("approx_value")).cast("bigint")).alias(
+            "cnt_lt"
+        ),
+    )
+    n = F.col("n_values")
+    ok = (
+        (F.col("cnt_le") * 100 >= (F.col("pct") - 2) * n)
+        & (F.col("cnt_lt") * 100 <= (F.col("pct") + 2) * n + 100)
+    )
+    return ranked.select(
+        "event_type",
+        "quantile",
+        "n_values",
+        ok.cast("int").alias("rank_ok"),
+    ).orderBy("event_type", "quantile")
 
 
 @query(

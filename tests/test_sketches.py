@@ -1,18 +1,24 @@
-"""Accuracy gate for sketch-based operators (no DuckDB oracle — sketch
-internals are engine-specific, so correctness is a tolerance check
-against the exact answer computed in the same plan)."""
+"""Accuracy gate for sketch-based operators. The registered queries
+(`events_approx_cardinality` / `events_approx_quantiles`) emit
+integer tolerance flags the DuckDB oracle value-checks; these tests
+exercise the raw detail surfaces (sketch value next to exact) so a
+sketch that drifts INSIDE the flag bound is still observed, and
+assert the registered flags are all-green."""
 
 from __future__ import annotations
 
 from end2end_data_pipeline_spark.operators.event_analytics import (
+    approx_cardinality_detail,
+    approx_quantiles_detail,
     events_approx_cardinality,
+    events_approx_quantiles,
 )
 
 SF = "/root/testdata/sf0.001"
 
 
 def test_hll_within_tolerance(spark):
-    rows = events_approx_cardinality(spark, SF).collect()
+    rows = approx_cardinality_detail(spark, SF).collect()
     assert rows, "expected one row per event type"
     for r in rows:
         assert r.exact_users > 0
@@ -23,9 +29,14 @@ def test_hll_within_tolerance(spark):
 
 
 def test_hll_deterministic(spark):
-    a = events_approx_cardinality(spark, SF).collect()
-    b = events_approx_cardinality(spark, SF).collect()
+    a = approx_cardinality_detail(spark, SF).collect()
+    b = approx_cardinality_detail(spark, SF).collect()
     assert a == b
+
+
+def test_registered_cardinality_flags_green(spark):
+    rows = events_approx_cardinality(spark, SF).collect()
+    assert rows and all(r.hll_within_10pct == 1 for r in rows)
 
 
 def test_approx_quantiles_within_rank_tolerance(spark):
@@ -35,29 +46,33 @@ def test_approx_quantiles_within_rank_tolerance(spark):
     small heavy-tailed group the two VALUES legitimately diverge. So
     assert the real contract: the fraction of rows <= each approx
     value must be within 2% of the requested percentile."""
-    import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
 
     from end2end_data_pipeline_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
-    df = entrymod.queries()["events_approx_quantiles"](spark, sf)
-    ev = load_table(spark, sf, "events").select("event_type", "value").cache()
+    detail = approx_quantiles_detail(spark, SF).collect()
+    assert len(detail) >= 3
+    ev = load_table(spark, SF, "events").select("event_type", "value").cache()
     try:
-        for row in df.collect():
-            assert len(row.approx_pcts) == 3
-            n = row.n_events
-            for p, a in zip((0.5, 0.95, 0.99), row.approx_pcts):
-                at_or_below = ev.where(
-                    (F.col("event_type") == row.event_type)
-                    & (F.col("value") <= a)
-                ).count()
-                rank_frac = at_or_below / n
-                assert p - 0.02 <= rank_frac <= p + 0.02 + 1.0 / n, (
-                    row.event_type,
-                    p,
-                    a,
-                    rank_frac,
-                )
+        for row in detail:
+            p = row.pct / 100.0
+            n = row.n_values
+            at_or_below = ev.where(
+                (F.col("event_type") == row.event_type)
+                & (F.col("value") <= row.approx_value)
+            ).count()
+            rank_frac = at_or_below / n
+            assert p - 0.02 <= rank_frac <= p + 0.02 + 1.0 / n, (
+                row.event_type,
+                p,
+                row.approx_value,
+                rank_frac,
+            )
     finally:
         ev.unpersist()
+
+
+def test_registered_quantile_flags_green(spark):
+    rows = events_approx_quantiles(spark, SF).collect()
+    assert len(rows) >= 3
+    assert all(r.rank_ok == 1 for r in rows)
