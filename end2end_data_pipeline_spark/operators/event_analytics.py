@@ -1141,6 +1141,41 @@ def user_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "first_seen_users_batch",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('microseconds', min(ts)),
+                    '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def first_seen_users_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming new-entity detector
+    (``streaming/stateful.py:first_seen_users``): one row per user with
+    their earliest event time, via plain groupBy-min — the same
+    first-seen basis ``user_retention_cohorts`` builds internally, now
+    driver-checkable so the first-seen family has an oracle-paired
+    anchor. ``tests/test_stateful_streaming.py`` asserts the streaming
+    operator's output matches this basis on in-order sources (and
+    documents the at-first-batch divergence on out-of-order ones).
+
+    Scale: partial-agg min on the fact scan, state O(|users|) — the
+    cheapest possible shape for this answer."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("ts_min"))
+        .select(
+            "user_id",
+            F.date_format("ts_min", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_ts"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "event_type_cooccurrence",
     oracle="""
     WITH ut AS (

@@ -144,6 +144,17 @@ def first_seen_users(
     tables (``user_retention_cohorts`` builds the same first-seen basis
     in batch via groupBy-min).
 
+    AT-FIRST-BATCH contract: the emitted first_ts is the minimum
+    within the first micro-batch the user appears in. An earlier event
+    arriving in a LATER micro-batch does not revise the emitted row
+    (the state flag suppresses re-emission), so on out-of-order
+    sources this can disagree with the batch basis — pinned by
+    ``tests/test_stateful_streaming.py::
+    test_first_seen_multibatch_out_of_order_semantics``. Deployments
+    needing exact minima under disorder should pair the watermark with
+    a trigger that closes a user's events into one batch (or move to
+    ``transformWithState`` timers and emit on watermark expiry).
+
     Scale posture: state is ONE flag per user key (bounded by |users|),
     shuffled once on user_id; the Python hop is Arrow-batched per
     group. Within a micro-batch only the group min is taken, so chunk

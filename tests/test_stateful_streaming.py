@@ -171,6 +171,45 @@ def test_first_seen_stream_matches_batch(spark, tmp_path, streak_events):
     assert got == expect
 
 
+def test_first_seen_multibatch_out_of_order_semantics(spark, tmp_path):
+    """AT-FIRST-BATCH contract (r5 ADVICE): the emitted first_ts is the
+    minimum within the FIRST micro-batch a user appears in. An earlier
+    event for that user arriving in a LATER micro-batch does NOT revise
+    the emitted row (the state flag suppresses re-emission), so on
+    out-of-order sources the streaming answer can legitimately disagree
+    with the batch groupBy-min basis — deployments that need exact
+    minima must pair a watermark with a trigger that closes a user's
+    events into one batch. This test pins that documented divergence."""
+    from end2end_data_pipeline_spark.streaming.stateful import first_seen_users
+
+    src = tmp_path / "fs3_src"
+    src.mkdir()
+    late = _mk(100, "u7", "SUCCESS")   # ts = base + 100s
+    early = _mk(50, "u7", "SUCCESS")   # ts = base + 50s (earlier!)
+    spark.createDataFrame([late], EVENT_SCHEMA).write.parquet(str(src / "b1"))
+    spark.createDataFrame([early], EVENT_SCHEMA).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        first_seen_users(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fs3_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("first_seen_ooo").collect()
+    # exactly one emission, carrying batch-1's (later) timestamp — NOT
+    # the global minimum from the out-of-order batch 2
+    assert [(r.user_id, r.first_ts) for r in rows] == [("u7", late[4])]
+
+
 def test_first_seen_suppresses_across_restarts(spark, tmp_path, streak_events):
     """A second availableNow run over the same checkpoint emits only
     genuinely new users — the state store is the dedup authority."""
