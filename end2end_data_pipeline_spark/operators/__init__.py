@@ -2,6 +2,7 @@
 ``end2end_data_pipeline_spark.registry``."""
 
 from end2end_data_pipeline_spark.operators import (  # noqa: F401
+    bucketed,
     corpus_ops,
     dedup,
     event_analytics,

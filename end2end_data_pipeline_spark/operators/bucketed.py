@@ -1,0 +1,111 @@
+"""Bucketed-table execution path, exercised end-to-end (SCALE.md's #1
+"what we'd add first on a real cluster", driver-checkable edition).
+
+``sources/bucketing.py`` can write orders/lineitem co-bucketed on the
+order key; this module REGISTERS a query that runs the TPC-H Q3 shape
+over those bucketed tables, so the shuffle-elimination claim is proven
+three ways:
+
+- correctness: same DuckDB oracle as ``q3_shipping_priority`` — the
+  bucketed layout must not change a single value;
+- plan: ``tests/test_bucketing.py`` asserts the executed plan joins
+  the two facts with ZERO Exchange on the join keys (broadcast
+  disabled, so it is the bucket co-location doing the work, not a
+  small-table shortcut);
+- lifecycle: the bucketed tables are materialized here, through the
+  same write path a production job would run.
+
+The bucketed copy is materialized once per (SparkSession, sf_dir)
+into the system temp dir and cached in the session catalog; repeat
+calls reuse it. At 100 TB this one-time write is the amortized
+investment that removes BOTH shuffle sides from every subsequent
+equi-join on the order key (the orders⋈lineitem family here runs in
+several registered queries) — the bucket count would be sized at
+~(table_bytes / 1 GB), not the test-scale 8.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end2end_data_pipeline_spark.operators import tpch_like  # noqa: F401
+from end2end_data_pipeline_spark.registry import ORACLE, query
+from end2end_data_pipeline_spark.sources.bucketing import (
+    cobucket_orders_lineitem,
+)
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+# (applicationId, abs sf_dir) -> (orders_table, lineitem_table)
+_BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def bucketed_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Catalog names of the co-bucketed orders/lineitem copies for
+    ``sf_dir``, materializing them on first use in this session."""
+    sf_abs = os.path.abspath(sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_abs)
+    cached = _BUCKETED.get(key)
+    if cached and all(spark.catalog.tableExists(t) for t in cached):
+        return cached
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_abs))
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bucketed", app_id, tag
+    )
+    names = cobucket_orders_lineitem(
+        spark, sf_dir, out, prefix=f"bkt_{tag}"
+    )
+    _BUCKETED[key] = names
+    return names
+
+
+@query(
+    "q3_shipping_priority_bucketed",
+    # IDENTICAL oracle to the plain-parquet twin: bucketing is a
+    # physical layout choice and must be value-invisible.
+    oracle=ORACLE["q3_shipping_priority"],
+)
+def q3_shipping_priority_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q3 over co-bucketed orders/lineitem: same logical plan as
+    ``q3_shipping_priority`` (tpch_like.py), but the fact-fact join
+    reads matching buckets pairwise instead of shuffling both sides —
+    and because the group keys include the bucket key, the aggregation
+    re-uses the same partitioning too (no exchange anywhere between
+    scan and top-N). ``tests/test_bucketing.py::
+    test_bucketed_q3_twin_runs_without_join_exchange`` asserts that
+    plan shape mechanically."""
+    o_name, l_name = bucketed_orders_lineitem(spark, sf_dir)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = spark.table(o_name).where(F.col("o_orderdate") < "1997-01-01")
+    li = spark.table(l_name).where(F.col("l_shipdate") > "1997-01-01")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    building_orders = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        li.join(building_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select("o_orderkey", "revenue_cents", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_cents").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -82,3 +82,35 @@ def test_bucketed_and_plain_agree(spark, bucketed_tables):
         load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
     ).collect()
     assert sorted(map(tuple, bucketed)) == sorted(map(tuple, plain))
+
+
+def test_bucketed_q3_twin_runs_without_join_exchange(spark, no_broadcast):
+    """The registered q3 twin (operators/bucketed.py) must plan with
+    ZERO hash exchanges end-to-end: the fact-fact join reads matching
+    buckets pairwise, and the aggregate's group keys include the
+    bucket key so it inherits the same partitioning. Broadcast is
+    disabled, so only the explicit customer-side hint broadcasts —
+    the shuffle elimination is the bucket layout's doing."""
+    from end2end_data_pipeline_spark.operators.bucketed import (
+        q3_shipping_priority_bucketed,
+    )
+
+    df = q3_shipping_priority_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert _join_key_exchanges(plan) == 0
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_bucketed_q3_twin_matches_plain(spark):
+    from end2end_data_pipeline_spark.operators.bucketed import (
+        q3_shipping_priority_bucketed,
+    )
+    from end2end_data_pipeline_spark.operators.tpch_like import (
+        q3_shipping_priority,
+    )
+
+    twin = q3_shipping_priority_bucketed(spark, SF).collect()
+    plain = q3_shipping_priority(spark, SF).collect()
+    assert list(map(tuple, twin)) == list(map(tuple, plain))
