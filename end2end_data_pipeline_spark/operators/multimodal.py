@@ -2,17 +2,18 @@
 columns with typed metadata, plus the Pandas-UDF decode/feature path
 (BASELINE.json north star).
 
-The decode step is ONE code path with an optional dependency: when
-PIL imports, ``decode_features``/``resize_payload`` decode real image
-bytes (format, dimensions, bands, mean luminance / raw grayscale
-thumbnails); bytes PIL cannot parse — including this fixture's
-synthetic text payloads, and every payload in this PIL-less container
-— fall back to a deterministic sha256-derived stub that the DuckDB
-oracle reproduces exactly. So the oracle stays green with or without
-the dependency, and the real path is golden-tested whenever PIL
-exists (tests/test_multimodal.py). The Spark-side plumbing — binary
-columns, Arrow-batched ``mapInPandas``, explicit output schema,
-partition-preserving batch iteration — is identical either way.
+The decode step is ONE code path with tiered decoders: PIL when it
+imports; a pure-stdlib baseline-PNG codec (``functions/png_min.py``)
+for PNG payloads when PIL is absent — so real image decode works even
+in this imageless container and is golden-tested everywhere, no
+skips; and for bytes neither tier can parse — including this
+fixture's synthetic text payloads — a deterministic sha256-derived
+stub that the DuckDB oracle reproduces exactly. So the oracle stays
+green regardless of installed libraries, and the real path is always
+under test (tests/test_multimodal.py). The Spark-side plumbing —
+binary columns, Arrow-batched ``mapInPandas``, explicit output
+schema, partition-preserving batch iteration — is identical in every
+tier.
 
 Scale notes: payload bytes ride in the row (parquet binary columns are
 page-compressed and column-pruned away by any query not selecting
@@ -40,6 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from end2end_data_pipeline_spark.functions import png_min
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import load_table
@@ -126,11 +128,25 @@ def _decode_real(payload: bytes) -> dict:
     }
 
 
+def _decode_png_min(payload: bytes) -> dict:
+    """PIL-less real decode for baseline PNGs via the pure-stdlib
+    codec: true dimensions/bands and the same ITU-R 601-2 mean-luma
+    rendering as the PIL tier."""
+    w, h, mode, pixels = png_min.decode_png(payload)
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "n_channels": len(mode),
+        "mean_luma": png_min.luma(pixels, mode),
+    }
+
+
 def decode_features(payload: bytes) -> dict:
-    """ONE decode path: try the real decoder when PIL is importable,
-    fall back to the deterministic stub for bytes PIL cannot parse
-    (including this fixture's text payloads — so the stub oracle stays
-    green even on a machine where PIL exists)."""
+    """ONE decode path, tiered: PIL when importable; the stdlib
+    baseline-PNG codec for PNGs otherwise; the deterministic stub for
+    bytes neither can parse (including this fixture's text payloads —
+    so the stub oracle stays green on any machine)."""
     if _HAS_PIL:
         try:
             return _decode_real(payload)
@@ -140,6 +156,11 @@ def decode_features(payload: bytes) -> dict:
             # (decompression) or SyntaxError (PIL's PNG plugin raises
             # it for bad headers) — any undecodable byte string falls
             # back to the stub instead of crashing the task
+            pass
+    else:
+        try:
+            return _decode_png_min(payload)
+        except ValueError:
             pass
     return _decode_stub(payload)
 
@@ -224,9 +245,11 @@ def _resize_stub(payload: bytes, target: tuple[int, int]) -> bytes:
 
 
 def resize_payload(payload: bytes, target: tuple[int, int]) -> bytes:
-    """ONE resize path: real grayscale thumbnail (w*h raw bytes) when
-    PIL can parse the payload, the deterministic stub otherwise —
-    both emit exactly ``target[0] * target[1]`` bytes."""
+    """ONE resize path, tiered like ``decode_features``: PIL grayscale
+    thumbnail when PIL parses the payload; stdlib PNG decode +
+    nearest-neighbor grayscale resize for PNGs otherwise; the
+    deterministic stub for everything else — every tier emits exactly
+    ``target[0] * target[1]`` bytes."""
     if _HAS_PIL:
         try:
             import io
@@ -236,6 +259,14 @@ def resize_payload(payload: bytes, target: tuple[int, int]) -> bytes:
             img = Image.open(io.BytesIO(payload))
             return img.convert("L").resize(target).tobytes()
         except OSError:
+            pass
+    else:
+        try:
+            w, h, mode, pixels = png_min.decode_png(payload)
+            return png_min.resize_gray_nearest(
+                png_min.to_gray(pixels, mode), w, h, target
+            )
+        except ValueError:
             pass
     return _resize_stub(payload, target)
 

@@ -116,38 +116,29 @@ def test_dispatch_falls_back_to_stub_on_non_image_bytes():
     )
 
 
-def _pil_or_skip():
-    return pytest.importorskip("PIL.Image", reason="PIL not installed")
-
-
-def test_real_decode_when_pil_present():
-    """Golden test for the real path: a genuine in-memory PNG decodes
-    to its true dimensions/bands, not the stub's hash-derived fakes."""
-    Image = _pil_or_skip()
-    import io
-
+def test_real_decode_of_genuine_png():
+    """Golden test for the real path, tier-agnostic: a genuine PNG
+    decodes to its true dimensions/bands, not the stub's hash-derived
+    fakes — via PIL when installed, via the stdlib baseline-PNG codec
+    otherwise (no skips either way)."""
+    from end2end_data_pipeline_spark.functions.png_min import encode_png
     from end2end_data_pipeline_spark.operators.multimodal import decode_features
 
-    img = Image.new("RGB", (5, 3), color=(120, 200, 10))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    feats = decode_features(buf.getvalue())
+    png = encode_png(5, 3, bytes([120, 200, 10]) * 15, "RGB")
+    feats = decode_features(png)
     assert feats["format"] == "png"
     assert (feats["width"], feats["height"]) == (5, 3)
     assert feats["n_channels"] == 3
-    assert 0 <= feats["mean_luma"] <= 255
+    # constant image: both tiers apply the ITU-R 601-2 weights exactly
+    assert feats["mean_luma"] == (120 * 299 + 200 * 587 + 10 * 114) // 1000
 
 
-def test_real_resize_when_pil_present():
-    Image = _pil_or_skip()
-    import io
-
+def test_real_resize_of_genuine_png():
+    from end2end_data_pipeline_spark.functions.png_min import encode_png
     from end2end_data_pipeline_spark.operators.multimodal import resize_payload
 
-    img = Image.new("L", (100, 40), color=77)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    out = resize_payload(buf.getvalue(), RESIZE_TARGET)
+    png = encode_png(100, 40, bytes([77]) * 4000, "L")
+    out = resize_payload(png, RESIZE_TARGET)
     assert len(out) == RESIZE_TARGET[0] * RESIZE_TARGET[1]
     assert set(out) == {77}  # constant image stays constant through resize
 
