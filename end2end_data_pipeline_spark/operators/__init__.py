@@ -2,6 +2,7 @@
 ``end2end_data_pipeline_spark.registry``."""
 
 from end2end_data_pipeline_spark.operators import (  # noqa: F401
+    affinity,
     bucketed,
     corpus_ops,
     dedup,
@@ -10,6 +11,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     incremental,
     kmeans,
     multimodal,
+    quality,
     relational,
     relational_ext,
     sampling,

@@ -1,0 +1,355 @@
+"""Affinity / co-occurrence operators: session path mining, string
+near-duplicate pairs, market-basket lift, and the embedding-similarity
+threshold sweep — the "what goes with what" family over the event,
+part, and embedding tables.
+
+Shared scale posture: NOTHING here is all-pairs. Pair generation is
+always keyed (session, order, LSH bucket, brand+size block) so the
+candidate count is sum-of-block-squares with bounded or capped
+blocks, never |table|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from end2end_data_pipeline_spark.functions import texthash as th
+from end2end_data_pipeline_spark.functions import vectors as vec
+from end2end_data_pipeline_spark.operators.event_analytics import (
+    SESSION_GAP_MINUTES,
+)
+from end2end_data_pipeline_spark.operators.similarity import (
+    EMB_BUCKET_CAP,
+    _qbase,
+    _qbase_sql,
+)
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+PATH_LEN = 3
+TOP_PATHS = 20
+
+
+@query(
+    "session_top_paths",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w
+                          > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) AS sid FROM gaps
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, sid ORDER BY ts, event_id
+      ) AS rn FROM sess
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {PATH_LEN} GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {TOP_PATHS}
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first {PATH_LEN} event types of
+    each gap-based session (same {GAP}-minute sessionization as
+    ``event_sessionization``), joined into a 'view>click>purchase'
+    path string and ranked by frequency — the sequence-mining staple
+    behind funnel design.
+
+    Scale: one user_id shuffle serves the lag window, the running
+    session index, and the per-session rank; each session then
+    collapses to ONE bounded row (<= {PATH_LEN} types) before the
+    path rollup, whose key space is O(|event_types|^{PATH_LEN}),
+    tiny. The collect_list is bounded at {PATH_LEN} elements by the
+    rank filter — never a whole-session materialization."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "sid", F.sum("new_session").over(w)
+    )
+    wr = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(wr)).where(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(TOP_PATHS)
+    )
+
+
+session_top_paths.__doc__ = session_top_paths.__doc__.replace(
+    "{PATH_LEN}", str(PATH_LEN)
+).replace("{GAP}", str(SESSION_GAP_MINUTES))
+
+TYPO_MAX_DIST = 4
+
+
+@query(
+    "part_name_typo_pairs",
+    oracle=f"""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {TYPO_MAX_DIST}
+    ORDER BY edit_dist, part_a, part_b
+    """,
+)
+def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String near-duplicate detection via blocked edit distance:
+    part-name pairs within {TYPO_MAX_DIST} edits, candidates blocked
+    on (brand, size) equality — the entity-resolution / catalog-dedup
+    primitive (typos, rewordings) that exact-hash dedup misses.
+
+    Scale: the block key turns the O(n²) name-pair space into a
+    sum-of-block-squares equi-join (same discipline as the LSH-banded
+    text dedup); levenshtein is a JVM builtin evaluated only on
+    in-block candidates. Skewed blocks are AQE's skew-join case; a
+    production run adds a block-size cap exactly like
+    ``LSH_BUCKET_CAP``."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        pairs.where(dist <= TYPO_MAX_DIST)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .orderBy("edit_dist", "part_a", "part_b")
+    )
+
+
+part_name_typo_pairs.__doc__ = part_name_typo_pairs.__doc__.replace(
+    "{TYPO_MAX_DIST}", str(TYPO_MAX_DIST)
+)
+
+MIN_SUPPORT = 2
+TOP_PAIRS = 50
+
+
+@query(
+    "part_copurchase_lift",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), tot AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    ), pc AS (
+      SELECT l_partkey, count(*) AS n_ord FROM op GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+           CAST(ca.n_ord AS BIGINT) AS n_a, CAST(cb.n_ord AS BIGINT) AS n_b,
+           CAST(n_both * tot.n_orders AS DOUBLE) / (ca.n_ord * cb.n_ord)
+               AS lift
+    FROM pairs
+    JOIN pc ca ON part_a = ca.l_partkey
+    JOIN pc cb ON part_b = cb.l_partkey
+    CROSS JOIN tot
+    ORDER BY n_both DESC, part_a, part_b LIMIT {TOP_PAIRS}
+    """,
+)
+def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in >=
+    {MIN_SUPPORT} orders, with support counts and lift
+    (P(a,b)/P(a)P(b), computed as one division of exact integer
+    products so the DOUBLE is bit-stable). The
+    recommendation/bundling staple.
+
+    Scale: pair generation is keyed on the order — the self-join
+    shuffles op once on l_orderkey (both sides are the same exchange,
+    reused) and fans out O(k²/2) per order where k is the bounded
+    order size (~7 in TPC-H), i.e. linear in lineitem. The per-part
+    counts join is on the pair table AFTER the support filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= MIN_SUPPORT)
+    )
+    ca = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a")
+    )
+    cb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(TOP_PAIRS)
+    )
+
+
+part_copurchase_lift.__doc__ = part_copurchase_lift.__doc__.replace(
+    "{MIN_SUPPORT}", str(MIN_SUPPORT)
+)
+
+SWEEP_PCTS = (20, 25, 30, 35)
+
+
+def _sweep_oracle() -> str:
+    cos = vec.cosine_q("a.qv", "b.qv", "a.norm2", "b.norm2", th.DUCK)
+    ge = ", ".join(
+        f"CAST(SUM(CASE WHEN cosine * 100 >= {p} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS ge_{p}"
+        for p in SWEEP_PCTS
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {p} AS threshold_pct, ge_{p} AS n_pairs, n_candidates FROM s"
+        for p in SWEEP_PCTS
+    )
+    return (
+        _qbase_sql()
+        + f""", bucketed AS (
+      SELECT *, {vec.lsh_bucket('qv', th.DUCK)} AS bucket FROM qbase
+    ), ok_buckets AS (
+      SELECT bucket FROM bucketed GROUP BY bucket
+      HAVING count(*) <= {EMB_BUCKET_CAP}
+    ), capped AS (
+      SELECT bucketed.* FROM bucketed JOIN ok_buckets USING (bucket)
+    ), cand AS (
+      SELECT {cos} AS cosine
+      FROM capped a JOIN capped b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), s AS (
+      SELECT count(*) AS n_candidates, {ge} FROM cand
+    )
+    {arms} ORDER BY threshold_pct
+    """
+    )
+
+
+@query("embedding_threshold_sweep", oracle=_sweep_oracle())
+def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate threshold dial: how many candidate pairs (from
+    the SAME capped-LSH-bucket machinery as
+    ``dedup_embedding_neardup``) clear each cosine threshold — the
+    diagnostic you run before choosing the dedup cutoff on a new
+    corpus, companion to ``dedup_band_stats`` on the MinHash side.
+
+    Scale: candidates come from the capped bucket equi-join (never
+    all-pairs); the sweep itself is ONE pass over candidates with a
+    conditional sum per threshold (no fanout, no extra join), then a
+    driver-trivial unpivot of the 1-row aggregate."""
+    base = _qbase(spark, sf_dir).withColumn(
+        "bucket", F.expr(vec.lsh_bucket("qv", th.SPARK))
+    )
+    oversize = (
+        base.groupBy("bucket")
+        .count()
+        .where(F.col("count") > EMB_BUCKET_CAP)
+        .select("bucket")
+    )
+    base = base.join(F.broadcast(oversize), ["bucket"], "left_anti")
+    left = base.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("qv").alias("l_qv"),
+        F.col("norm2").alias("l_norm2"),
+        F.col("bucket").alias("l_bucket"),
+    )
+    right = base.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("qv").alias("r_qv"),
+        F.col("norm2").alias("r_norm2"),
+        F.col("bucket").alias("r_bucket"),
+    )
+    cand = left.join(
+        right,
+        (F.col("l_bucket") == F.col("r_bucket"))
+        & (F.col("left_id") < F.col("right_id")),
+    ).select(
+        F.expr(
+            vec.cosine_q("l_qv", "r_qv", "l_norm2", "r_norm2", th.SPARK)
+        ).alias("cosine")
+    )
+    aggs = [F.count("*").alias("n_candidates")] + [
+        F.sum((F.col("cosine") * 100 >= p).cast("bigint")).alias(f"ge_{p}")
+        for p in SWEEP_PCTS
+    ]
+    s = cand.agg(*aggs)
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("threshold_pct"),
+                F.col(f"ge_{p}").alias("n_pairs"),
+            )
+            for p in SWEEP_PCTS
+        ]
+    )
+    return (
+        s.select("n_candidates", F.explode(arms).alias("t"))
+        .select("t.threshold_pct", "t.n_pairs", "n_candidates")
+        .orderBy("threshold_pct")
+    )

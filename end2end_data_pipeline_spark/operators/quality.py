@@ -1,0 +1,323 @@
+"""Data-quality / profiling operators: exact rank statistics, column
+profiles, referential-integrity audits, and time-series anomaly
+flags — the checks a warehouse runs continuously over an ingest
+pipeline (the reference validates nothing after its Kafka sink lands;
+``db/clickhouse_table_schema.sql`` simply trusts the producer).
+
+Scale notes per query are inline; the shared posture: profiles and
+audits reduce to O(columns) / O(relationships) rows via partial
+aggregation, anomaly scoring windows over an O(minutes) rollup, and
+the only per-group sort (exact deciles) is the documented exact twin
+of the sketch path (``events_approx_quantiles``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+
+@query(
+    "event_value_deciles",
+    # rank arithmetic, not an engine quantile builtin: decile d is the
+    # value at 1-indexed rank ceil(n*d/10) under a deterministic
+    # (value, event_id) order — both engines compute the identical
+    # integer rank, so the emitted value is the same physical row.
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(d AS INT) AS decile, value AS decile_value
+    FROM ranked, range(1, 10) AS t(d)
+    WHERE rn = (d * n + 9) // 10
+    ORDER BY event_type, decile
+    """,
+)
+def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT deciles of event value per type via explicit rank
+    arithmetic (the discrete-percentile contract: an actual data
+    value, no interpolation — so the result is bit-identical across
+    engines, unlike percentile_cont whose float interpolation is not).
+
+    Scale: needs the per-group sort every exact quantile needs — this
+    is the exact twin of ``events_approx_quantiles`` (fixed-size
+    mergeable sketch), shipped for the consumers that require true
+    order statistics; group skew is AQE's problem, and each row
+    computes its decile membership locally (no 9x fanout before the
+    filter)."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.where(F.col("value").isNotNull()).select(
+        "event_type", "event_id", "value"
+    )
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = vals.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return (
+        ranked.select(
+            "event_type",
+            "value",
+            F.explode(
+                F.expr("filter(sequence(1, 9), d -> (d * n + 9) div 10 = rn)")
+            ).alias("decile"),
+        )
+        .select(
+            "event_type",
+            F.col("decile").cast("int").alias("decile"),
+            F.col("value").alias("decile_value"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+_ORDERS_COLS = (
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+)
+
+
+def _profile_oracle() -> str:
+    aggs = ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}"
+        for c in _ORDERS_COLS
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct FROM s"
+        for c in _ORDERS_COLS
+    )
+    return (
+        f"WITH s AS (SELECT count(*) AS n_rows, {aggs} FROM orders)\n"
+        f"{arms} ORDER BY column_name"
+    )
+
+
+@query("orders_column_profile", oracle=_profile_oracle())
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders`` — row count, null count,
+    exact distinct count — the table-health snapshot every ingest
+    pipeline records per batch.
+
+    Scale: ONE pass over the table; the multiple exact distincts
+    plan as a single Expand (|columns| x row multiplier) feeding
+    partial aggs. At 100 TB you'd flip the distinct columns to
+    approx_count_distinct (same shape, no Expand, mergeable
+    sketches) — kept exact here so the oracle can value-check it;
+    the unpivot to one row per column happens on the 1-row
+    aggregate, driver-trivial."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _ORDERS_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    row = o.agg(*aggs)
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in _ORDERS_COLS
+        ]
+    )
+    return (
+        row.select("n_rows", F.explode(arms).alias("s"))
+        .select("s.column_name", "n_rows", "s.n_nulls", "s.n_distinct")
+        .orderBy("column_name")
+    )
+
+
+# (name, child table, child key, parent table, parent key)
+_FK_RELS = (
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS relationship,
+               count(*) AS n_child,
+               CAST(SUM(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_keys,
+               CAST(SUM(CASE WHEN c.k IS NOT NULL AND p.pk IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM (SELECT {ck} AS k FROM {child}) c
+        LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.k = p.pk
+        """
+        for name, child, ck, parent, pk in _FK_RELS
+    )
+    return arms + " ORDER BY relationship"
+
+
+@query("fk_orphan_audit", oracle=_fk_oracle())
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema: child rows, null keys, and orphans (non-null child key
+    with no parent). The continuous version of the constraint checks
+    a lakehouse cannot enforce at write time.
+
+    Scale: each edge is one left join against the DISTINCT parent
+    keys — dimensions broadcast; the two fact-fact edges
+    (lineitem->orders/part/supplier at real scale) are plain
+    shuffle joins on the key they'd be bucketed by (the bucketed
+    layout of ``operators/bucketed.py`` makes the orders edge
+    shuffle-free). Output is O(|edges|)."""
+    parts = []
+    for name, child, ck, parent, pk in _FK_RELS:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        marked = c.join(p, "k", "left")
+        parts.append(
+            marked.agg(
+                F.count("*").alias("n_child"),
+                F.sum(F.col("k").isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_null_keys"),
+                F.sum(
+                    (F.col("k").isNotNull() & F.col("__hit").isNull()).cast(
+                        "int"
+                    )
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
+            ).select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+    return reduce(DataFrame.unionByName, parts).orderBy("relationship")
+
+
+TRAIL_MINUTES = 60
+
+
+@query(
+    "minute_anomaly_ratio",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('minute', min(ts)) AS tmin,
+             date_trunc('minute', max(ts)) AS tmax
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 MINUTE)) AS m
+      FROM bounds
+    ), counts AS (
+      SELECT date_trunc('minute', ts) AS m, count(*) AS c
+      FROM events GROUP BY 1
+    ), dense AS (
+      SELECT spine.m, CAST(COALESCE(c, 0) AS BIGINT) AS n_events
+      FROM spine LEFT JOIN counts ON spine.m = counts.m
+    ), trailed AS (
+      SELECT m, n_events,
+             CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trailing_sum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
+      FROM dense
+      WINDOW w AS (ORDER BY m ROWS BETWEEN {TRAIL_MINUTES} PRECEDING
+                                       AND 1 PRECEDING)
+    )
+    SELECT strftime(m, '%Y-%m-%d %H:%M') AS event_minute,
+           n_events, trailing_sum, trailing_n,
+           CAST(n_events * trailing_n AS DOUBLE) / NULLIF(trailing_sum, 0)
+               AS ratio,
+           CAST(CASE WHEN trailing_n > 0
+                      AND n_events * trailing_n >= 2 * trailing_sum
+                THEN 1 ELSE 0 END AS INT) AS is_spike,
+           CAST(CASE WHEN trailing_n > 0
+                      AND 2 * n_events * trailing_n <= trailing_sum
+                THEN 1 ELSE 0 END AS INT) AS is_drop
+    FROM trailed ORDER BY event_minute
+    """,
+)
+def minute_anomaly_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly score in batch: each minute's event
+    count vs its trailing {TRAIL}-minute baseline, with integer-exact
+    spike (>= 2x baseline mean) and drop (<= 0.5x) flags; the ratio
+    itself is a single division of exact integers, so even the DOUBLE
+    column is bit-stable cross-engine.
+
+    Scale: the window runs over the DENSE minute rollup (O(minutes)
+    rows — a year is ~526k), not over events, following the
+    precedent of ``orders_mom_growth``'s months window; the only
+    fact-scan work is the minute partial-agg. The single-partition
+    window over the rollup is the documented trade — at a horizon
+    where even minutes overflow one partition, cut the spine into
+    day ranges with {TRAIL}-minute overlap."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("tmin"),
+        F.date_trunc("minute", F.max("ts")).alias("tmax"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("tmin", "tmax", F.expr("INTERVAL 1 MINUTE"))).alias(
+            "m"
+        )
+    )
+    counts = ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("m")).agg(
+        F.count("*").alias("c")
+    )
+    dense = spine.join(counts, "m", "left").select(
+        "m", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_events")
+    )
+    w = Window.orderBy("m").rowsBetween(-TRAIL_MINUTES, -1)
+    trailed = dense.select(
+        "m",
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("trailing_sum"),
+        F.count("*").over(w).cast("bigint").alias("trailing_n"),
+    )
+    spike = (F.col("trailing_n") > 0) & (
+        F.col("n_events") * F.col("trailing_n") >= 2 * F.col("trailing_sum")
+    )
+    drop = (F.col("trailing_n") > 0) & (
+        2 * F.col("n_events") * F.col("trailing_n") <= F.col("trailing_sum")
+    )
+    return trailed.select(
+        F.date_format("m", "yyyy-MM-dd HH:mm").alias("event_minute"),
+        "n_events",
+        "trailing_sum",
+        "trailing_n",
+        (
+            (F.col("n_events") * F.col("trailing_n")).cast("double")
+            / F.nullif(F.col("trailing_sum"), F.lit(0))
+        ).alias("ratio"),
+        spike.cast("int").alias("is_spike"),
+        drop.cast("int").alias("is_drop"),
+    ).orderBy("event_minute")
+
+
+minute_anomaly_ratio.__doc__ = minute_anomaly_ratio.__doc__.replace(
+    "{TRAIL}", str(TRAIL_MINUTES)
+)

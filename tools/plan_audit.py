@@ -80,6 +80,9 @@ WAIVERS: dict[str, str] = {
     "event_type_cooccurrence": "bnlj-over-two-scans",
     "source_mix_rebalance": "bnlj-over-two-scans",
     "nation_trade_pagerank": "bnlj-over-two-scans",
+    # lift denominator: the 1-row n_orders aggregate cross-joined onto
+    # the (already support-filtered, top-k-bound) pair table.
+    "part_copurchase_lift": "bnlj-over-two-scans",
 }
 
 
