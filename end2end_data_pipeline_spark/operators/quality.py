@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from end2end_data_pipeline_spark.operators.similarity import (
+    _qbase,
+    _qbase_sql,
+)
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import load_table
 
@@ -321,3 +325,184 @@ def minute_anomaly_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 minute_anomaly_ratio.__doc__ = minute_anomaly_ratio.__doc__.replace(
     "{TRAIL}", str(TRAIL_MINUTES)
 )
+
+
+@query(
+    "orders_backlog_over_time",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS open_day,
+             CAST(COALESCE(max(l.l_shipdate), o.o_orderdate) AS DATE)
+                 AS close_day
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+      SELECT open_day AS day, 1 AS delta, 1 AS opened, 0 AS closed FROM spans
+      UNION ALL
+      SELECT close_day + 1, -1, 0, 1 FROM spans
+    ), daily AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS delta,
+             CAST(SUM(opened) AS BIGINT) AS n_opened,
+             CAST(SUM(closed) AS BIGINT) AS n_closed
+      FROM deltas GROUP BY day
+    ), bounds AS (
+      SELECT min(open_day) AS dmin, max(close_day) AS dmax FROM spans
+    ), spine AS (
+      SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    )
+    SELECT CAST(s.day AS VARCHAR) AS day,
+           CAST(COALESCE(n_opened, 0) AS BIGINT) AS n_opened,
+           CAST(COALESCE(n_closed, 0) AS BIGINT) AS n_closed,
+           CAST(SUM(COALESCE(d.delta, 0)) OVER (ORDER BY s.day) AS BIGINT)
+               AS open_orders
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY day
+    """,
+)
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day via the SWEEP-LINE pattern: each
+    order contributes a +1 event at its order date and a -1 the day
+    after its last shipment; the running sum over the day spine is the
+    number of concurrently-open orders — interval counting WITHOUT a
+    per-day band join against every open interval.
+
+    Scale: the fact collapses to one (open, close) span per order
+    (partial-agg max over lineitem, the only big shuffle); deltas are
+    2 rows per order rolled up to O(days); the running sum windows
+    over the O(days) spine (same precedent as
+    ``minute_anomaly_ratio``). A band join alternative would fan each
+    day into every open order — quadratic in backlog depth; the
+    sweep-line is linear and is how you count concurrency at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    spans = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+        .select(
+            F.to_date("o_orderdate").alias("open_day"),
+            F.to_date(
+                F.coalesce(F.col("max_ship"), F.col("o_orderdate"))
+            ).alias("close_day"),
+        )
+    )
+    opens = spans.select(
+        F.col("open_day").alias("day"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    )
+    closes = spans.select(
+        F.date_add("close_day", 1).alias("day"),
+        F.lit(-1).alias("delta"),
+        F.lit(0).alias("opened"),
+        F.lit(1).alias("closed"),
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.sum("delta").cast("bigint").alias("delta"),
+            F.sum("opened").cast("bigint").alias("n_opened"),
+            F.sum("closed").cast("bigint").alias("n_closed"),
+        )
+    )
+    bounds = spans.agg(
+        F.min("open_day").alias("dmin"), F.max("close_day").alias("dmax")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("dmin", "dmax", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    w = Window.orderBy("day")
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_opened"), F.lit(0))
+            .cast("bigint")
+            .alias("n_opened"),
+            F.coalesce(F.col("n_closed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_closed"),
+            F.sum(F.coalesce(F.col("delta"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("open_orders"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_opened",
+            "n_closed",
+            "open_orders",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "embedding_dim_variance_profile",
+    oracle=_qbase_sql()
+    + """
+    , ex AS (
+      SELECT CAST(d AS INT) AS dim, qv[d] AS val
+      FROM qbase, range(1, 65) AS t(d)
+    )
+    SELECT dim,
+           count(*) AS n,
+           CAST(SUM(val) AS BIGINT) AS s_sum,
+           CAST(SUM(val * val) AS BIGINT) AS s_sumsq,
+           CAST(SUM(val) AS DOUBLE) / count(*) AS mean,
+           CAST(count(*) * SUM(val * val) - SUM(val) * SUM(val) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))
+               AS variance
+    FROM ex GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_variance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension health profile of the embedding column: count,
+    integer-exact sum and sum-of-squares over the quantized vectors,
+    plus mean and population variance — the 'is a dimension dead /
+    saturated / drifting' check run before trusting ANN structures.
+    Integer reductions keep the aggregates order-insensitive; mean
+    and variance are then single fixed-shape divisions of exact
+    integers, so even the DOUBLE columns are bit-stable cross-engine.
+
+    Scale: posexplode fans each vector into 64 (dim, value) rows
+    feeding a partial agg — a constant-factor expansion that
+    map-side-combines down to O(64) groups before the shuffle; the
+    alternative (elementwise array-sum aggregate) saves the fanout
+    but loses whole-stage codegen. No joins, no sort."""
+    base = _qbase(spark, sf_dir)
+    ex = base.select(F.posexplode("qv").alias("pos", "val"))
+    v = F.col("val")
+    return (
+        ex.groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).cast("bigint").alias("s_sum"),
+            F.sum(v * v).cast("bigint").alias("s_sumsq"),
+        )
+        .select(
+            "dim",
+            "n",
+            "s_sum",
+            "s_sumsq",
+            (F.col("s_sum").cast("double") / F.col("n")).alias("mean"),
+            (
+                (
+                    F.col("n") * F.col("s_sumsq")
+                    - F.col("s_sum") * F.col("s_sum")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("variance"),
+        )
+        .orderBy("dim")
+    )
