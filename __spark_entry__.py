@@ -24,52 +24,58 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # (registration order); the rest are covered by the identical local
 # gate (tests/test_oracle_parity.py runs all of them). The window
 # ROTATES per round so the union of driver-green rows converges on the
-# whole registry. Round 5: (a) the 6 queries repaired after the
-# Spark-4 TIMESTAMP_NTZ fixture change must re-prove green to the
-# driver, (b) 22 queries never driver-checked in r1-r4 get their first
-# check, (c) 22 proven anchors keep one green row per operator family.
+# whole registry. Round 6: (a) the 16 round-5 operators that landed
+# after the r5 window froze get their first driver check, (b) the two
+# sketch queries — now oracle-paired via integer tolerance flags —
+# get theirs, (c) every round-6 operator is checked the round it
+# lands, (d) 20 multiply-proven anchors keep one green row per
+# operator family. With the r1-r5 union at 126/144, this window makes
+# the driver-green union cover the ENTIRE 156-query registry.
 CHECKED_FIRST = [
-    # (a) repaired after the TIMESTAMP_NTZ fixture regeneration
-    "event_sessionization",
-    "asof_last_view_before_purchase",
-    "epoch_ms_roundtrip",
-    "event_error_streaks",
-    "event_funnel_conversion",
-    "event_pairs_within_window",
-    # (b) first driver check: event analytics + distributions
-    "event_hour_dow_heatmap",
-    "event_interarrival_histogram",
-    "props_k_distribution",
-    "order_value_distribution",
-    "lineitem_quantity_quartiles",
-    "lineitem_profile",
-    "sql_region_summary",
-    # (b) first driver check: TPC-H shapes
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q16_parts_supplier_breadth",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_dormant_high_balance",
-    # (b) first driver check: text / corpus / similarity
-    "vocab_top_tokens",
-    "boilerplate_prefix_groups",
-    "training_corpus_filter",
-    "token_count_histogram",
-    "embedding_lsh_buckets",
-    "centroid_separation",
-    # (c) proven per-family anchors (driver-green in r1-r4)
+    # (a) round-5 operators, never driver-checked
+    "customer_rfm_segments",
+    "customer_rfm_segments_bucketed",
+    "user_stickiness_daily",
+    "event_type_cooccurrence",
+    "orders_mom_growth",
+    "dedup_band_stats",
+    "dedup_containment_pairs",
+    "knn_label_confusion",
+    "ann_recall_eval",
+    "embedding_quantization_profile",
+    "user_retention_cohorts",
+    "docs_chunk_overlap",
+    "key_skew_profile",
+    "event_value_outliers",
+    "bigram_surprise_profile",
+    "docs_priority_sample",
+    # (b) sketch queries, oracle-paired this round
+    "events_approx_cardinality",
+    "events_approx_quantiles",
+    # (c) round-6 operators
+    "first_seen_users_batch",
+    "q3_shipping_priority_bucketed",
+    "event_value_deciles",
+    "orders_column_profile",
+    "fk_orphan_audit",
+    "minute_anomaly_ratio",
+    "session_top_paths",
+    "part_name_typo_pairs",
+    "part_copurchase_lift",
+    "embedding_threshold_sweep",
+    "orders_backlog_over_time",
+    "embedding_dim_variance_profile",
+    # (d) proven per-family anchors (driver-green in r1-r5)
     "dedup_exact_stats",
     "dedup_minhash_pairs",
-    "dedup_clusters",
     "event_status_pivot",
     "multimodal_decode_features",
     "props_k_extract",
     "ann_ivf_topk_nprobe",
     "knn_bruteforce",
+    "embedding_lsh_buckets",
+    "asof_last_view_before_purchase",
+    "epoch_ms_roundtrip",
     "text_quality_scores",
     "q3_shipping_priority",
     "lineitem_pricing_summary",
@@ -80,10 +86,6 @@ CHECKED_FIRST = [
     "kmeans_assignments",
     "incr_dedup_decisions",
     "docs_split_assign",
-    "latest_event_per_user",
-    "event_minute_gapfill",
-    "order_priority_cube",
-    "customer_order_bookends",
 ]
 
 

@@ -72,6 +72,21 @@ HEADLINE = [
     "user_retention_cohorts",
     "embedding_quantization_profile",
     "key_skew_profile",
+    # round-6 additions. (Excluded: first_seen_users_batch — a plain
+    # groupBy-min already represented by the relational heavy-hitters;
+    # q3_shipping_priority_bucketed — its first call materializes the
+    # bucketed tables, so its wall time measures the one-time write,
+    # not the query.)
+    "event_value_deciles",
+    "orders_column_profile",
+    "fk_orphan_audit",
+    "minute_anomaly_ratio",
+    "session_top_paths",
+    "part_name_typo_pairs",
+    "part_copurchase_lift",
+    "embedding_threshold_sweep",
+    "orders_backlog_over_time",
+    "embedding_dim_variance_profile",
 ]
 
 

@@ -79,6 +79,13 @@ def test_checked_window_contract():
         "kmeans_": "clustering",
         "incr_": "incremental dedup",
         "docs_split": "splits/sampling",
+        # round-6 families
+        "events_approx_": "sketch accuracy contract",
+        "first_seen_": "first-seen detection",
+        "q3_shipping_priority_bucketed": "bucketed layout",
+        "fk_orphan_audit": "quality audit",
+        "session_top_paths": "affinity/sequence",
+        "orders_backlog_over_time": "sweep-line intervals",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
