@@ -506,3 +506,292 @@ def embedding_dim_variance_profile(
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "customer_pareto_share",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT spend_cents,
+             ntile(10) OVER (ORDER BY spend_cents DESC, o_custkey) AS decile
+      FROM cust
+    ), per_decile AS (
+      SELECT decile, count(*) AS n_customers,
+             CAST(SUM(spend_cents) AS BIGINT) AS decile_cents
+      FROM ranked GROUP BY decile
+    ), tot AS (
+      SELECT CAST(SUM(spend_cents) AS BIGINT) AS total_cents FROM cust
+    )
+    SELECT CAST(decile AS INT) AS decile, n_customers, decile_cents,
+           CAST(SUM(decile_cents) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_cents,
+           CAST(SUM(decile_cents) OVER (ORDER BY decile) AS DOUBLE)
+               / total_cents AS cum_share
+    FROM per_decile CROSS JOIN tot
+    ORDER BY decile
+    """,
+)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) curve: customers ranked into
+    spend deciles (best first), with cumulative revenue share — 'do
+    20% of customers produce 80% of revenue'. Money in exact integer
+    cents; the share is one division of exact integers.
+
+    Scale: the fact collapses to an O(customers) rollup first; the
+    ntile global sort runs over that rollup, not the facts (precedent:
+    ``customer_rfm_segments``, whose percentile-bucketed variant shows
+    the no-global-sort alternative if even the rollup is too big);
+    the cumulative window runs over the 10-row decile table."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("bigint").alias("spend_cents")
+    )
+    wd = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
+    ranked = cust.select("spend_cents", F.ntile(10).over(wd).alias("decile"))
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("decile_cents"),
+    )
+    tot = cust.agg(F.sum("spend_cents").cast("bigint").alias("total_cents"))
+    wc = Window.orderBy("decile")
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "decile_cents",
+            F.sum("decile_cents").over(wc).cast("bigint").alias("cum_cents"),
+            (
+                F.sum("decile_cents").over(wc).cast("double")
+                / F.col("total_cents")
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+_DELAY_BANDS_SQL = """CASE WHEN delay_ms <= 3600000 THEN 'a_1h'
+                WHEN delay_ms <= 21600000 THEN 'b_6h'
+                WHEN delay_ms <= 86400000 THEN 'c_24h'
+                WHEN delay_ms <= 604800000 THEN 'd_7d'
+                ELSE 'e_gt7d' END"""
+
+
+@query(
+    "event_conversion_delay_histogram",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+               AS first_view_ms,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+               AS first_purchase_ms
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT first_purchase_ms - first_view_ms AS delay_ms
+      FROM firsts
+      WHERE first_view_ms IS NOT NULL
+        AND first_purchase_ms > first_view_ms
+    )
+    SELECT {_DELAY_BANDS_SQL} AS delay_band,
+           count(*) AS n_users
+    FROM conv GROUP BY delay_band ORDER BY delay_band
+    """,
+)
+def event_conversion_delay_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-delay distribution: for users whose first purchase
+    follows their first view (same basis as
+    ``event_funnel_conversion``), the first-view→first-purchase delay
+    bucketed into 1h/6h/24h/7d bands — the 'how long does the funnel
+    take' companion to the how-many conversion count. Integer
+    epoch-ms arithmetic end to end.
+
+    Scale: one conditional-min shuffle on user_id, then an O(users)
+    rollup into five bands — no self-join, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_millis("ts"))
+        ).alias("first_view_ms"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))
+        ).alias("first_purchase_ms"),
+    )
+    conv = firsts.where(
+        F.col("first_view_ms").isNotNull()
+        & (F.col("first_purchase_ms") > F.col("first_view_ms"))
+    ).select(
+        (F.col("first_purchase_ms") - F.col("first_view_ms")).alias(
+            "delay_ms"
+        )
+    )
+    return (
+        conv.select(F.expr(_DELAY_BANDS_SQL).alias("delay_band"))
+        .groupBy("delay_band")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("delay_band")
+    )
+
+
+TIER_WIDTH_CENTS = 5_000_000  # $50k monthly-spend tier width
+N_TIERS = 4
+
+
+@query(
+    "customer_spend_tier_transitions",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY o_custkey, month
+    ), tiered AS (
+      SELECT o_custkey, month,
+             CAST(LEAST({N_TIERS - 1}, cents // {TIER_WIDTH_CENTS}) AS INT)
+                 AS tier
+      FROM monthly
+    ), lagged AS (
+      SELECT tier AS tier_to,
+             lag(tier) OVER (PARTITION BY o_custkey ORDER BY month)
+                 AS tier_from
+      FROM tiered
+    )
+    SELECT tier_from, tier_to, count(*) AS n_transitions
+    FROM lagged WHERE tier_from IS NOT NULL
+    GROUP BY tier_from, tier_to ORDER BY tier_from, tier_to
+    """,
+)
+def customer_spend_tier_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer value-ladder movement: monthly spend bucketed into
+    integer tiers ($50k bands, capped at tier {MAXT}), transitions
+    counted between a customer's consecutive ACTIVE months (gaps
+    collapse — documented semantics) — the upgrade/downgrade matrix
+    behind lifecycle marketing.
+
+    Scale: facts collapse to the O(customers x active-months) rollup
+    first; the lag window partitions by customer over that rollup
+    (months per customer is small); output is the
+    {NT}x{NT} transition matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = o.groupBy(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    tiered = monthly.select(
+        "o_custkey",
+        "month",
+        F.least(
+            F.lit(N_TIERS - 1),
+            (F.col("cents") / TIER_WIDTH_CENTS).cast("bigint"),
+        )
+        .cast("int")
+        .alias("tier"),
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("month")
+    lagged = tiered.select(
+        F.col("tier").alias("tier_to"),
+        F.lag("tier").over(wl).alias("tier_from"),
+    )
+    return (
+        lagged.where(F.col("tier_from").isNotNull())
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("tier_from", "tier_to")
+    )
+
+
+customer_spend_tier_transitions.__doc__ = (
+    customer_spend_tier_transitions.__doc__.replace(
+        "{MAXT}", str(N_TIERS - 1)
+    ).replace("{NT}", str(N_TIERS))
+)
+
+
+@query(
+    "event_error_rate_wilson",
+    # identical expression TREE on both engines: every intermediate is
+    # a correctly-rounded IEEE op (/, *, +, -, sqrt) over exact
+    # integers and the double constant 1.96 (CAST from decimal ==
+    # strtod — the nearest double), so lo/hi are bit-stable.
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY day
+    )
+    SELECT day, n_events, n_errors,
+           CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS rate,
+           ((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+               / (2 * CAST(n_events AS DOUBLE))
+             - CAST(1.96 AS DOUBLE) * sqrt(
+                 (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                 * (1 - CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                 / CAST(n_events AS DOUBLE)
+                 + (CAST(1.96 AS DOUBLE) / (2 * CAST(n_events AS DOUBLE)))
+                   * (CAST(1.96 AS DOUBLE) / (2 * CAST(n_events AS DOUBLE)))
+               ))
+           / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                  / CAST(n_events AS DOUBLE)) AS wilson_lo,
+           ((CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+               / (2 * CAST(n_events AS DOUBLE))
+             + CAST(1.96 AS DOUBLE) * sqrt(
+                 (CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                 * (1 - CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+                 / CAST(n_events AS DOUBLE)
+                 + (CAST(1.96 AS DOUBLE) / (2 * CAST(n_events AS DOUBLE)))
+                   * (CAST(1.96 AS DOUBLE) / (2 * CAST(n_events AS DOUBLE)))
+               ))
+           / (1 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                  / CAST(n_events AS DOUBLE)) AS wilson_hi
+    FROM daily ORDER BY day
+    """,
+)
+def event_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-event share with a Wilson 95% confidence interval —
+    the monitoring-grade version of a raw rate: narrow on busy days,
+    honest about uncertainty on quiet ones (a raw 2/10 day and a
+    2000/10000 day stop looking alike).
+
+    Scale: one day-keyed partial agg over the fact scan; the CI math
+    is per-row arithmetic over the O(days) rollup. Every float op is
+    a correctly-rounded IEEE operation over exact integer counts with
+    an identical expression tree on both engines, so even lo/hi
+    hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    z = F.lit(1.96)
+    nd = F.col("n_events").cast("double")
+    p = F.col("n_errors").cast("double") / nd
+    center = p + (z * z) / (F.lit(2) * nd)
+    half_m = z / (F.lit(2) * nd)
+    margin = z * F.sqrt(p * (F.lit(1) - p) / nd + half_m * half_m)
+    denom = F.lit(1) + (z * z) / nd
+    return daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        p.alias("rate"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+    ).orderBy("day")

@@ -91,6 +91,32 @@ def test_checked_window_contract():
         assert any(n.startswith(prefix) for n in window), family
 
 
+@pytest.mark.slow
+def test_checked_window_parity_at_driver_sf(spark):
+    """The driver's gate, replicated EXACTLY: the first 50 of
+    ``queries()`` against their oracles at sf0.01 (the driver's scale
+    factor, vs the sf0.001 the per-query parametrized tests use).
+    Catches scale-dependent divergence — e.g. the r4 TIMESTAMP_NTZ
+    breakage surfaced only on regenerated fixtures — one round early,
+    on the exact query set the driver will hash."""
+    sf = "/root/testdata/sf0.01"
+    con = duckdb_connection(sf)
+    try:
+        bad = []
+        for name in list(QUERIES)[:50]:
+            r = compare_query(QUERIES[name](spark, sf), con, ORACLE[name])
+            if not (
+                r["rows_match"]
+                and r["cols_match"]
+                and r["values_match"]
+                and r["types_safe"]
+            ):
+                bad.append((name, {k: r[k] for k in ("rows_match", "cols_match", "values_match", "types_safe")}))
+        assert not bad, bad
+    finally:
+        con.close()
+
+
 def test_every_query_runs(spark, sf_dir):
     """Queries without an oracle still must run and return a schema."""
     for name, fn in QUERIES.items():

@@ -83,6 +83,9 @@ WAIVERS: dict[str, str] = {
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
     "part_copurchase_lift": "bnlj-over-two-scans",
+    # pareto denominator: the 1-row total-spend aggregate cross-joined
+    # onto the 10-row decile rollup.
+    "customer_pareto_share": "bnlj-over-two-scans",
 }
 
 
