@@ -109,3 +109,40 @@ def q3_shipping_priority_bucketed(
         .orderBy(F.col("revenue_cents").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q12_shipmode_priority_bucketed",
+    # IDENTICAL oracle to the plain twin, same invariant as q3's.
+    oracle=ORACLE["q12_shipmode_priority"],
+)
+def q12_shipmode_priority_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 over the SAME co-bucketed tables as the q3 twin —
+    proving the bucketed bootstrap amortizes across the whole
+    orderkey-join family, not one query: the fact-fact join is again
+    exchange-free (the aggregation's l_returnflag grouping still
+    shuffles, correctly — its key is not the bucket key; that
+    shuffle moves O(groups) partial aggregates, not facts).
+    ``tests/test_bucketing.py`` asserts the join-side plan shape."""
+    o_name, l_name = bucketed_orders_lineitem(spark, sf_dir)
+    o = spark.table(o_name).select("o_orderkey", "o_orderpriority")
+    li = spark.table(l_name).where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

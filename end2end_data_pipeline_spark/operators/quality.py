@@ -795,3 +795,38 @@ def event_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - margin) / denom).alias("wilson_lo"),
         ((center + margin) / denom).alias("wilson_hi"),
     ).orderBy("day")
+
+
+def _latest_event_oracle() -> str:
+    from end2end_data_pipeline_spark.registry import ORACLE
+
+    return ORACLE["latest_event_per_user"]
+
+
+@query("latest_event_per_user_maxby", oracle=_latest_event_oracle())
+def latest_event_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-sort scale path ``latest_event_per_user``'s docstring
+    promises: instead of a row_number window (full sort of every
+    user's rows), reduce each user to their lexicographic-max
+    (ts, event_id, payload...) struct with a plain aggregate —
+    partial-combines map-side, never materializes a sorted partition,
+    and ties break on event_id exactly like the window's ORDER BY.
+    Same oracle as the window twin: the plan choice must be
+    value-invisible.
+
+    Scale: one groupBy shuffle moving ONE struct per user after
+    map-side combine (vs the window's full row shuffle + sort); the
+    canonical argmax-per-key pattern at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    best = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.event_id").alias("last_event_id"),
+        F.col("b.event_type").alias("last_type"),
+        F.col("b.value").alias("last_value"),
+        F.date_format("b.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    ).orderBy("user_id")

@@ -103,6 +103,22 @@ def test_bucketed_q3_twin_runs_without_join_exchange(spark, no_broadcast):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_bucketed_q12_twin_join_is_exchange_free(spark, no_broadcast):
+    """The second member of the bucketed family: Q12's fact-fact join
+    is exchange-free on the bucketed tables; its l_returnflag
+    aggregation MAY shuffle (group key != bucket key) — only the join
+    keys must see no Exchange."""
+    from end2end_data_pipeline_spark.operators.bucketed import (
+        q12_shipmode_priority_bucketed,
+    )
+
+    df = q12_shipmode_priority_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert _join_key_exchanges(plan) == 0
+
+
 def test_bucketed_q3_twin_matches_plain(spark):
     from end2end_data_pipeline_spark.operators.bucketed import (
         q3_shipping_priority_bucketed,
