@@ -8,6 +8,8 @@ import struct
 import zlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from end2end_data_pipeline_spark.functions.png_min import (
     decode_png,
@@ -82,3 +84,25 @@ def test_to_gray_and_resize():
     assert gray == bytes([0, 255])
     up = resize_gray_nearest(gray, 2, 1, (4, 2))
     assert up == bytes([0, 0, 255, 255] * 2)
+
+
+_MODES = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    mode=st.sampled_from(sorted(_MODES)),
+    ftype=st.integers(0, 4),
+    data=st.data(),
+)
+def test_roundtrip_property(w, h, mode, ftype, data):
+    """Any raw pixel buffer survives encode→decode byte-exactly, for
+    every mode and every scanline filter."""
+    n = w * h * _MODES[mode]
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    out = decode_png(encode_png(w, h, pixels, mode, filter_type=ftype))
+    assert out == (w, h, mode, pixels)
