@@ -830,3 +830,195 @@ def latest_event_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.value").alias("last_value"),
         F.date_format("b.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
     ).orderBy("user_id")
+
+
+@query(
+    "lineitem_ship_latency_bands",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS latency_days
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           CASE WHEN latency_days <= 30 THEN 'a_30d'
+                WHEN latency_days <= 60 THEN 'b_60d'
+                WHEN latency_days <= 90 THEN 'c_90d'
+                ELSE 'd_gt90d' END AS latency_band,
+           count(*) AS n_lines,
+           CAST(min(latency_days) AS BIGINT) AS min_days,
+           CAST(max(latency_days) AS BIGINT) AS max_days
+    FROM lat GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def lineitem_ship_latency_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fulfillment latency: order-date→ship-date delay per line,
+    banded (30/60/90 days) and cross-tabbed by order priority — the
+    SLA view of the orders⋈lineitem join ('do URGENT orders actually
+    ship faster'). Integer day arithmetic end to end.
+
+    Scale: the standard fact-fact equi-join (bucketed layout makes it
+    exchange-free; see ``operators/bucketed.py``) followed by a
+    partial agg to O(priorities x 4 bands) rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "latency_days"
+        ),
+    )
+    band = (
+        F.when(F.col("latency_days") <= 30, "a_30d")
+        .when(F.col("latency_days") <= 60, "b_60d")
+        .when(F.col("latency_days") <= 90, "c_90d")
+        .otherwise("d_gt90d")
+    )
+    return (
+        lat.groupBy("o_orderpriority", band.alias("latency_band"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("latency_days").cast("bigint").alias("min_days"),
+            F.max("latency_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority", "latency_band")
+    )
+
+
+@query(
+    "doc_length_gini_by_lang",
+    # Gini from the rank identity G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    # (n*sum(x)) over ascending-sorted x — every term an exact integer
+    # (deterministic (n_chars, doc_id) sort order), one final division.
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+             ) AS i
+      FROM documents
+    ), s AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(i * n_chars) AS BIGINT) AS rank_weighted
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n_docs, total_chars,
+           CAST(2 * rank_weighted - (n_docs + 1) * total_chars AS DOUBLE)
+               / (n_docs * total_chars) AS gini
+    FROM s ORDER BY lang
+    """,
+)
+def doc_length_gini_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-inequality profile: the Gini coefficient of document
+    lengths per language — 'is this slice a few huge docs plus dust,
+    or evenly sized' — the corpus-balance diagnostic behind sampling
+    and packing decisions. Rank identity keeps every aggregate an
+    exact integer; the coefficient is one division.
+
+    Scale: one per-lang sort (rank window) over doc lengths — the
+    documented exact-order-statistic cost, same class as
+    ``event_value_deciles``; everything after is an O(langs) rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang", "n_chars", F.row_number().over(wr).alias("i")
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.col("i") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("rank_weighted"),
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        (
+            (
+                2 * F.col("rank_weighted")
+                - (F.col("n_docs") + 1) * F.col("total_chars")
+            ).cast("double")
+            / (F.col("n_docs") * F.col("total_chars"))
+        ).alias("gini"),
+    ).orderBy("lang")
+
+
+@query(
+    "supplier_revenue_hhi_by_nation",
+    # HHI = sum(share_i^2) = sum(d_i^2)/(sum(d_i))^2 over per-supplier
+    # revenue in INTEGER DOLLARS (exact cents rollup floor-divided by
+    # 100): cents^2 overflows BIGINT for a large supplier, dollars^2
+    # does not; both engines compute the identical integers, and the
+    # final division is one fixed-shape double op.
+    oracle="""
+    WITH srev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ), sd AS (
+      SELECT s_nationkey, cents, cents // 100 AS dollars FROM srev
+    )
+    SELECT n.n_name AS nation,
+           count(*) AS n_suppliers,
+           CAST(SUM(cents) AS BIGINT) AS nation_cents,
+           CAST(SUM(dollars * dollars) AS DOUBLE)
+               / (CAST(SUM(dollars) AS DOUBLE) * CAST(SUM(dollars) AS DOUBLE))
+               AS hhi
+    FROM sd JOIN nation n ON sd.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def supplier_revenue_hhi_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market concentration: the Herfindahl-Hirschman index of
+    supplier revenue shares within each nation (1/n = perfectly even,
+    1.0 = monopoly) — the supply-risk diagnostic. Revenue in exact
+    integer cents; HHI is one fixed-shape division.
+
+    Scale: lineitem partial-aggregates to the O(suppliers) revenue
+    rollup (supplier dim broadcast into the scan); the HHI rollup is
+    O(nations). No sort, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    srev = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+        .withColumn("dollars", F.expr("cents div 100"))
+    )
+    return (
+        srev.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("nation_cents"),
+            (
+                F.sum(F.col("dollars") * F.col("dollars")).cast("double")
+                / (
+                    F.sum("dollars").cast("double")
+                    * F.sum("dollars").cast("double")
+                )
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
