@@ -1022,3 +1022,190 @@ def supplier_revenue_hhi_by_nation(
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "event_value_benford_profile",
+    # first digit extracted from the INTEGER cents value via string
+    # conversion (integer-to-decimal-string is exact and identical on
+    # both engines — unlike double formatting); observed share is one
+    # division of exact counts. Expected Benford mass needs log10, so
+    # the comparison against it stays consumer-side.
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ), digits AS (
+      SELECT event_type,
+             CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS first_digit
+      FROM cents WHERE c > 0
+    ), counts AS (
+      SELECT event_type, first_digit, count(*) AS n
+      FROM digits GROUP BY event_type, first_digit
+    ), tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type FROM counts
+      GROUP BY event_type
+    )
+    SELECT c.event_type, c.first_digit, c.n, t.n_type,
+           CAST(c.n AS DOUBLE) / t.n_type AS observed_share
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+    ORDER BY c.event_type, c.first_digit
+    """,
+)
+def event_value_benford_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford first-digit profile of event values per type — the
+    classic fabricated-data / instrumentation-bug screen (organic
+    magnitudes lean on low first digits; uniform or spiked profiles
+    flag synthetic or truncated values). Digits come from the exact
+    integer cents rendering, so both engines bucket identically.
+
+    Scale: one pass, partial-agg to O(types x 9) rows, a broadcast-
+    sized totals join; no sort, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    digits = (
+        ev.where(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select("event_type", c.alias("c"))
+        .where(F.col("c") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("first_digit"),
+        )
+    )
+    counts = digits.groupBy("event_type", "first_digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_type")
+    )
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "first_digit",
+            "n",
+            "n_type",
+            (F.col("n").cast("double") / F.col("n_type")).alias(
+                "observed_share"
+            ),
+        )
+        .orderBy("event_type", "first_digit")
+    )
+
+
+GAP_BLOCK = 1000
+
+
+@query(
+    "orders_key_gap_profile",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT o_orderkey // {GAP_BLOCK} AS block,
+             count(*) AS n_present,
+             CAST(min(o_orderkey) AS BIGINT) AS key_min,
+             CAST(max(o_orderkey) AS BIGINT) AS key_max
+      FROM orders GROUP BY block
+    )
+    SELECT CAST(block AS BIGINT) AS block, n_present, key_min, key_max,
+           CAST(key_max - key_min + 1 - n_present AS BIGINT) AS n_missing
+    FROM blocks WHERE key_max - key_min + 1 - n_present > 0
+    ORDER BY block
+    """,
+)
+def orders_key_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit: per {BLOCK}-key block of the order
+    key space, how many ids are missing between the observed min and
+    max — the CDC/ingest gap detector ('did we drop a batch') that
+    needs no reference sequence, only the keys themselves.
+
+    Scale: one partial agg keyed by integer-divided block — O(keyspace
+    / {BLOCK}) output rows, no sort, no window, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    blocks = o.groupBy(
+        F.expr(f"o_orderkey div {GAP_BLOCK}").alias("block")
+    ).agg(
+        F.count("*").alias("n_present"),
+        F.min("o_orderkey").cast("bigint").alias("key_min"),
+        F.max("o_orderkey").cast("bigint").alias("key_max"),
+    )
+    missing = (
+        F.col("key_max") - F.col("key_min") + 1 - F.col("n_present")
+    ).cast("bigint")
+    return (
+        blocks.select(
+            F.col("block").cast("bigint").alias("block"),
+            "n_present",
+            "key_min",
+            "key_max",
+            missing.alias("n_missing"),
+        )
+        .where(F.col("n_missing") > 0)
+        .orderBy("block")
+    )
+
+
+orders_key_gap_profile.__doc__ = orders_key_gap_profile.__doc__.replace(
+    "{BLOCK}", str(GAP_BLOCK)
+)
+
+
+@query(
+    "user_inactivity_bands",
+    oracle="""
+    WITH last_seen AS (
+      SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+    ), horizon AS (
+      SELECT max(ts) AS corpus_end FROM events
+    ), aged AS (
+      SELECT user_id,
+             date_diff('day', CAST(last_ts AS DATE),
+                       CAST(corpus_end AS DATE)) AS days_inactive
+      FROM last_seen CROSS JOIN horizon
+    )
+    SELECT CASE WHEN days_inactive <= 1 THEN 'a_active_1d'
+                WHEN days_inactive <= 7 THEN 'b_1w'
+                WHEN days_inactive <= 14 THEN 'c_2w'
+                ELSE 'd_gone' END AS inactivity_band,
+           count(*) AS n_users,
+           CAST(min(days_inactive) AS BIGINT) AS min_days,
+           CAST(max(days_inactive) AS BIGINT) AS max_days
+    FROM aged GROUP BY inactivity_band ORDER BY inactivity_band
+    """,
+)
+def user_inactivity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk banding: days since each user's last event relative
+    to the corpus horizon, bucketed (1d/1w/2w/gone) — the retention
+    complement of ``user_retention_cohorts`` (who came back) and
+    ``first_seen_users_batch`` (who arrived): who LEFT. Integer day
+    arithmetic; the horizon is a 1-row broadcast attach.
+
+    Scale: one user-keyed partial-agg max, a scalar cross join, an
+    O(users)→O(4) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    horizon = ev.agg(F.max("ts").alias("corpus_end"))
+    aged = last_seen.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.to_date("corpus_end"), F.to_date("last_ts")).alias(
+            "days_inactive"
+        )
+    )
+    band = (
+        F.when(F.col("days_inactive") <= 1, "a_active_1d")
+        .when(F.col("days_inactive") <= 7, "b_1w")
+        .when(F.col("days_inactive") <= 14, "c_2w")
+        .otherwise("d_gone")
+    )
+    return (
+        aged.groupBy(band.alias("inactivity_band"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("days_inactive").cast("bigint").alias("min_days"),
+            F.max("days_inactive").cast("bigint").alias("max_days"),
+        )
+        .orderBy("inactivity_band")
+    )

@@ -86,6 +86,9 @@ WAIVERS: dict[str, str] = {
     # pareto denominator: the 1-row total-spend aggregate cross-joined
     # onto the 10-row decile rollup.
     "customer_pareto_share": "bnlj-over-two-scans",
+    # corpus-horizon attach: the 1-row max(ts) aggregate cross-joined
+    # onto the O(users) last-seen rollup.
+    "user_inactivity_bands": "bnlj-over-two-scans",
 }
 
 
