@@ -1209,3 +1209,129 @@ def user_inactivity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("inactivity_band")
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _mix_drift_oracle() -> str:
+    conds = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    terms = " + ".join(
+        f"abs(CAST(n_{t} AS DOUBLE) / n_total"
+        f" - CAST(p_{t} AS DOUBLE) / p_total)"
+        for t in _EVENT_TYPES
+    )
+    lags = ", ".join(
+        f"lag(n_{t}) OVER w AS p_{t}" for t in _EVENT_TYPES
+    )
+    return f"""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) AS n_total, {conds}
+      FROM events GROUP BY day
+    ), lagged AS (
+      SELECT *, lag(n_total) OVER w AS p_total, {lags}
+      FROM daily WINDOW w AS (ORDER BY day)
+    )
+    SELECT day, n_total,
+           ({terms}) / 2 AS tv_drift,
+           CAST(CASE WHEN ({terms}) / 2 >= 0.05 THEN 1 ELSE 0 END AS INT)
+               AS is_shift
+    FROM lagged WHERE p_total IS NOT NULL ORDER BY day
+    """
+
+
+@query("event_mix_daily_drift", oracle=_mix_drift_oracle())
+def event_mix_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total-variation distance between
+    each day's event-type mix and the previous day's — the
+    'did the traffic composition shift overnight' alarm (instrument
+    changes, bot floods, outages all move it). The type set is the
+    engine's closed event vocabulary, so the mix pivots to fixed
+    columns and the TV sum is a FIXED-ORDER expression tree of
+    single divisions — bit-stable cross-engine; the shift flag
+    compares the identical double against the same literal.
+
+    Scale: one day-keyed partial agg (conditional sums per type),
+    then lag over the O(days) rollup. Nothing touches facts twice."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_total")] + [
+        F.sum((F.col("event_type") == t).cast("int"))
+        .cast("bigint")
+        .alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(*aggs)
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "*",
+        F.lag("n_total").over(w).alias("p_total"),
+        *[F.lag(f"n_{t}").over(w).alias(f"p_{t}") for t in _EVENT_TYPES],
+    ).where(F.col("p_total").isNotNull())
+    terms = None
+    for t in _EVENT_TYPES:
+        term = F.abs(
+            F.col(f"n_{t}").cast("double") / F.col("n_total")
+            - F.col(f"p_{t}").cast("double") / F.col("p_total")
+        )
+        terms = term if terms is None else terms + term
+    tv = terms / 2
+    return lagged.select(
+        "day",
+        "n_total",
+        tv.alias("tv_drift"),
+        (tv >= 0.05).cast("int").alias("is_shift"),
+    ).orderBy("day")
+
+
+@query(
+    "daily_new_vs_returning",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           count(*) AS n_active,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning
+    FROM act JOIN fd USING (user_id)
+    GROUP BY day ORDER BY day
+    """,
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each day's active users split into new
+    (first-ever activity that day) and returning — the first chart on
+    any growth dashboard, built on the same first-seen basis as
+    ``first_seen_users_batch`` / ``user_retention_cohorts``.
+
+    Scale: activity collapses to distinct (user, day) on the fact
+    scan; the first-day table is a user-keyed partial-agg min; the
+    join shares the user key shuffle; output is O(days)."""
+    ev = load_table(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(fd, "user_id")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .orderBy("day")
+    )
