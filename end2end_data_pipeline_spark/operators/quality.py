@@ -1335,3 +1335,130 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "customer_rolling_30d_spend",
+    # RANGE frame over integer epoch-days: every order sees the exact
+    # trailing-30-day spend for its customer — a TIME-range window
+    # (value-based frame), not a row-count frame; both engines frame
+    # on the identical integer day key.
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 AS epoch_day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, CAST(epoch_day AS BIGINT) AS epoch_day,
+           CAST(SUM(cents) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_30d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_30d
+    FROM o ORDER BY o_orderkey
+    """,
+)
+def customer_rolling_30d_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-30-day spend per customer at each order, via a RANGE
+    (time-value) window frame over integer epoch-days — the frame kind
+    row-count windows cannot express when orders cluster unevenly in
+    time (two orders the same day share one frame; a 40-day gap
+    empties it). Exact integer cents.
+
+    Scale: one customer-keyed window over the orders fact — per-key
+    sorted streaming through the frame, state bounded by the 30-day
+    span; the canonical rolling-feature shape for ML feature
+    backfills."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+            "epoch_day"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-29, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("epoch_day").cast("bigint").alias("epoch_day"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_30d"),
+        F.count("*").over(w).cast("bigint").alias("n_orders_30d"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "event_minute_value_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('minute', min(ts)) AS tmin,
+             date_trunc('minute', max(ts)) AS tmax
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 MINUTE)) AS m
+      FROM bounds
+    ), obs AS (
+      SELECT date_trunc('minute', ts) AS m, max(value) AS max_value
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT strftime(spine.m, '%Y-%m-%d %H:%M') AS event_minute,
+           obs.max_value,
+           last_value(obs.max_value IGNORE NULLS) OVER (
+             ORDER BY spine.m ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW
+           ) AS locf_value,
+           CAST(CASE WHEN obs.max_value IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_filled
+    FROM spine LEFT JOIN obs ON spine.m = obs.m
+    ORDER BY event_minute
+    """,
+)
+def event_minute_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: the per-minute max event
+    value, densified onto the minute spine with gaps forward-filled
+    from the most recent observed minute — the imputation step between
+    raw sparse telemetry and models/charts that need a value at every
+    tick. The carried value is a raw observed double (max, not an
+    average), so it is exact cross-engine.
+
+    Scale: minute rollup + spine join as in ``event_minute_gapfill``;
+    the LOCF window runs over the O(minutes) dense series (same
+    single-partition-rollup precedent as ``minute_anomaly_ratio``) —
+    at a multi-year horizon, cut by day with a carried seed."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("tmin"),
+        F.date_trunc("minute", F.max("ts")).alias("tmax"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("tmin", "tmax", F.expr("INTERVAL 1 MINUTE"))).alias(
+            "m"
+        )
+    )
+    obs = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(F.max("value").alias("max_value"))
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(obs, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM-dd HH:mm").alias("event_minute"),
+            "max_value",
+            F.last("max_value", ignorenulls=True).over(w).alias("locf_value"),
+            F.col("max_value").isNull().cast("int").alias("is_filled"),
+        )
+        .orderBy("event_minute")
+    )
