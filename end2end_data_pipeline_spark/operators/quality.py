@@ -1462,3 +1462,135 @@ def event_minute_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_minute")
     )
+
+
+@query(
+    "hourly_count_autocorr_24h",
+    # Pearson r between the hourly count series and itself lagged 24h,
+    # from INTEGER sums (n*Sxy - Sx*Sy over sqrt terms): every input
+    # to the float ops is an exact integer and the expression tree is
+    # identical on both engines, so r is bit-stable. r ~ 1 means
+    # strong daily seasonality; ~0 means none.
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT c AS x, lag(c, 24) OVER (ORDER BY h) AS y FROM hourly
+    ), s AS (
+      SELECT count(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL
+    )
+    SELECT n, sx, sy, sxy, sxx, syy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_24h
+    FROM s
+    """,
+)
+def hourly_count_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality strength: the lag-24 autocorrelation of the
+    hourly event-count series — the one-number answer to 'does this
+    traffic have a daily rhythm' that gates whether hour-of-day
+    features/baselines (``event_hour_dow_heatmap``,
+    ``minute_anomaly_ratio``) are meaningful. All Pearson components
+    are exact integer sums; r is a fixed-shape expression over them.
+
+    Scale: hourly partial-agg rollup (O(hours)), one lag window over
+    it, a 1-row reduce. The fact is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        F.col("c").alias("x"), F.lag("c", 24).over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    s = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    dy = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx", "syy",
+        (num / (dx * dy)).alias("autocorr_24h"),
+    )
+
+
+@query(
+    "user_type_diversity_bands",
+    # Gini-Simpson diversity 1 - sum(p_i^2) per user, computed as
+    # (N^2 - sum(n_i^2)) vs banded thresholds ENTIRELY in integer
+    # cross-multiplication (20 * (N^2 - sum(n_i^2)) vs k * N^2), so
+    # the banding never touches a float.
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      FROM per_type GROUP BY user_id
+    ), banded AS (
+      SELECT CASE
+               WHEN 20 * (total * total - sum_sq) < 4 * total * total
+                 THEN 'a_low'
+               WHEN 20 * (total * total - sum_sq) < 12 * total * total
+                 THEN 'b_mid'
+               ELSE 'c_high'
+             END AS diversity_band
+      FROM per_user
+    )
+    SELECT diversity_band, count(*) AS n_users
+    FROM banded GROUP BY diversity_band ORDER BY diversity_band
+    """,
+)
+def user_type_diversity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity segmentation: Gini-Simpson diversity
+    (1 - sum p_i²) of each user's event-type mix, banded low
+    (<0.2: monotone users), mid (<0.6), high — the entropy-style
+    breadth profile without logarithms, so every comparison is an
+    exact integer cross-multiplication and the result is
+    hash-stable by construction.
+
+    Scale: (user, type) partial agg -> O(users x types) rollup ->
+    per-user integer reduce -> O(3) bands. No window, no join, no
+    float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+    )
+    nn = F.col("total") * F.col("total")
+    spread = (nn - F.col("sum_sq")) * 20
+    band = (
+        F.when(spread < 4 * nn, "a_low")
+        .when(spread < 12 * nn, "b_mid")
+        .otherwise("c_high")
+    )
+    return (
+        per_user.select(band.alias("diversity_band"))
+        .groupBy("diversity_band")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("diversity_band")
+    )
