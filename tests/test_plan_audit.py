@@ -55,3 +55,36 @@ def test_registry_plans_are_clean(spark):
         if flags:
             failures[name] = ", ".join(flags)
     assert not failures, failures
+
+
+@pytest.mark.slow
+def test_dynamic_partition_pruning_on_warehouse(spark, tmp_path):
+    """Scale capability proof: a join between the minute-partitioned
+    warehouse and a FILTERED dimension of minutes must plan a
+    dynamicpruning subquery on the partition column, so at 100 TB the
+    fact scan reads only the joined minutes' directories instead of
+    the whole table — partition pruning decided at runtime from the
+    dim side, not from a literal predicate."""
+    from pyspark.sql import functions as F
+
+    from end2end_data_pipeline_spark.sources.generator import (
+        generate_events,
+        write_warehouse,
+    )
+
+    path = str(tmp_path / "dpp_warehouse")
+    df = generate_events(spark, 2000, n_users=20, seed=11, events_per_second=10)
+    write_warehouse(df, path)
+
+    fact = spark.read.parquet(path)
+    # dim: a small minute list with a selective filter — the DPP build side
+    minutes = (
+        fact.select("event_minute").distinct().limit(3).withColumn("keep", F.lit(1))
+    )
+    dim_path = str(tmp_path / "dpp_dim")
+    minutes.write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("keep") == 1)
+
+    joined = fact.join(dim, "event_minute").groupBy("event_minute").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
