@@ -1594,3 +1594,71 @@ def user_type_diversity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("diversity_band")
     )
+
+
+@query(
+    "session_bounce_rate_daily",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS sid
+      FROM gaps
+    ), per_session AS (
+      SELECT user_id, sid,
+             strftime(date_trunc('day', min(ts)), '%Y-%m-%d') AS day,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT day,
+           count(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS bounce_rate
+    FROM per_session GROUP BY day ORDER BY day
+    """,
+)
+def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one
+    event, sessions attributed to the day they started — the classic
+    engagement-health metric, on the same 30-minute gap
+    sessionization as ``event_sessionization`` / ``session_top_paths``.
+
+    Scale: one user_id shuffle serves the lag window and the running
+    session index; sessions collapse to one row each (min ts + count),
+    then an O(days) rollup; the rate is one division of exact
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "sid", F.sum("new_session").over(w)
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.date_format(F.date_trunc("day", F.min("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.count("*").alias("n_events"),
+    )
+    bounce = (F.col("n_events") == 1).cast("int")
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(bounce).cast("bigint").alias("n_bounces"),
+            (F.sum(bounce).cast("double") / F.count("*")).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -870,3 +870,107 @@ def knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_queries"))
         .orderBy("true_label", "pred_label")
     )
+
+
+@query(
+    "embedding_centroid_margin_profile",
+    # cosine is scale-invariant, so centroids are represented by their
+    # exact INTEGER component-sum vectors (no rational mean needed):
+    # dot/norms stay exact bigints and the per-vector cosines/margins
+    # are fixed-shape double ops — bit-stable cross-engine. (At a
+    # corpus where per-label sums square past 2^63, integer-divide the
+    # sum vector by n first — same direction, documented trade.)
+    oracle=_qbase_sql()
+    + f""", comp AS (
+      SELECT label,
+             unnest(range(1, len(qv) + 1)) AS pos,
+             unnest(qv) AS v
+      FROM qbase
+    ), sums AS (
+      SELECT label AS c_label, list(s ORDER BY pos) AS cvec
+      FROM (
+        SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+        FROM comp GROUP BY label, pos
+      ) GROUP BY label
+    ), cn AS (
+      SELECT c_label, cvec,
+             {vec.dot_q('cvec', 'cvec', th.DUCK)} AS cnorm2
+      FROM sums
+    ), scored AS (
+      SELECT q.vec_id, q.label,
+             MAX(CASE WHEN s.c_label = q.label THEN
+               {vec.cosine_q('q.qv', 's.cvec', 'q.norm2', 's.cnorm2', th.DUCK)}
+             END) AS own_cos,
+             MAX(CASE WHEN s.c_label <> q.label THEN
+               {vec.cosine_q('q.qv', 's.cvec', 'q.norm2', 's.cnorm2', th.DUCK)}
+             END) AS best_other
+      FROM qbase q CROSS JOIN cn s
+      GROUP BY q.vec_id, q.label
+    )
+    SELECT label, count(*) AS n_vectors,
+           CAST(SUM(CASE WHEN own_cos - best_other < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neg_margin,
+           CAST(SUM(CASE WHEN own_cos - best_other < 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS share_neg
+    FROM scored GROUP BY label ORDER BY label
+    """,
+)
+def embedding_centroid_margin_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-noise audit via nearest-centroid margins: for every
+    vector, cosine to its OWN label's centroid minus the best cosine
+    to any OTHER label's centroid; a negative margin means the vector
+    sits closer to a foreign class — the per-label negative-margin
+    share is the 'how mislabeled is this slice' gauge that decides
+    whether ``knn_label_confusion``'s disagreements are noise or
+    structure.
+
+    Scale: centroid sum-vectors build exactly like ``label_centroids``
+    (map-side partial sums, |labels| x dim rows through the shuffle);
+    scoring is the corpus scanned once against the O(|labels|)
+    broadcast centroid table (same waived O(n x K) shape as the IVF
+    quantizer); the profile is an O(|labels|) rollup."""
+    base = _qbase(spark, sf_dir)
+    comp = base.select("label", F.posexplode("qv").alias("pos", "v"))
+    sums = (
+        comp.groupBy("label", "pos")
+        .agg(F.sum("v").cast("bigint").alias("s"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("cvec")
+        )
+        .withColumn("cnorm2", F.expr(vec.dot_q("cvec", "cvec", th.SPARK)))
+    )
+    cos = F.expr(vec.cosine_q("qv", "cvec", "norm2", "cnorm2", th.SPARK))
+    scored = (
+        base.crossJoin(F.broadcast(sums))
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label"),
+            cos.alias("cos"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.when(F.col("c_label") == F.col("label"), F.col("cos"))
+            ).alias("own_cos"),
+            F.max(
+                F.when(F.col("c_label") != F.col("label"), F.col("cos"))
+            ).alias("best_other"),
+        )
+    )
+    neg = (F.col("own_cos") - F.col("best_other") < 0).cast("int")
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(neg).cast("bigint").alias("n_neg_margin"),
+            (F.sum(neg).cast("double") / F.count("*")).alias("share_neg"),
+        )
+        .orderBy("label")
+    )

@@ -89,6 +89,10 @@ WAIVERS: dict[str, str] = {
     # corpus-horizon attach: the 1-row max(ts) aggregate cross-joined
     # onto the O(users) last-seen rollup.
     "user_inactivity_bands": "bnlj-over-two-scans",
+    # nearest-centroid scoring: corpus scanned once against the
+    # O(|labels|) broadcast centroid-sum table — the same intentional
+    # O(n x K) shape as the waived IVF quantizer.
+    "embedding_centroid_margin_profile": "bnlj-over-two-scans",
 }
 
 
