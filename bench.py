@@ -77,6 +77,11 @@ HEADLINE = [
     # q3_shipping_priority_bucketed — its first call materializes the
     # bucketed tables, so its wall time measures the one-time write,
     # not the query.)
+    # round-7 registrations are excluded for the same reason as the
+    # bucketed twin: warehouse_minute_dpp_extract's first call
+    # materializes the partitioned warehouse (one-time write, not
+    # query speed) and minute_counts_stream_replay times the streaming
+    # sink+checkpoint lifecycle, not plan execution.
     "event_value_deciles",
     "orders_column_profile",
     "fk_orphan_audit",
@@ -88,6 +93,49 @@ HEADLINE = [
     "orders_backlog_over_time",
     "embedding_dim_variance_profile",
 ]
+
+# FROZEN round-3 headline — the cross-round comparability basis.
+# ``carried_subtotal`` sums exactly these 33 every round, so
+# BENCH_rN vs BENCH_rN-1 is a one-field comparison no matter how the
+# growing HEADLINE evolves (VERDICT r6 "What's wrong" #3: the headline
+# total read as a regression when it was growth). Do not edit; new
+# queries join HEADLINE only.
+CARRIED_33 = (
+    "event_status_pivot",
+    "event_minute_counts",
+    "event_error_rate",
+    "event_sessionization",
+    "event_error_streaks",
+    "asof_last_view_before_purchase",
+    "event_pairs_within_window",
+    "props_k_distribution",
+    "lineitem_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "top_revenue_orders",
+    "nation_supplier_revenue",
+    "top_orders_per_customer",
+    "segment_distinct_buyers",
+    "dedup_exact_stats",
+    "dedup_minhash_pairs",
+    "dedup_simhash_signatures",
+    "text_quality_scores",
+    "token_stats_by_lang",
+    "tfidf_top_terms",
+    "docs_split_assign",
+    "knn_bruteforce",
+    "embedding_lsh_buckets",
+    "dedup_embedding_neardup",
+    "ann_ivf_topk_nprobe",
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q8_market_share",
+    "corpus_pack_chunks",
+    "eval_contamination",
+    "shingle_novelty_curve",
+)
+assert set(CARRIED_33) <= set(HEADLINE) and len(CARRIED_33) == 33
 
 
 def _group_tasks(sc, group: str) -> int:
@@ -133,6 +181,7 @@ def main() -> None:
         tasks[name] = _group_tasks(sc, name)
 
     total = round(sum(timings.values()), 3)
+    carried = round(sum(timings[n] for n in CARRIED_33), 3)
     # contention fingerprint: wall times are only comparable across
     # rounds at similar ambient load. The r1->r2 "regression" (33.2s ->
     # 56.1s on identical code) was ambient contention at recording time
@@ -147,6 +196,8 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "carried_subtotal": carried,
+        "carried_n": len(CARRIED_33),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": env,
@@ -173,6 +224,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "carried_subtotal": carried,
         "queries": slowest,
         "n_queries": len(timings),
         "sf": full["sf"],

@@ -21,4 +21,5 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     temporal,
     tpch_like,
     text_analysis,
+    warehouse_ops,
 )

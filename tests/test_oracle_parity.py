@@ -82,10 +82,21 @@ def test_checked_window_contract():
         # round-6 families
         "events_approx_": "sketch accuracy contract",
         "first_seen_": "first-seen detection",
-        "q3_shipping_priority_bucketed": "bucketed layout",
         "fk_orphan_audit": "quality audit",
         "session_top_paths": "affinity/sequence",
         "orders_backlog_over_time": "sweep-line intervals",
+        # round-7 window composition (VERDICT r6 #1): the post-freeze
+        # r6 queue, the three r1 hash-fails being re-greened, and the
+        # two r7 operators
+        "q12_shipmode_priority_bucketed": "bucketed layout (exchange-free join)",
+        "brand_revenue": "r1-regreen: revenue rollup",
+        "nation_supplier_revenue": "r1-regreen: dim-join rollup",
+        "orders_monthly_trend": "r1-regreen: monthly trend",
+        "warehouse_minute_dpp_extract": "partitioned warehouse + DPP",
+        "minute_counts_stream_replay": "streaming parity",
+        "customer_": "customer lifecycle",
+        "embedding_centroid_margin_profile": "label-noise audit",
+        "session_bounce_rate_daily": "sessionized quality",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family

@@ -1,0 +1,104 @@
+"""Mechanical driver-green-union tracker (VERDICT r6 "What's wrong" #2).
+
+The driver value-checks 50 queries per round (the CHECKED_FIRST window
+in ``__spark_entry__.py``); the union of green rows across rounds is
+the hard coverage signal. Round 1 proved the failure mode this tool
+closes: three queries hash-failed, were fixed the next round, passed
+the local gate ever after — and were never rotated back into a window,
+so they silently lacked a driver-green row for five rounds.
+
+``green_union()`` recomputes the union from the committed
+``CORRECTNESS_r*.json`` files (a row is green iff rows+schema+hash all
+match with no error). ``forgotten()`` is the enforcement: every
+registered query must either be driver-green in some round's file or
+sit in the CURRENT window (i.e. scheduled for its check this round).
+Anything else is a fixed-but-never-regreened slip and fails the suite
+(``tests/test_union_check.py``). Run as a script for the human report:
+
+    python -m tools.union_check
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _is_green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+
+
+def correctness_files(repo_root: str = REPO_ROOT) -> list[str]:
+    return sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+
+
+def green_union(repo_root: str = REPO_ROOT) -> dict[str, str]:
+    """query name -> first round whose driver row is green."""
+    union: dict[str, str] = {}
+    for path in correctness_files(repo_root):
+        round_tag = os.path.basename(path)[len("CORRECTNESS_") : -len(".json")]
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if _is_green(row) and name not in union:
+                union[name] = round_tag
+    return union
+
+
+def forgotten(
+    registry: list[str], window: list[str], repo_root: str = REPO_ROOT
+) -> list[str]:
+    """Registered queries with NO driver-green row in any committed
+    round AND no slot in the current window — the r1 slip class."""
+    union = green_union(repo_root)
+    window_set = set(window)
+    return [q for q in registry if q not in union and q not in window_set]
+
+
+def report(repo_root: str = REPO_ROOT) -> dict:
+    import __spark_entry__ as entrymod
+
+    registry = list(entrymod.queries())
+    window = list(entrymod.CHECKED_FIRST)
+    union = green_union(repo_root)
+    unchecked = [q for q in registry if q not in union]
+    return {
+        "registry": len(registry),
+        "green_union": len([q for q in union if q in registry]),
+        "rounds": [os.path.basename(p) for p in correctness_files(repo_root)],
+        "not_yet_green": unchecked,
+        "in_current_window": [q for q in unchecked if q in set(window)],
+        "forgotten": forgotten(registry, window, repo_root),
+    }
+
+
+def main() -> int:
+    r = report()
+    print(
+        f"driver-green union: {r['green_union']}/{r['registry']} "
+        f"across {len(r['rounds'])} rounds"
+    )
+    if r["not_yet_green"]:
+        print(f"awaiting a green row ({len(r['not_yet_green'])}):")
+        for q in r["not_yet_green"]:
+            tag = "WINDOWED" if q in set(r["in_current_window"]) else "FORGOTTEN"
+            print(f"  [{tag}] {q}")
+    if r["forgotten"]:
+        print(
+            "FAIL: queries above marked FORGOTTEN have no driver-green row "
+            "and no slot in the current CHECKED_FIRST window — rotate them in."
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
