@@ -92,6 +92,30 @@ HEADLINE = [
     "embedding_threshold_sweep",
     "orders_backlog_over_time",
     "embedding_dim_variance_profile",
+    # the 20 round-6 operators entering the r7 check window — first
+    # sf0.1 timings this round ("measure, don't guess"); cross-round
+    # totals stay comparable via carried_subtotal below
+    "customer_pareto_share",
+    "event_conversion_delay_histogram",
+    "customer_spend_tier_transitions",
+    "event_error_rate_wilson",
+    "latest_event_per_user_maxby",
+    # (q12_shipmode_priority_bucketed excluded like the q3 bucketed
+    # twin: first call materializes the bucketed tables)
+    "lineitem_ship_latency_bands",
+    "doc_length_gini_by_lang",
+    "supplier_revenue_hhi_by_nation",
+    "event_value_benford_profile",
+    "orders_key_gap_profile",
+    "user_inactivity_bands",
+    "event_mix_daily_drift",
+    "daily_new_vs_returning",
+    "customer_rolling_30d_spend",
+    "event_minute_value_locf",
+    "hourly_count_autocorr_24h",
+    "user_type_diversity_bands",
+    "embedding_centroid_margin_profile",
+    "session_bounce_rate_daily",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

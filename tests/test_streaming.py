@@ -299,3 +299,30 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 12:00 window was finalized with ONE event; the late a3 was
     # dropped (the 12:10/12:11 windows are still open, so not emitted)
     assert rows == {(dt.datetime(2024, 1, 1, 12, 0), 1)}
+
+
+def test_stream_replay_query_uses_streaming_engine(spark):
+    """``minute_counts_stream_replay`` must be the REAL streaming path,
+    not a batch shortcut: its first call registers a memory-sink table
+    produced by a completed StreamingQuery (checkpoint on disk), and
+    repeat calls reuse that sink instead of re-running the stream."""
+    import os
+    import tempfile
+
+    from end2end_data_pipeline_spark.operators import warehouse_ops
+
+    sf = "/root/testdata/sf0.001"
+    df1 = warehouse_ops.minute_counts_stream_replay(spark, sf)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf))
+    table = warehouse_ops._REPLAY.get(key)
+    assert table and spark.catalog.tableExists(table)
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "spark_graft_replay_ckpt", key[0], table
+    )
+    # a streaming checkpoint (offsets/commits) proves engine execution
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
+    assert os.listdir(os.path.join(ckpt, "commits"))
+    # memoized: second call returns the same sink without a new table
+    df2 = warehouse_ops.minute_counts_stream_replay(spark, sf)
+    assert warehouse_ops._REPLAY[key] == table
+    assert df1.collect() == df2.collect()
