@@ -32,10 +32,12 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # Round 7 closes it: (a) the 20 round-6 operators registered after the
 # r6 window froze, (b) the 3 r1 hash-fails (float-sum order dependence,
 # fixed by the r2 integer-cents rework, passing the local gate since —
-# never driver-re-checked), (c) the 2 round-7 operators (partitioned-
-# warehouse DPP extract, streaming replay parity), (d) 25 multiply-
-# proven anchors keeping one green row per operator family. A green r7
-# makes the computed r1-r7 union exactly the full 178-query registry.
+# never driver-re-checked), (c) the 4 round-7 operators (partitioned-
+# warehouse DPP extract, streaming replay parity, and the q4/q18
+# bucketed twins widening the exchange-free orderkey family), (d) 23
+# multiply-proven anchors keeping one green row per operator family.
+# A green r7 makes the computed r1-r7 union exactly the full 180-query
+# registry.
 CHECKED_FIRST = [
     # (a) round-6 operators, registered post-freeze, never checked
     "customer_pareto_share",
@@ -65,15 +67,20 @@ CHECKED_FIRST = [
     # (c) round-7 operators
     "warehouse_minute_dpp_extract",
     "minute_counts_stream_replay",
-    # (d) proven per-family anchors (driver-green in r1-r6)
+    "q4_order_priority_bucketed",
+    "q18_large_orders_bucketed",
+    # (d) proven per-family anchors (driver-green in r1-r6;
+    # dedup_minhash_pairs and embedding_lsh_buckets rotated out to
+    # make room for the bucketed twins — their families stay
+    # represented by dedup_exact_stats / ann_ivf_topk_nprobe /
+    # embedding_centroid_margin_profile, and both keep green rows
+    # from earlier rounds)
     "dedup_exact_stats",
-    "dedup_minhash_pairs",
     "event_status_pivot",
     "multimodal_decode_features",
     "props_k_extract",
     "ann_ivf_topk_nprobe",
     "knn_bruteforce",
-    "embedding_lsh_buckets",
     "asof_last_view_before_purchase",
     "epoch_ms_roundtrip",
     "text_quality_scores",

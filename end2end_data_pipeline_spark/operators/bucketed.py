@@ -146,3 +146,75 @@ def q12_shipmode_priority_bucketed(
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q4_order_priority_bucketed",
+    # IDENTICAL oracle to the plain twin, same invariant as q3's.
+    oracle=ORACLE["q4_order_priority"],
+)
+def q4_order_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (correlated EXISTS as LEFT SEMI) over the same
+    co-bucketed tables: the semi join's equi key is the bucket key, so
+    neither fact shuffles — the extra non-equi condition
+    (``l_shipdate > o_orderdate``) rides on the bucket-pairwise
+    sort-merge. At 100 TB the EXISTS probe is the expensive side of
+    Q4; bucketing removes both exchanges from it.
+    ``tests/test_bucketing.py`` asserts the plan shape."""
+    o_name, l_name = bucketed_orders_lineitem(spark, sf_dir)
+    o = spark.table(o_name).where(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = spark.table(l_name).select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q18_large_orders_bucketed",
+    # IDENTICAL oracle to the plain twin, same invariant as q3's.
+    oracle=ORACLE["q18_large_orders"],
+)
+def q18_large_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 over the bucketed tables — the strongest member of
+    the family: the HAVING pre-aggregate groups BY THE BUCKET KEY
+    (``l_orderkey``), so even the aggregation is exchange-free (bucket
+    scan partitioning satisfies the group-by distribution), and the
+    orders⋈big join then reuses the same partitioning. Between the two
+    fact scans and the final top-N there is no orderkey exchange
+    anywhere — at 100 TB the whole large-order detection runs at scan
+    locality. Only the customer key join remains (broadcast-eligible
+    dim at any realistic scale)."""
+    o_name, l_name = bucketed_orders_lineitem(spark, sf_dir)
+    big = (
+        spark.table(l_name)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 210)
+        .select("l_orderkey")
+    )
+    o = spark.table(o_name)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "totalprice_cents"
+            ),
+        )
+        .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
+        .limit(50)
+    )

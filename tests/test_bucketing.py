@@ -130,3 +130,34 @@ def test_bucketed_q3_twin_matches_plain(spark):
     twin = q3_shipping_priority_bucketed(spark, SF).collect()
     plain = q3_shipping_priority(spark, SF).collect()
     assert list(map(tuple, twin)) == list(map(tuple, plain))
+
+
+def test_bucketed_q4_twin_semi_join_is_exchange_free(spark, no_broadcast):
+    """Q4's EXISTS probe (left semi on the bucket key, with the
+    non-equi shipdate condition riding along) must see no orderkey
+    Exchange on the bucketed tables."""
+    from end2end_data_pipeline_spark.operators.bucketed import (
+        q4_order_priority_bucketed,
+    )
+
+    df = q4_order_priority_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    assert "Bucketed: true" in plan
+    assert _join_key_exchanges(plan) == 0
+
+
+def test_bucketed_q18_twin_agg_and_join_exchange_free(spark, no_broadcast):
+    """Q18's HAVING pre-aggregate groups by the bucket key, so the
+    AGGREGATION inherits the scan partitioning too: no orderkey
+    Exchange between either fact scan and the final top-N (customer
+    side is an explicit broadcast)."""
+    from end2end_data_pipeline_spark.operators.bucketed import (
+        q18_large_orders_bucketed,
+    )
+
+    df = q18_large_orders_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert _join_key_exchanges(plan) == 0

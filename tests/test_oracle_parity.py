@@ -94,6 +94,8 @@ def test_checked_window_contract():
         "orders_monthly_trend": "r1-regreen: monthly trend",
         "warehouse_minute_dpp_extract": "partitioned warehouse + DPP",
         "minute_counts_stream_replay": "streaming parity",
+        "q4_order_priority_bucketed": "bucketed semi-join",
+        "q18_large_orders_bucketed": "bucketed agg-on-bucket-key",
         "customer_": "customer lifecycle",
         "embedding_centroid_margin_profile": "label-noise audit",
         "session_bounce_rate_daily": "sessionized quality",
