@@ -1,0 +1,393 @@
+"""Pure-stdlib Avro binary codec (spec subset) + Confluent wire framing.
+
+The reference serializes events with Avro through a Confluent Schema
+Registry before they reach Kafka (``producer/producer.py:100-105``,
+``producer/schema_registry.py:13-30``). In this engine the production
+deserializer is JVM-side ``from_avro`` (``connectors.read_kafka_events``),
+but that jar is an add-on not bundled with the pyspark wheel — so, like
+``functions/png_min.py`` for image decoding, this module implements the
+serde itself from the public Avro 1.11 specification so the schema
+contract is *executable and tested* in any environment, not merely
+declared.
+
+Scope (everything the event contract needs, plus the common composites):
+
+- primitives: null, boolean, int, long, float, double, bytes, string
+- complex: record, enum, array, map, union, fixed
+- logical type ``timestamp-millis`` passes through as long (the Spark
+  glue in ``operators/avro_io.py`` converts to/from TimestampType)
+- parsing canonical form + CRC-64-AVRO Rabin fingerprint (spec
+  "Schema Fingerprints") for registry-free schema identity
+- Confluent wire format: 1-byte magic 0x00 + 4-byte big-endian schema
+  id + Avro binary body — byte-compatible with the ``substring(value,
+  6)`` header strip the JVM reader applies
+
+Encoding rules implemented (Avro spec, "Binary encoding"):
+int/long are zigzag varints; bytes/string are long-prefixed; a union
+writes the zigzag branch index then the value; arrays/maps write
+blocks (count, items, then a 0 terminator); records write fields in
+declaration order with no framing.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any
+
+PRIMITIVES = {
+    "null",
+    "boolean",
+    "int",
+    "long",
+    "float",
+    "double",
+    "bytes",
+    "string",
+}
+
+INT_MIN, INT_MAX = -(2**31), 2**31 - 1
+LONG_MIN, LONG_MAX = -(2**63), 2**63 - 1
+
+
+def _schema(s: Any) -> Any:
+    return json.loads(s) if isinstance(s, str) and s.lstrip().startswith(("{", "[")) else s
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_varint(out: bytearray, n: int) -> None:
+    n = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _union_branch(schema: list, value: Any) -> int:
+    """Pick the union branch for a Python value (null first, then the
+    first type-compatible branch — enough for [null, X] contracts)."""
+    for i, branch in enumerate(schema):
+        t = branch if isinstance(branch, str) else branch.get("type")
+        if value is None and t == "null":
+            return i
+        if value is None:
+            continue
+        if t == "boolean" and isinstance(value, bool):
+            return i
+        if t in ("int", "long") and isinstance(value, int) and not isinstance(value, bool):
+            return i
+        if t in ("float", "double") and isinstance(value, float):
+            return i
+        if t == "string" and isinstance(value, str):
+            return i
+        if t in ("bytes", "fixed") and isinstance(value, (bytes, bytearray)):
+            return i
+        if t == "record" and isinstance(value, dict):
+            return i
+        if t == "array" and isinstance(value, list):
+            return i
+        if t == "map" and isinstance(value, dict):
+            return i
+        if t == "enum" and isinstance(value, str):
+            return i
+    raise ValueError(f"no union branch in {schema!r} accepts {value!r}")
+
+
+def _encode(out: bytearray, schema: Any, value: Any) -> None:
+    if isinstance(schema, list):  # union
+        branch = _union_branch(schema, value)
+        _write_varint(out, branch)
+        _encode(out, schema[branch], value)
+        return
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        if value is not None:
+            raise ValueError(f"null schema got {value!r}")
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+        return
+    if t in ("int", "long"):
+        lo, hi = (INT_MIN, INT_MAX) if t == "int" else (LONG_MIN, LONG_MAX)
+        if not isinstance(value, int) or isinstance(value, bool) or not lo <= value <= hi:
+            raise ValueError(f"{t} schema got {value!r}")
+        _write_varint(out, value)
+        return
+    if t == "float":
+        out += struct.pack("<f", value)
+        return
+    if t == "double":
+        out += struct.pack("<d", value)
+        return
+    if t == "bytes":
+        _write_varint(out, len(value))
+        out += bytes(value)
+        return
+    if t == "string":
+        raw = value.encode("utf-8")
+        _write_varint(out, len(raw))
+        out += raw
+        return
+    if t == "fixed":
+        if len(value) != schema["size"]:
+            raise ValueError(f"fixed({schema['size']}) got {len(value)} bytes")
+        out += bytes(value)
+        return
+    if t == "enum":
+        _write_varint(out, schema["symbols"].index(value))
+        return
+    if t == "record":
+        for f in schema["fields"]:
+            try:
+                _encode(out, f["type"], value[f["name"]])
+            except KeyError:
+                raise ValueError(f"record value missing field {f['name']!r}") from None
+        return
+    if t == "array":
+        if value:
+            _write_varint(out, len(value))
+            for item in value:
+                _encode(out, schema["items"], item)
+        _write_varint(out, 0)
+        return
+    if t == "map":
+        if value:
+            _write_varint(out, len(value))
+            for k, v in value.items():
+                _encode(out, "string", k)
+                _encode(out, schema["values"], v)
+        _write_varint(out, 0)
+        return
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def encode(schema: Any, value: Any) -> bytes:
+    """Avro binary encoding of ``value`` under ``schema`` (dict or JSON)."""
+    out = bytearray()
+    _encode(out, _schema(schema), value)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+
+
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError("truncated Avro payload")
+        chunk = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return chunk
+
+    def varint(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            (b,) = self.read(1)
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return _unzigzag(acc)
+            shift += 7
+            if shift > 63:
+                raise ValueError("varint too long")
+
+
+def _decode(r: _Reader, schema: Any) -> Any:
+    if isinstance(schema, list):  # union
+        branch = r.varint()
+        if not 0 <= branch < len(schema):
+            raise ValueError(f"union branch {branch} out of range")
+        return _decode(r, schema[branch])
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return r.varint()
+    if t == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        return r.read(r.varint())
+    if t == "string":
+        return r.read(r.varint()).decode("utf-8")
+    if t == "fixed":
+        return r.read(schema["size"])
+    if t == "enum":
+        return schema["symbols"][r.varint()]
+    if t == "record":
+        return {f["name"]: _decode(r, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        items = []
+        while True:
+            count = r.varint()
+            if count == 0:
+                return items
+            if count < 0:  # block with byte-size prefix (spec-allowed)
+                count = -count
+                r.varint()
+            for _ in range(count):
+                items.append(_decode(r, schema["items"]))
+    if t == "map":
+        result: dict[str, Any] = {}
+        while True:
+            count = r.varint()
+            if count == 0:
+                return result
+            if count < 0:
+                count = -count
+                r.varint()
+            for _ in range(count):
+                k = _decode(r, "string")
+                result[k] = _decode(r, schema["values"])
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def decode(schema: Any, data: bytes) -> Any:
+    """Decode one Avro-binary value; raises on trailing garbage."""
+    r = _Reader(bytes(data))
+    value = _decode(r, _schema(schema))
+    if r.pos != len(r.data):
+        raise ValueError(f"{len(r.data) - r.pos} trailing bytes after value")
+    return value
+
+
+# ------------------------------------------- canonical form + fingerprint
+
+_CANONICAL_KEYS = ("name", "type", "fields", "symbols", "items", "values", "size")
+
+
+def _canonical(schema: Any, namespace: str = "") -> Any:
+    """Parsing canonical form (spec "Transforming into PCF"): strip
+    attributes outside the reserved set, resolve fullnames, fix key
+    order. Returned as plain data; ``canonical_form`` renders JSON."""
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return [_canonical(b, namespace) for b in schema]
+    t = schema["type"]
+    if t in PRIMITIVES:
+        return t
+    out: dict[str, Any] = {}
+    ns = schema.get("namespace", namespace)
+    if t in ("record", "enum", "fixed"):
+        name = schema["name"]
+        out["name"] = name if "." in name else (f"{ns}.{name}" if ns else name)
+    out["type"] = t
+    if t == "record":
+        out["fields"] = [
+            {"name": f["name"], "type": _canonical(f["type"], ns)}
+            for f in schema["fields"]
+        ]
+    elif t == "enum":
+        out["symbols"] = schema["symbols"]
+    elif t == "array":
+        out["items"] = _canonical(schema["items"], ns)
+    elif t == "map":
+        out["values"] = _canonical(schema["values"], ns)
+    elif t == "fixed":
+        out["size"] = schema["size"]
+    return out
+
+
+def canonical_form(schema: Any) -> str:
+    def render(node: Any) -> str:
+        if isinstance(node, str):
+            return json.dumps(node)
+        if isinstance(node, list):
+            return "[" + ",".join(render(b) for b in node) + "]"
+        if isinstance(node, int):
+            return str(node)
+        parts = [
+            f"{json.dumps(k)}:{render(node[k])}"
+            for k in _CANONICAL_KEYS
+            if k in node
+        ]
+        return "{" + ",".join(parts) + "}"
+
+    return render(_canonical(_schema(schema)))
+
+
+_EMPTY64 = 0xC15D213AA4D7A795  # CRC-64-AVRO seed (spec constant)
+
+
+def rabin_fingerprint(schema: Any) -> int:
+    """64-bit CRC-64-AVRO Rabin fingerprint of the canonical form."""
+    table = []
+    for i in range(256):
+        fp = i
+        for _ in range(8):
+            fp = (fp >> 1) ^ (_EMPTY64 & -(fp & 1))
+        table.append(fp)
+    fp = _EMPTY64
+    for b in canonical_form(schema).encode("utf-8"):
+        fp = (fp >> 8) ^ table[(fp ^ b) & 0xFF]
+    return fp
+
+
+# ------------------------------------------------- Confluent wire framing
+
+WIRE_MAGIC = 0
+
+
+def frame(schema_id: int, body: bytes) -> bytes:
+    """Confluent wire format: 0x00 + 4-byte BE schema id + Avro body —
+    the layout ``read_kafka_events`` strips with substring(value, 6)."""
+    return struct.pack(">bI", WIRE_MAGIC, schema_id) + body
+
+
+def unframe(payload: bytes) -> tuple[int, bytes]:
+    if len(payload) < 5 or payload[0] != WIRE_MAGIC:
+        raise ValueError("not a Confluent-framed Avro payload")
+    (schema_id,) = struct.unpack(">I", payload[1:5])
+    return schema_id, payload[5:]
+
+
+class LocalSchemaRegistry:
+    """In-process analog of the reference's Schema Registry client
+    (``producer/schema_registry.py:13-30``): register-by-canonical-form
+    gives stable ids, lookup by id gives the parsed schema back."""
+
+    def __init__(self) -> None:
+        self._by_id: dict[int, Any] = {}
+        self._ids: dict[str, int] = {}
+
+    def register(self, schema: Any) -> int:
+        key = canonical_form(schema)
+        if key not in self._ids:
+            new_id = len(self._ids) + 1
+            self._ids[key] = new_id
+            self._by_id[new_id] = _schema(schema)
+        return self._ids[key]
+
+    def schema_for(self, schema_id: int) -> Any:
+        return self._by_id[schema_id]
+
+    def serialize(self, schema_id: int, value: Any) -> bytes:
+        return frame(schema_id, encode(self._by_id[schema_id], value))
+
+    def deserialize(self, payload: bytes) -> Any:
+        schema_id, body = unframe(payload)
+        return decode(self._by_id[schema_id], body)

@@ -175,3 +175,95 @@ def s3a_conf(
         "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
         "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
     }
+
+
+# ---------------------------------------------------------------------
+# Pure-Python Avro serde over DataFrames (degraded path for S4/S5).
+#
+# Production path: JVM from_avro/to_avro (read_kafka_events above).
+# When the spark-avro jar is absent — this container — the schema
+# contract still has to be EXECUTABLE, not just declared, so these two
+# functions run the same Confluent-framed Avro binary serde through
+# sources/avro_min.py inside Arrow-batched mapInPandas. Per-batch cost
+# is pure-Python byte assembly; acceptable for the degraded/test tier,
+# and the call sites swap to from_avro/to_avro unchanged when the jar
+# is present.
+
+_EVENT_WIRE_SCHEMA = "key string, value binary"
+
+
+def _avro_schema_dict() -> dict:
+    return json.loads(EVENT_AVRO_SCHEMA)
+
+
+def encode_events_avro_py(events: DataFrame, schema_id: int = 1) -> DataFrame:
+    """events (EVENT_SCHEMA) -> Kafka-shaped frames: key = user_id,
+    value = Confluent-framed Avro binary (magic 0 + BE schema id)."""
+    from end2end_data_pipeline_spark.sources import avro_min
+
+    schema = _avro_schema_dict()
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ts_ms = (
+                pd.to_datetime(pdf["event_timestamp"])
+                .astype("datetime64[ms]")
+                .astype("int64")
+            )
+            values = []
+            for i in range(len(pdf)):
+                rec = {
+                    "event_id": pdf["event_id"].iat[i],
+                    "user_id": pdf["user_id"].iat[i],
+                    "session_id": pdf["session_id"].iat[i],
+                    "event_type": pdf["event_type"].iat[i],
+                    "event_timestamp": int(ts_ms.iat[i]),
+                    "request_latency_ms": int(pdf["request_latency_ms"].iat[i]),
+                    "status": pdf["status"].iat[i],
+                    "error_code": None
+                    if pd.isna(pdf["error_code"].iat[i])
+                    else int(pdf["error_code"].iat[i]),
+                    "product_id": None
+                    if pd.isna(pdf["product_id"].iat[i])
+                    else int(pdf["product_id"].iat[i]),
+                }
+                values.append(
+                    avro_min.frame(schema_id, avro_min.encode(schema, rec))
+                )
+            yield pd.DataFrame(
+                {"key": pdf["user_id"].astype(str), "value": values}
+            )
+
+    return events.mapInPandas(enc, schema=_EVENT_WIRE_SCHEMA)
+
+
+def decode_events_avro_py(frames: DataFrame) -> DataFrame:
+    """Kafka-shaped frames (binary ``value``) -> typed EVENT_SCHEMA
+    rows; the Python analog of from_avro(substring(value, 6))."""
+    from end2end_data_pipeline_spark.sources import avro_min
+
+    schema = _avro_schema_dict()
+
+    def dec(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for payload in pdf["value"]:
+                schema_id, body = avro_min.unframe(bytes(payload))
+                rec = avro_min.decode(schema, body)
+                rec["event_timestamp"] = pd.Timestamp(
+                    rec["event_timestamp"], unit="ms"
+                )
+                recs.append(rec)
+            out = pd.DataFrame(
+                recs,
+                columns=[f.name for f in EVENT_SCHEMA.fields],
+            )
+            out["error_code"] = out["error_code"].astype("Int32")
+            out["product_id"] = out["product_id"].astype("Int32")
+            yield out
+
+    return frames.mapInPandas(dec, schema=EVENT_SCHEMA)
