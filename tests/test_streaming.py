@@ -326,3 +326,47 @@ def test_stream_replay_query_uses_streaming_engine(spark):
     df2 = warehouse_ops.minute_counts_stream_replay(spark, sf)
     assert warehouse_ops._REPLAY[key] == table
     assert df1.collect() == df2.collect()
+
+
+def test_avro_framed_stream_matches_batch(spark, tmp_path, events_with_tail):
+    """The S5 Kafka->warehouse analog with the REAL serde in the loop:
+    events are Confluent-framed Avro binary at rest (avro_min, the
+    degraded-path serde of sources/connectors.py), decoded INSIDE the
+    streaming query by Arrow-batched mapInPandas, then windowed. The
+    closed-window answer must equal the plain batch pipeline's — so the
+    serde hop is provably lossless under the streaming engine too."""
+    from end2end_data_pipeline_spark.sources.connectors import (
+        decode_events_avro_py,
+        encode_events_avro_py,
+    )
+
+    frames_dir = str(tmp_path / "avro_frames")
+    sink = str(tmp_path / "avro_agg_sink")
+    ckpt = str(tmp_path / "avro_ckpt")
+    encode_events_avro_py(events_with_tail).write.parquet(frames_dir)
+
+    frame_stream = (
+        spark.readStream.schema("key string, value binary").parquet(frames_dir)
+    )
+    decoded = decode_events_avro_py(frame_stream)
+    assert decoded.isStreaming
+    q = (
+        minutely_status_counts(decoded)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    closed = dt.datetime(2024, 1, 1, 12, 30)
+    batch = minutely_status_counts(events_with_tail).where(
+        F.col("event_minute") == closed
+    )
+    streamed = spark.read.parquet(sink)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert streamed.count() == 10
