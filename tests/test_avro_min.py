@@ -238,3 +238,39 @@ def test_spark_avro_frames_survive_parquet_hop(spark, tmp_path):
     # null contract: conditional-null columns decode as real nulls
     nulls = decoded.where(F.col("error_code").isNull()).count()
     assert 0 < nulls < 120
+
+
+def test_produce_loop_encodes_in_stream(spark, tmp_path):
+    """Producer-side analog (S2/S3): a bounded event stream is encoded
+    to Confluent-framed Avro INSIDE the streaming query (the reference
+    producer's serialize-then-send loop, ``producer/producer.py:100-105``)
+    and landed as Kafka-shaped (key, value) frames; decoding the landed
+    frames recovers the source events exactly."""
+    from end2end_data_pipeline_spark.streaming.pipeline import read_event_stream
+
+    src = str(tmp_path / "events_src")
+    frames_dir = str(tmp_path / "frames_out")
+    ckpt = str(tmp_path / "ckpt")
+    events = generate_events(spark, 300, n_users=20, num_partitions=2).select(
+        *[f.name for f in EVENT_SCHEMA.fields]
+    )
+    events.write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        encode_events_avro_py(stream, schema_id=3)
+        .writeStream.format("parquet")
+        .option("path", frames_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(frames_dir)
+    assert landed.count() == 300
+    decoded = decode_events_avro_py(landed)
+    assert sorted(map(tuple, decoded.collect())) == sorted(
+        map(tuple, events.collect())
+    )
