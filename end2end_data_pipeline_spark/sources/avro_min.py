@@ -15,7 +15,11 @@ Scope (everything the event contract needs, plus the common composites):
 - primitives: null, boolean, int, long, float, double, bytes, string
 - complex: record, enum, array, map, union, fixed
 - logical type ``timestamp-millis`` passes through as long (the Spark
-  glue in ``operators/avro_io.py`` converts to/from TimestampType)
+  glue in ``connectors.encode_events_avro_py`` / ``decode_events_avro_py``
+  converts to/from TimestampType)
+- schema resolution (reader vs writer evolution): skipped writer-only
+  fields, defaulted reader-only fields, numeric and string/bytes
+  promotions, union re-resolution, enum reader-default
 - parsing canonical form + CRC-64-AVRO Rabin fingerprint (spec
   "Schema Fingerprints") for registry-free schema identity
 - Confluent wire format: 1-byte magic 0x00 + 4-byte big-endian schema
@@ -391,3 +395,153 @@ class LocalSchemaRegistry:
     def deserialize(self, payload: bytes) -> Any:
         schema_id, body = unframe(payload)
         return decode(self._by_id[schema_id], body)
+
+
+# ---------------------------------------------------- schema resolution
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _type_of(schema: Any) -> str:
+    return schema if isinstance(schema, str) else schema["type"]
+
+
+def _default_value(reader: Any, default: Any) -> Any:
+    """JSON default -> runtime value (spec: bytes/fixed defaults are
+    unicode strings holding latin-1 bytes)."""
+    t = _type_of(reader[0] if isinstance(reader, list) else reader)
+    if t in ("bytes", "fixed") and isinstance(default, str):
+        return default.encode("latin-1")
+    if t == "record":
+        sub = reader[0] if isinstance(reader, list) else reader
+        return {
+            f["name"]: _default_value(f["type"], f.get("default"))
+            for f in sub["fields"]
+        }
+    return default
+
+
+def _promote(value: Any, writer_t: str, reader_t: str) -> Any:
+    if writer_t == reader_t:
+        return value
+    if reader_t in ("float", "double"):
+        return float(value)
+    if writer_t == "string" and reader_t == "bytes":
+        return value.encode("utf-8")
+    if writer_t == "bytes" and reader_t == "string":
+        return value.decode("utf-8")
+    return value  # int -> long
+
+
+def _resolve_decode(r: _Reader, writer: Any, reader: Any) -> Any:
+    # Writer union: the branch index comes off the wire first.
+    if isinstance(writer, list):
+        branch = r.varint()
+        if not 0 <= branch < len(writer):
+            raise ValueError(f"union branch {branch} out of range")
+        return _resolve_decode(r, writer[branch], reader)
+    # Reader union (writer not a union): find the matching branch.
+    if isinstance(reader, list):
+        for branch in reader:
+            mark = r.pos
+            try:
+                return _resolve_decode_nonunion(r, writer, branch)
+            except _NoMatch:
+                r.pos = mark  # nested mismatch may have consumed bytes
+                continue
+        raise ValueError(
+            f"writer type {_type_of(writer)!r} matches no reader union branch"
+        )
+    return _resolve_decode_nonunion(r, writer, reader)
+
+
+class _NoMatch(Exception):
+    """Writer/reader branch pair is structurally incompatible (checked
+    BEFORE consuming wire bytes, so union scanning is safe)."""
+
+
+def _resolve_decode_nonunion(r: _Reader, writer: Any, reader: Any) -> Any:
+    wt, rt = _type_of(writer), _type_of(reader)
+    if wt in _PROMOTIONS:
+        if rt not in _PROMOTIONS.get(wt, ()):
+            raise _NoMatch(f"{wt} !~ {rt}")
+        return _promote(_decode(r, wt), wt, rt)
+    if wt != rt:
+        raise _NoMatch(f"{wt} !~ {rt}")
+    if wt in ("null", "boolean"):
+        return _decode(r, wt)
+    if wt == "fixed":
+        if writer["size"] != reader["size"]:
+            raise _NoMatch("fixed size mismatch")
+        return r.read(writer["size"])
+    if wt == "enum":
+        symbol = writer["symbols"][r.varint()]
+        if symbol in reader["symbols"]:
+            return symbol
+        if "default" in reader:
+            return reader["default"]
+        raise ValueError(f"enum symbol {symbol!r} absent from reader schema")
+    if wt == "array":
+        items = []
+        while True:
+            count = r.varint()
+            if count == 0:
+                return items
+            if count < 0:
+                count = -count
+                r.varint()
+            for _ in range(count):
+                items.append(_resolve_decode(r, writer["items"], reader["items"]))
+    if wt == "map":
+        result: dict[str, Any] = {}
+        while True:
+            count = r.varint()
+            if count == 0:
+                return result
+            if count < 0:
+                count = -count
+                r.varint()
+            for _ in range(count):
+                k = _decode(r, "string")
+                result[k] = _resolve_decode(r, writer["values"], reader["values"])
+    if wt == "record":
+        reader_fields = {f["name"]: f for f in reader["fields"]}
+        out: dict[str, Any] = {}
+        for wf in writer["fields"]:
+            rf = reader_fields.get(wf["name"])
+            if rf is None:
+                _decode(r, wf["type"])  # skip writer-only field
+            else:
+                out[wf["name"]] = _resolve_decode(r, wf["type"], rf["type"])
+        written = {f["name"] for f in writer["fields"]}
+        for rf in reader["fields"]:
+            if rf["name"] not in written:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} absent from writer "
+                        "data and has no default"
+                    )
+                out[rf["name"]] = _default_value(rf["type"], rf["default"])
+        return {f["name"]: out[f["name"]] for f in reader["fields"]}
+    raise ValueError(f"unsupported Avro type {wt!r}")
+
+
+def decode_resolved(writer_schema: Any, reader_schema: Any, data: bytes) -> Any:
+    """Decode data written under ``writer_schema`` as ``reader_schema``
+    (spec "Schema Resolution"): skipped writer-only fields, defaulted
+    reader-only fields, numeric/string-bytes promotions, union
+    re-resolution, enum reader-default. This is what lets a warehouse
+    consumer evolve independently of the producer fleet — the registry
+    compatibility story of ``producer/schema_registry.py``."""
+    r = _Reader(bytes(data))
+    value = _resolve_decode(r, _schema(writer_schema), _schema(reader_schema))
+    if r.pos != len(r.data):
+        raise ValueError(f"{len(r.data) - r.pos} trailing bytes after value")
+    return value

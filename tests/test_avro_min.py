@@ -274,3 +274,109 @@ def test_produce_loop_encodes_in_stream(spark, tmp_path):
     assert sorted(map(tuple, decoded.collect())) == sorted(
         map(tuple, events.collect())
     )
+
+
+# ------------------------------------------------- schema resolution
+
+
+V1 = {
+    "type": "record",
+    "name": "Evt",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "latency", "type": "int"},
+        {"name": "error_code", "type": ["null", "int"], "default": None},
+        {"name": "debug", "type": "string"},
+    ],
+}
+# v2: drops `debug`, promotes latency int->long, adds defaulted
+# `region`, widens error_code's union with a string branch.
+V2 = {
+    "type": "record",
+    "name": "Evt",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "latency", "type": "long"},
+        {"name": "error_code", "type": ["null", "string", "int"], "default": None},
+        {"name": "region", "type": "string", "default": "unknown"},
+    ],
+}
+
+
+def test_schema_resolution_evolves_producer_v1_to_consumer_v2():
+    body = avro_min.encode(
+        V1, {"id": "e1", "latency": 12, "error_code": 503, "debug": "x"}
+    )
+    assert avro_min.decode_resolved(V1, V2, body) == {
+        "id": "e1",
+        "latency": 12,
+        "error_code": 503,
+        "region": "unknown",
+    }
+
+
+def test_schema_resolution_null_branch_and_missing_default():
+    body = avro_min.encode(
+        V1, {"id": "e2", "latency": 1, "error_code": None, "debug": ""}
+    )
+    out = avro_min.decode_resolved(V1, V2, body)
+    assert out["error_code"] is None and out["region"] == "unknown"
+
+    import pytest
+
+    no_default = {
+        "type": "record",
+        "name": "Evt",
+        "fields": [{"name": "brand_new", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        avro_min.decode_resolved(V1, no_default, body)
+
+
+def test_schema_resolution_primitive_promotions():
+    assert avro_min.decode_resolved("int", "long", avro_min.encode("int", 7)) == 7
+    assert avro_min.decode_resolved("int", "double", avro_min.encode("int", 7)) == 7.0
+    assert (
+        avro_min.decode_resolved("string", "bytes", avro_min.encode("string", "ab"))
+        == b"ab"
+    )
+    assert (
+        avro_min.decode_resolved("bytes", "string", avro_min.encode("bytes", b"ab"))
+        == "ab"
+    )
+
+
+def test_schema_resolution_same_schema_is_identity():
+    schema = json.loads(EVENT_AVRO_SCHEMA)
+    rec = {
+        "event_id": "e",
+        "user_id": "u",
+        "session_id": "s",
+        "event_type": "LOGIN",
+        "event_timestamp": 1_700_000_000_000,
+        "request_latency_ms": 9,
+        "status": "SUCCESS",
+        "error_code": 500,
+        "product_id": None,
+    }
+    body = avro_min.encode(schema, rec)
+    assert avro_min.decode_resolved(schema, schema, body) == rec
+
+
+@settings(max_examples=100, deadline=None)
+@given(EVENT_STRATEGY)
+def test_schema_resolution_event_v2_roundtrip_properties(rec):
+    """Any v1 event resolves under an evolved reader: ts promoted to
+    double ms, latency to long, new defaulted pipeline column added."""
+    writer = json.loads(EVENT_AVRO_SCHEMA)
+    reader = json.loads(EVENT_AVRO_SCHEMA)
+    for f in reader["fields"]:
+        if f["name"] == "request_latency_ms":
+            f["type"] = "long"
+    reader["fields"].append(
+        {"name": "ingest_source", "type": "string", "default": "kafka"}
+    )
+    out = avro_min.decode_resolved(writer, reader, avro_min.encode(writer, rec))
+    assert out["ingest_source"] == "kafka"
+    assert out["request_latency_ms"] == rec["request_latency_ms"]
+    assert {k: out[k] for k in rec} == rec
