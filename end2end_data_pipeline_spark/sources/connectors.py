@@ -239,12 +239,25 @@ def encode_events_avro_py(events: DataFrame, schema_id: int = 1) -> DataFrame:
     return events.mapInPandas(enc, schema=_EVENT_WIRE_SCHEMA)
 
 
-def decode_events_avro_py(frames: DataFrame) -> DataFrame:
+def decode_events_avro_py(
+    frames: DataFrame, writer_schemas: dict[int, object] | None = None
+) -> DataFrame:
     """Kafka-shaped frames (binary ``value``) -> typed EVENT_SCHEMA
-    rows; the Python analog of from_avro(substring(value, 6))."""
+    rows; the Python analog of from_avro(substring(value, 6)).
+
+    ``writer_schemas`` maps frame schema ids -> the Avro schema those
+    producers wrote with (a registry snapshot). When a frame's id is
+    present, the body is decoded via spec schema resolution against
+    the current EVENT_AVRO_SCHEMA reader — so topics carrying frames
+    from older producer fleets (dropped/renamed/promoted fields) land
+    in today's warehouse shape. Ids not in the map (or no map at all)
+    assume the current schema, matching the JVM from_avro behavior."""
     from end2end_data_pipeline_spark.sources import avro_min
 
     schema = _avro_schema_dict()
+    writers = {
+        sid: avro_min._schema(ws) for sid, ws in (writer_schemas or {}).items()
+    }
 
     def dec(batches):
         import pandas as pd
@@ -253,7 +266,11 @@ def decode_events_avro_py(frames: DataFrame) -> DataFrame:
             recs = []
             for payload in pdf["value"]:
                 schema_id, body = avro_min.unframe(bytes(payload))
-                rec = avro_min.decode(schema, body)
+                writer = writers.get(schema_id)
+                if writer is not None:
+                    rec = avro_min.decode_resolved(writer, schema, body)
+                else:
+                    rec = avro_min.decode(schema, body)
                 rec["event_timestamp"] = pd.Timestamp(
                     rec["event_timestamp"], unit="ms"
                 )

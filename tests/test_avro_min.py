@@ -380,3 +380,60 @@ def test_schema_resolution_event_v2_roundtrip_properties(rec):
     assert out["ingest_source"] == "kafka"
     assert out["request_latency_ms"] == rec["request_latency_ms"]
     assert {k: out[k] for k in rec} == rec
+
+
+def test_spark_decode_mixed_writer_generations(spark):
+    """A topic carrying frames from two producer generations decodes
+    into one warehouse shape: v1 frames (no product_id, extra debug
+    field) resolve against today's reader — defaults filled, unknown
+    fields skipped — while current frames decode untouched."""
+    import datetime as dt
+
+    current = json.loads(EVENT_AVRO_SCHEMA)
+    v1 = json.loads(EVENT_AVRO_SCHEMA)
+    v1["fields"] = [f for f in v1["fields"] if f["name"] != "product_id"]
+    v1["fields"].append({"name": "debug", "type": "string"})
+
+    def v1_frame(i):
+        rec = {
+            "event_id": f"old-{i}",
+            "user_id": "u-old",
+            "session_id": "s-old",
+            "event_type": "SEARCH",
+            "event_timestamp": 1_704_110_400_000 + i * 1000,
+            "request_latency_ms": 40 + i,
+            "status": "SUCCESS",
+            "error_code": None,
+            "debug": "legacy",
+        }
+        return avro_min.frame(1, avro_min.encode(v1, rec))
+
+    def v2_frame(i):
+        rec = {
+            "event_id": f"new-{i}",
+            "user_id": "u-new",
+            "session_id": "s-new",
+            "event_type": "VIEW_PRODUCT",
+            "event_timestamp": 1_704_110_400_000 + i * 1000,
+            "request_latency_ms": 10 + i,
+            "status": "ERROR",
+            "error_code": 500,
+            "product_id": 7,
+        }
+        return avro_min.frame(2, avro_min.encode(current, rec))
+
+    frames = spark.createDataFrame(
+        [("u-old", v1_frame(i)) for i in range(5)]
+        + [("u-new", v2_frame(i)) for i in range(5)],
+        "key string, value binary",
+    )
+    decoded = decode_events_avro_py(frames, writer_schemas={1: v1})
+    assert decoded.schema == EVENT_SCHEMA
+    rows = {r.event_id: r for r in decoded.collect()}
+    assert len(rows) == 10
+    assert rows["old-0"].product_id is None  # reader default filled
+    assert rows["old-0"].request_latency_ms == 40
+    assert "debug" not in decoded.columns  # writer-only field skipped
+    assert rows["new-0"].product_id == 7
+    assert rows["new-0"].error_code == 500
+    assert rows["old-3"].event_timestamp == dt.datetime(2024, 1, 1, 12, 0, 3)
