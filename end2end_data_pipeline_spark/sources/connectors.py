@@ -284,3 +284,60 @@ def decode_events_avro_py(
             yield out
 
     return frames.mapInPandas(dec, schema=EVENT_SCHEMA)
+
+
+DLQ_SCHEMA = ", ".join(
+    [f"{f.name} {f.dataType.simpleString()}" for f in EVENT_SCHEMA.fields]
+    + ["corrupt_payload binary", "corrupt_reason string"]
+)
+
+
+def decode_events_avro_dlq(
+    frames: DataFrame, writer_schemas: dict[int, object] | None = None
+) -> DataFrame:
+    """Decode with dead-letter routing: frames that fail framing or
+    Avro decoding land with null event fields and the raw payload +
+    reason in ``corrupt_payload``/``corrupt_reason`` instead of
+    killing the task (the from_json PERMISSIVE/_corrupt_record idiom,
+    applied to the binary serde tier). No row is ever dropped: callers
+    split on ``corrupt_payload IS NULL`` and sink the bad side to a
+    quarantine table. Works identically on batch and streaming frames."""
+    from end2end_data_pipeline_spark.sources import avro_min
+
+    schema = _avro_schema_dict()
+    writers = {
+        sid: avro_min._schema(ws) for sid, ws in (writer_schemas or {}).items()
+    }
+    names = [f.name for f in EVENT_SCHEMA.fields]
+
+    def dec(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for payload in pdf["value"]:
+                raw = bytes(payload)
+                try:
+                    schema_id, body = avro_min.unframe(raw)
+                    writer = writers.get(schema_id)
+                    if writer is not None:
+                        rec = avro_min.decode_resolved(writer, schema, body)
+                    else:
+                        rec = avro_min.decode(schema, body)
+                    rec["event_timestamp"] = pd.Timestamp(
+                        rec["event_timestamp"], unit="ms"
+                    )
+                    rec["corrupt_payload"] = None
+                    rec["corrupt_reason"] = None
+                except (ValueError, KeyError, UnicodeDecodeError) as exc:
+                    rec = dict.fromkeys(names)
+                    rec["corrupt_payload"] = raw
+                    rec["corrupt_reason"] = f"{type(exc).__name__}: {exc}"
+                recs.append(rec)
+            out = pd.DataFrame(recs, columns=[*names, "corrupt_payload", "corrupt_reason"])
+            out["error_code"] = out["error_code"].astype("Int32")
+            out["product_id"] = out["product_id"].astype("Int32")
+            out["request_latency_ms"] = out["request_latency_ms"].astype("Int32")
+            yield out
+
+    return frames.mapInPandas(dec, schema=DLQ_SCHEMA)

@@ -437,3 +437,36 @@ def test_spark_decode_mixed_writer_generations(spark):
     assert rows["new-0"].product_id == 7
     assert rows["new-0"].error_code == 500
     assert rows["old-3"].event_timestamp == dt.datetime(2024, 1, 1, 12, 0, 3)
+
+
+def test_spark_decode_dead_letter_routing(spark):
+    """Corrupt payloads (bad magic, truncation, garbage) are routed to
+    the quarantine columns instead of killing the task; every input
+    row is accounted for on exactly one side of the split."""
+    from end2end_data_pipeline_spark.sources.connectors import (
+        decode_events_avro_dlq,
+    )
+
+    events = generate_events(spark, 60, n_users=8, num_partitions=2).select(
+        *[f.name for f in EVENT_SCHEMA.fields]
+    )
+    good = encode_events_avro_py(events)
+    bad = spark.createDataFrame(
+        [
+            ("k1", b"\x01" + b"\x00" * 8),  # wrong magic byte
+            ("k2", b"\x00\x00\x00\x00\x07\x06fo"),  # truncated body
+            ("k3", b""),  # empty payload
+        ],
+        "key string, value binary",
+    )
+    decoded = decode_events_avro_dlq(good.union(bad))
+    ok = decoded.where(F.col("corrupt_payload").isNull())
+    dlq = decoded.where(F.col("corrupt_payload").isNotNull())
+    assert ok.count() == 60 and dlq.count() == 3
+    assert sorted(
+        map(tuple, ok.select(*[f.name for f in EVENT_SCHEMA.fields]).collect())
+    ) == sorted(map(tuple, events.collect()))
+    reasons = [r.corrupt_reason for r in dlq.collect()]
+    assert all(r and r.startswith("ValueError") for r in reasons)
+    payloads = {bytes(r.corrupt_payload) for r in dlq.collect()}
+    assert b"" in payloads and b"\x00\x00\x00\x00\x07\x06fo" in payloads
