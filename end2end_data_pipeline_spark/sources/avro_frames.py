@@ -191,3 +191,195 @@ def decode_df_avro(frames: DataFrame, struct: T.StructType) -> DataFrame:
             yield out
 
     return frames.mapInPandas(dec, schema=struct)
+
+
+# ------------------------------------------------- OCF <-> DataFrames
+
+_LOGICAL_SPARK = {
+    ("long", "timestamp-micros"): T.TimestampType(),
+    ("long", "timestamp-millis"): T.TimestampType(),
+    ("int", "date"): T.DateType(),
+}
+
+_AVRO_PRIM_SPARK = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def _spark_type(avro_t: Any) -> tuple[T.DataType, bool]:
+    """Avro type -> (Spark type, nullable). Inverse of ``_avro_type``;
+    unions beyond ["null", X] have no Spark analog and raise."""
+    if isinstance(avro_t, list):
+        branches = [b for b in avro_t if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"union {avro_t!r} has no Spark analog")
+        inner, _ = _spark_type(branches[0])
+        return inner, True
+    if isinstance(avro_t, str):
+        return _AVRO_PRIM_SPARK[avro_t], False
+    t = avro_t["type"]
+    logical = _LOGICAL_SPARK.get((t, avro_t.get("logicalType")))
+    if logical is not None:
+        return logical, False
+    if t in _AVRO_PRIM_SPARK:
+        return _AVRO_PRIM_SPARK[t], False
+    if t in ("enum",):
+        return T.StringType(), False
+    if t == "fixed":
+        return T.BinaryType(), False
+    if t == "array":
+        inner, null = _spark_type(avro_t["items"])
+        return T.ArrayType(inner, null), False
+    if t == "map":
+        inner, null = _spark_type(avro_t["values"])
+        return T.MapType(T.StringType(), inner, null), False
+    if t == "record":
+        return struct_of_avro(avro_t), False
+    raise ValueError(f"no Spark mapping for Avro type {avro_t!r}")
+
+
+def struct_of_avro(schema: Any) -> T.StructType:
+    """Avro record schema -> Spark StructType (the read-side inverse of
+    :func:`avro_schema_of`)."""
+    schema = avro_min._schema(schema)
+    fields = []
+    for f in schema["fields"]:
+        dt, nullable = _spark_type(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(fields)
+
+
+def _bridge_from_avro(avro_t: Any, v: Any) -> Any:
+    """Decoded value -> Arrow-friendly value, driven by the WRITER's
+    Avro schema so logical-type units (millis vs micros) are honored."""
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(avro_t, list):
+        branches = [b for b in avro_t if b != "null"]
+        return _bridge_from_avro(branches[0], v)
+    if isinstance(avro_t, dict):
+        t, logical = avro_t["type"], avro_t.get("logicalType")
+        if (t, logical) == ("long", "timestamp-micros"):
+            return pd.Timestamp(v, unit="us")
+        if (t, logical) == ("long", "timestamp-millis"):
+            return pd.Timestamp(v, unit="ms")
+        if (t, logical) == ("int", "date"):
+            return (pd.Timestamp("1970-01-01") + pd.Timedelta(days=v)).date()
+        if t == "array":
+            return [_bridge_from_avro(avro_t["items"], x) for x in v]
+        if t == "map":
+            return {k: _bridge_from_avro(avro_t["values"], x) for k, x in v.items()}
+        if t == "record":
+            return {
+                f["name"]: _bridge_from_avro(f["type"], v.get(f["name"]))
+                for f in avro_t["fields"]
+            }
+    return v
+
+
+def ocf_header_schema(payload: bytes) -> Any:
+    """Parse just the OCF header and return the writer schema (cheap:
+    metadata map only, no blocks)."""
+    import json as _json
+
+    r = avro_min._Reader(bytes(payload))
+    if r.read(4) != avro_min.OCF_MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = avro_min._decode(r, avro_min._META_SCHEMA)
+    return _json.loads(meta["avro.schema"].decode("utf-8"))
+
+
+def read_avro_ocf(spark, path: str) -> DataFrame:
+    """Read .avro Object Container Files into a typed DataFrame without
+    the spark-avro jar: ``binaryFile`` source (one task per file) ->
+    pure-Python block decode -> Arrow batches. The result schema
+    derives from the FIRST file's writer schema; files whose schema
+    differs in canonical form fail loudly (use the jar path or a
+    registry-aware resolve for mixed-schema directories). Whole files
+    load per task — the jar tier remains the choice for multi-GB OCFs."""
+    files = spark.read.format("binaryFile").load(path)
+    first = files.select("content").first()
+    if first is None:
+        raise ValueError(f"no files matched {path!r}")
+    reader_schema = ocf_header_schema(bytes(first[0]))
+    reader_cf = avro_min.canonical_form(reader_schema)
+    struct = struct_of_avro(reader_schema)
+    names = [f.name for f in struct.fields]
+    int_cols = {
+        f.name: "Int32"
+        for f in struct.fields
+        if isinstance(f.dataType, (T.IntegerType, T.ShortType, T.ByteType))
+    } | {
+        f.name: "Int64"
+        for f in struct.fields
+        if isinstance(f.dataType, T.LongType)
+    }
+
+    def dec(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for payload in pdf["content"]:
+                schema, records = avro_min.read_ocf(bytes(payload))
+                if avro_min.canonical_form(schema) != reader_cf:
+                    raise ValueError(
+                        "OCF writer schema differs across files; "
+                        "read them separately or resolve explicitly"
+                    )
+                rows = [
+                    {
+                        f["name"]: _bridge_from_avro(f["type"], rec.get(f["name"]))
+                        for f in schema["fields"]
+                    }
+                    for rec in records
+                ]
+                out = pd.DataFrame(rows, columns=names)
+                for col, dtype in int_cols.items():
+                    out[col] = out[col].astype(dtype)
+                yield out
+
+    return files.select("content").mapInPandas(dec, schema=struct)
+
+
+def write_avro_ocf(
+    df: DataFrame, directory: str, codec: str = "deflate"
+) -> DataFrame:
+    """Write ``df`` as one .avro OCF per partition under ``directory``
+    (shared/posix filesystem; the spark-avro jar is the tier for object
+    stores). Returns a small (file, records) DataFrame for audit.
+    Distributed: each task serializes only its own partition."""
+    import os
+
+    struct = df.schema
+    schema = avro_schema_of(struct, name="Row")
+    fields = struct.fields
+    os.makedirs(directory, exist_ok=True)
+
+    def enc(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        records = []
+        for pdf in batches:
+            for i in range(len(pdf)):
+                records.append(
+                    {
+                        f.name: _to_avro_value(f.dataType, pdf[f.name].iat[i])
+                        for f in fields
+                    }
+                )
+        out_path = os.path.join(directory, f"part-{pid:05d}.avro")
+        with open(out_path, "wb") as fh:
+            fh.write(avro_min.write_ocf(schema, records, codec=codec))
+        yield pd.DataFrame({"file": [out_path], "records": [len(records)]})
+
+    return df.mapInPandas(enc, schema="file string, records long")

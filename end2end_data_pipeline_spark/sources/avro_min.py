@@ -545,3 +545,79 @@ def decode_resolved(writer_schema: Any, reader_schema: Any, data: bytes) -> Any:
     if r.pos != len(r.data):
         raise ValueError(f"{len(r.data) - r.pos} trailing bytes after value")
     return value
+
+
+# ------------------------------------------- Object Container Files (OCF)
+
+OCF_MAGIC = b"Obj\x01"
+
+_META_SCHEMA = {"type": "map", "values": "bytes"}
+
+
+def write_ocf(
+    schema: Any,
+    records: list,
+    sync: bytes = b"\x00" * 16,
+    codec: str = "null",
+    block_records: int = 1000,
+) -> bytes:
+    """Serialize records to an Avro Object Container File (spec "Object
+    Container Files"): magic, metadata map (avro.schema/avro.codec),
+    sync marker, then blocks of (count, byte-size, data, sync).
+    Codecs: 'null' and 'deflate' (raw zlib, stdlib)."""
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported OCF codec {codec!r}")
+    parsed = _schema(schema)
+    out = bytearray(OCF_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(parsed).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    _encode(out, _META_SCHEMA, meta)
+    out += sync
+    for start in range(0, len(records), block_records):
+        chunk = records[start : start + block_records]
+        body = bytearray()
+        for rec in chunk:
+            _encode(body, parsed, rec)
+        data = bytes(body)
+        if codec == "deflate":
+            # spec: deflate = RFC 1951 stream without zlib header/checksum
+            data = zlib.compress(data, 9)[2:-4]
+        _write_varint(out, len(chunk))
+        _write_varint(out, len(data))
+        out += data
+        out += sync
+    return bytes(out)
+
+
+def read_ocf(payload: bytes) -> tuple[Any, list]:
+    """Parse an OCF: returns (writer schema, records)."""
+    import zlib
+
+    r = _Reader(bytes(payload))
+    if r.read(4) != OCF_MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = _decode(r, _META_SCHEMA)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported OCF codec {codec!r}")
+    sync = r.read(16)
+    records = []
+    while r.pos < len(r.data):
+        count = r.varint()
+        size = r.varint()
+        data = r.read(size)
+        if codec == "deflate":
+            data = zlib.decompress(data, wbits=-15)
+        block = _Reader(data)
+        for _ in range(count):
+            records.append(_decode(block, schema))
+        if block.pos != len(block.data):
+            raise ValueError("OCF block has trailing bytes")
+        if r.read(16) != sync:
+            raise ValueError("OCF sync marker mismatch (corrupt block)")
+    return schema, records

@@ -124,3 +124,85 @@ def test_kitchen_sink_roundtrip(spark):
         (3, False, b"", dt.date(1970, 1, 1), dt.datetime(1969, 12, 31, 23, 59, 59), [], {}, {"x": None, "y": None}),
     ]
     _roundtrip(spark.createDataFrame(rows, struct))
+
+
+# ------------------------------------------------------------- OCF
+
+
+def test_ocf_roundtrip_codecs_and_blocks():
+    from end2end_data_pipeline_spark.sources import avro_min
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    records = [{"i": i, "s": f"row-{i}" * 3} for i in range(2500)]
+    for codec in ("null", "deflate"):
+        blob = avro_min.write_ocf(schema, records, codec=codec, block_records=1000)
+        got_schema, got = avro_min.read_ocf(blob)
+        assert got == records
+        assert got_schema["name"] == "R"
+    null_len = len(avro_min.write_ocf(schema, records, codec="null"))
+    defl_len = len(avro_min.write_ocf(schema, records, codec="deflate"))
+    assert defl_len < null_len / 2  # repetitive rows must compress
+
+    import pytest
+
+    corrupt = bytearray(avro_min.write_ocf(schema, records[:10]))
+    corrupt[-1] ^= 0xFF  # clobber the trailing sync marker
+    with pytest.raises(ValueError, match="sync"):
+        avro_min.read_ocf(bytes(corrupt))
+
+
+def test_spark_ocf_write_read_roundtrip(spark, sf_dir, tmp_path):
+    from end2end_data_pipeline_spark.sources.avro_frames import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(300)
+        .repartition(3)
+    )
+    out_dir = str(tmp_path / "ocf")
+    manifest = write_avro_ocf(docs, out_dir).collect()
+    assert len(manifest) == 3
+    assert sum(r.records for r in manifest) == 300
+
+    back = read_avro_ocf(spark, out_dir)
+    assert back.schema == docs.schema
+    assert sorted(map(repr, back.collect())) == sorted(map(repr, docs.collect()))
+
+
+def test_spark_ocf_honors_writer_timestamp_millis(spark, tmp_path):
+    """Foreign OCFs (e.g. written by Java tooling with timestamp-millis)
+    must land with correct instants even though this engine writes
+    timestamp-micros."""
+    from end2end_data_pipeline_spark.sources import avro_min
+    from end2end_data_pipeline_spark.sources.avro_frames import read_avro_ocf
+
+    schema = {
+        "type": "record",
+        "name": "Evt",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {
+                "name": "at",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            },
+        ],
+    }
+    records = [{"id": 1, "at": 1_704_110_400_500}, {"id": 2, "at": 0}]
+    path = tmp_path / "foreign.avro"
+    path.write_bytes(avro_min.write_ocf(schema, records))
+
+    back = read_avro_ocf(spark, str(tmp_path))
+    rows = {r.id: r.at for r in back.collect()}
+    assert rows[1] == dt.datetime(2024, 1, 1, 12, 0, 0, 500000)
+    assert rows[2] == dt.datetime(1970, 1, 1)
+    assert dict(back.dtypes)["at"] == "timestamp"
