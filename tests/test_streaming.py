@@ -370,3 +370,41 @@ def test_avro_framed_stream_matches_batch(spark, tmp_path, events_with_tail):
         map(tuple, batch.collect())
     )
     assert streamed.count() == 10
+
+
+def test_avro_stream_dead_letters_corrupt_frames(spark, tmp_path, golden_events):
+    """A poisoned topic partition must not kill the stream: corrupt
+    payloads land in the quarantine columns of the same microbatch
+    while every valid frame still aggregates."""
+    from end2end_data_pipeline_spark.sources.connectors import (
+        decode_events_avro_dlq,
+        encode_events_avro_py,
+    )
+
+    frames_dir = str(tmp_path / "frames")
+    sink = str(tmp_path / "dlq_sink")
+    ckpt = str(tmp_path / "ckpt")
+    encode_events_avro_py(golden_events).write.parquet(frames_dir)
+    spark.createDataFrame(
+        [("poison", b"\x00\x00\x00\x00\x01garbage"), ("poison", b"\xff")],
+        "key string, value binary",
+    ).write.mode("append").parquet(frames_dir)
+
+    stream = spark.readStream.schema("key string, value binary").parquet(frames_dir)
+    q = (
+        decode_events_avro_dlq(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(sink)
+    good = landed.where(F.col("corrupt_payload").isNull())
+    bad = landed.where(F.col("corrupt_payload").isNotNull())
+    assert good.count() == golden_events.count()
+    assert bad.count() == 2
+    assert {r.corrupt_reason.split(":")[0] for r in bad.collect()} == {"ValueError"}
