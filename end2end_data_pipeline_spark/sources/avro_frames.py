@@ -297,19 +297,24 @@ def ocf_header_schema(payload: bytes) -> Any:
     return _json.loads(meta["avro.schema"].decode("utf-8"))
 
 
-def read_avro_ocf(spark, path: str) -> DataFrame:
+def read_avro_ocf(spark, path: str, reader_schema: Any = None) -> DataFrame:
     """Read .avro Object Container Files into a typed DataFrame without
     the spark-avro jar: ``binaryFile`` source (one task per file) ->
-    pure-Python block decode -> Arrow batches. The result schema
-    derives from the FIRST file's writer schema; files whose schema
-    differs in canonical form fail loudly (use the jar path or a
-    registry-aware resolve for mixed-schema directories). Whole files
-    load per task — the jar tier remains the choice for multi-GB OCFs."""
+    pure-Python block decode -> Arrow batches. Without ``reader_schema``
+    the result schema derives from the FIRST file's writer schema and
+    files whose schema differs in canonical form fail loudly; WITH it,
+    every file resolves into that shape (mixed producer generations in
+    one directory). Whole files load per task — the jar tier remains
+    the choice for multi-GB OCFs."""
     files = spark.read.format("binaryFile").load(path)
-    first = files.select("content").first()
-    if first is None:
-        raise ValueError(f"no files matched {path!r}")
-    reader_schema = ocf_header_schema(bytes(first[0]))
+    resolve = reader_schema is not None
+    if not resolve:
+        first = files.select("content").first()
+        if first is None:
+            raise ValueError(f"no files matched {path!r}")
+        reader_schema = ocf_header_schema(bytes(first[0]))
+    else:
+        reader_schema = avro_min._schema(reader_schema)
     reader_cf = avro_min.canonical_form(reader_schema)
     struct = struct_of_avro(reader_schema)
     names = [f.name for f in struct.fields]
@@ -328,16 +333,21 @@ def read_avro_ocf(spark, path: str) -> DataFrame:
 
         for pdf in batches:
             for payload in pdf["content"]:
-                schema, records = avro_min.read_ocf(bytes(payload))
-                if avro_min.canonical_form(schema) != reader_cf:
-                    raise ValueError(
-                        "OCF writer schema differs across files; "
-                        "read them separately or resolve explicitly"
+                if resolve:
+                    _, records = avro_min.read_ocf(
+                        bytes(payload), reader_schema=reader_schema
                     )
+                else:
+                    schema, records = avro_min.read_ocf(bytes(payload))
+                    if avro_min.canonical_form(schema) != reader_cf:
+                        raise ValueError(
+                            "OCF writer schema differs across files; "
+                            "pass reader_schema= to resolve them into one shape"
+                        )
                 rows = [
                     {
                         f["name"]: _bridge_from_avro(f["type"], rec.get(f["name"]))
-                        for f in schema["fields"]
+                        for f in reader_schema["fields"]
                     }
                     for rec in records
                 ]

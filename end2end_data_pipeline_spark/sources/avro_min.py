@@ -593,8 +593,11 @@ def write_ocf(
     return bytes(out)
 
 
-def read_ocf(payload: bytes) -> tuple[Any, list]:
-    """Parse an OCF: returns (writer schema, records)."""
+def read_ocf(payload: bytes, reader_schema: Any = None) -> tuple[Any, list]:
+    """Parse an OCF: returns (writer schema, records). With a
+    ``reader_schema``, each record goes through spec schema resolution
+    — how a directory of files from several producer versions reads
+    into one shape."""
     import zlib
 
     r = _Reader(bytes(payload))
@@ -605,6 +608,7 @@ def read_ocf(payload: bytes) -> tuple[Any, list]:
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported OCF codec {codec!r}")
+    reader = _schema(reader_schema) if reader_schema is not None else None
     sync = r.read(16)
     records = []
     while r.pos < len(r.data):
@@ -615,7 +619,10 @@ def read_ocf(payload: bytes) -> tuple[Any, list]:
             data = zlib.decompress(data, wbits=-15)
         block = _Reader(data)
         for _ in range(count):
-            records.append(_decode(block, schema))
+            if reader is None:
+                records.append(_decode(block, schema))
+            else:
+                records.append(_resolve_decode(block, schema, reader))
         if block.pos != len(block.data):
             raise ValueError("OCF block has trailing bytes")
         if r.read(16) != sync:

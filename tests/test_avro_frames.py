@@ -206,3 +206,45 @@ def test_spark_ocf_honors_writer_timestamp_millis(spark, tmp_path):
     assert rows[1] == dt.datetime(2024, 1, 1, 12, 0, 0, 500000)
     assert rows[2] == dt.datetime(1970, 1, 1)
     assert dict(back.dtypes)["at"] == "timestamp"
+
+
+def test_spark_ocf_mixed_generations_resolve(spark, tmp_path):
+    """A directory holding v1 and v2 files reads into one shape when a
+    reader schema is passed; without it, drift fails loudly."""
+    import pytest
+
+    from end2end_data_pipeline_spark.sources import avro_min
+    from end2end_data_pipeline_spark.sources.avro_frames import read_avro_ocf
+
+    v1 = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "text", "type": "string"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "lang", "type": "string", "default": "und"},
+        ],
+    }
+    (tmp_path / "a.avro").write_bytes(
+        avro_min.write_ocf(v1, [{"id": 1, "text": "old"}])
+    )
+    (tmp_path / "b.avro").write_bytes(
+        avro_min.write_ocf(v2, [{"id": 2, "text": "new", "lang": "en"}])
+    )
+
+    with pytest.raises(Exception, match="reader_schema"):
+        read_avro_ocf(spark, str(tmp_path)).collect()
+
+    out = read_avro_ocf(spark, str(tmp_path), reader_schema=v2)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].lang == "und" and rows[1].text == "old"
+    assert rows[2].lang == "en"
+    assert dict(out.dtypes)["id"] == "bigint"
