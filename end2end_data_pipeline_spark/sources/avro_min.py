@@ -374,13 +374,26 @@ class LocalSchemaRegistry:
     (``producer/schema_registry.py:13-30``): register-by-canonical-form
     gives stable ids, lookup by id gives the parsed schema back."""
 
-    def __init__(self) -> None:
+    def __init__(self, compatibility: str = "NONE") -> None:
+        if compatibility not in COMPAT_MODES:
+            raise ValueError(f"compatibility must be one of {COMPAT_MODES}")
+        self.compatibility = compatibility
         self._by_id: dict[int, Any] = {}
         self._ids: dict[str, int] = {}
 
     def register(self, schema: Any) -> int:
         key = canonical_form(schema)
         if key not in self._ids:
+            if self._ids and self.compatibility != "NONE":
+                latest = self._by_id[len(self._ids)]
+                problems = check_compatibility(
+                    latest, schema, mode=self.compatibility
+                )
+                if problems:
+                    raise ValueError(
+                        f"schema rejected under {self.compatibility} "
+                        f"compatibility: {problems}"
+                    )
             new_id = len(self._ids) + 1
             self._ids[key] = new_id
             self._by_id[new_id] = _schema(schema)
@@ -628,3 +641,92 @@ def read_ocf(payload: bytes, reader_schema: Any = None) -> tuple[Any, list]:
         if r.read(16) != sync:
             raise ValueError("OCF sync marker mismatch (corrupt block)")
     return schema, records
+
+
+# -------------------------------------------- compatibility checking
+
+
+def _branches(schema: Any) -> list:
+    return schema if isinstance(schema, list) else [schema]
+
+
+def can_read(writer: Any, reader: Any, path: str = "$") -> list[str]:
+    """Static check that data written under ``writer`` is readable
+    under ``reader`` (the resolution rules of :func:`decode_resolved`,
+    applied to the schemas instead of a payload). Returns the list of
+    incompatibilities — empty means compatible. This is the check a
+    schema registry runs at register time (Confluent BACKWARD mode =
+    ``can_read(old, new)``)."""
+    writer, reader = _schema(writer), _schema(reader)
+    problems: list[str] = []
+    # every writer branch must be readable by some reader branch
+    for wb in _branches(writer):
+        wt = _type_of(wb)
+        targets = _branches(reader)
+        ok = False
+        for rb in targets:
+            rt = _type_of(rb)
+            if wt in _PROMOTIONS and rt in _PROMOTIONS[wt]:
+                ok = True
+                break
+            if wt != rt:
+                continue
+            if wt in ("null", "boolean"):
+                ok = True
+            elif wt == "fixed":
+                ok = wb["size"] == rb["size"]
+            elif wt == "enum":
+                missing = set(wb["symbols"]) - set(rb["symbols"])
+                ok = not missing or "default" in rb
+            elif wt == "array":
+                ok = not can_read(wb["items"], rb["items"], f"{path}[]")
+            elif wt == "map":
+                ok = not can_read(wb["values"], rb["values"], f"{path}{{}}")
+            elif wt == "record":
+                sub = _record_can_read(wb, rb, path)
+                if sub and len(_branches(reader)) == 1:
+                    problems.extend(sub)
+                ok = not sub
+            if ok:
+                break
+        if not ok and not problems:
+            problems.append(
+                f"{path}: writer type {wt!r} unreadable as "
+                f"{[_type_of(b) for b in _branches(reader)]}"
+            )
+    return problems
+
+
+def _record_can_read(writer: dict, reader: dict, path: str) -> list[str]:
+    problems: list[str] = []
+    wfields = {f["name"]: f for f in writer["fields"]}
+    for rf in reader["fields"]:
+        wf = wfields.get(rf["name"])
+        if wf is None:
+            if "default" not in rf:
+                problems.append(
+                    f"{path}.{rf['name']}: reader field has no writer "
+                    "counterpart and no default"
+                )
+        else:
+            problems.extend(
+                can_read(wf["type"], rf["type"], f"{path}.{rf['name']}")
+            )
+    return problems
+
+
+COMPAT_MODES = ("NONE", "BACKWARD", "FORWARD", "FULL")
+
+
+def check_compatibility(old: Any, new: Any, mode: str = "BACKWARD") -> list[str]:
+    """Registry-style compatibility verdict between schema versions:
+    BACKWARD = consumers on ``new`` still read ``old`` data; FORWARD =
+    consumers on ``old`` read ``new`` data; FULL = both."""
+    if mode not in COMPAT_MODES:
+        raise ValueError(f"mode must be one of {COMPAT_MODES}")
+    problems = []
+    if mode in ("BACKWARD", "FULL"):
+        problems += [f"BACKWARD: {p}" for p in can_read(old, new)]
+    if mode in ("FORWARD", "FULL"):
+        problems += [f"FORWARD: {p}" for p in can_read(new, old)]
+    return problems

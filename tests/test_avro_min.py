@@ -470,3 +470,91 @@ def test_spark_decode_dead_letter_routing(spark):
     assert all(r and r.startswith("ValueError") for r in reasons)
     payloads = {bytes(r.corrupt_payload) for r in dlq.collect()}
     assert b"" in payloads and b"\x00\x00\x00\x00\x07\x06fo" in payloads
+
+
+# --------------------------------------------- compatibility checking
+
+
+def test_can_read_and_compat_modes():
+    v1 = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "text", "type": "string"},
+        ],
+    }
+    add_default = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "text", "type": "string"},
+            {"name": "lang", "type": "string", "default": "und"},
+        ],
+    }
+    add_required = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "text", "type": "string"},
+            {"name": "lang", "type": "string"},
+        ],
+    }
+    promote = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "text", "type": "string"},
+        ],
+    }
+    assert avro_min.can_read(v1, add_default) == []
+    assert avro_min.can_read(v1, add_required) != []  # no default
+    assert avro_min.can_read(v1, promote) == []  # int -> long
+    assert avro_min.can_read(promote, v1) != []  # long !-> int
+
+    assert avro_min.check_compatibility(v1, add_default, "FULL") == []
+    assert avro_min.check_compatibility(v1, promote, "BACKWARD") == []
+    forward = avro_min.check_compatibility(v1, promote, "FORWARD")
+    assert forward and forward[0].startswith("FORWARD")
+    # widening a union is BACKWARD-safe, FORWARD-unsafe
+    widen = dict(v1, fields=[
+        {"name": "id", "type": ["null", "int"], "default": None},
+        {"name": "text", "type": "string"},
+    ])
+    assert avro_min.check_compatibility(v1, widen, "BACKWARD") == []
+    assert avro_min.check_compatibility(v1, widen, "FORWARD") != []
+
+
+def test_registry_enforces_compatibility_on_register():
+    import pytest
+
+    v1 = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [{"name": "id", "type": "int"}],
+    }
+    good = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "lang", "type": "string", "default": "und"},
+        ],
+    }
+    bad = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "lang", "type": "string"},
+        ],
+    }
+    reg = avro_min.LocalSchemaRegistry(compatibility="BACKWARD")
+    assert reg.register(v1) == 1
+    with pytest.raises(ValueError, match="BACKWARD"):
+        reg.register(bad)
+    assert reg.register(good) == 2
+    assert reg.register(v1) == 1  # re-register of an old version is a no-op
