@@ -44,3 +44,23 @@ def test_green_row_definition_strict():
     for k in ("rows_match", "schema_match", "hash_match"):
         assert not union_check._is_green({**row_ok, k: False})
     assert not union_check._is_green({**row_ok, "err": "boom"})
+
+
+def test_propose_window_covers_all_awaiting():
+    """The drafted next window always contains every query still
+    awaiting a green row, fills the rest with the stalest greens, and
+    never exceeds the window size."""
+    from tools.union_check import green_union, propose_window
+
+    import __spark_entry__ as entrymod
+
+    window = propose_window(50)
+    assert len(window) == 50 and len(set(window)) == 50
+    union = green_union()
+    registry = set(entrymod.queries())
+    awaiting = {q for q in registry if q not in union}
+    assert awaiting <= set(window)
+    # anchors are the least-recently-greened queries
+    anchors = [q for q in window if q in union]
+    rounds = [union[q] for q in anchors]
+    assert rounds == sorted(rounds)

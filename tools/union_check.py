@@ -80,7 +80,36 @@ def report(repo_root: str = REPO_ROOT) -> dict:
     }
 
 
+def propose_window(size: int = 50, repo_root: str = REPO_ROOT) -> list[str]:
+    """Mechanical draft of the NEXT round's CHECKED_FIRST: every query
+    still awaiting a green row first (slip-proof by construction), then
+    anchor slots filled with the LEAST-recently-regreened green queries
+    (max-min staleness keeps every family's green row fresh over time).
+    A human still reorders for family balance; the tool guarantees no
+    awaiting query can be left out while spare slots exist."""
+    import __spark_entry__ as entrymod
+
+    registry = list(entrymod.queries())
+    union = green_union(repo_root)
+    awaiting = [q for q in registry if q not in union]
+    if len(awaiting) > size:
+        raise ValueError(
+            f"{len(awaiting)} queries await a green row but the window "
+            f"holds {size}; split across rounds (awaiting list first)"
+        )
+    stale_order = sorted(
+        (q for q in registry if q in union), key=lambda q: (union[q], q)
+    )
+    return awaiting + stale_order[: size - len(awaiting)]
+
+
 def main() -> int:
+    import sys
+
+    if "--propose-window" in sys.argv:
+        for q in propose_window():
+            print(q)
+        return 0
     r = report()
     print(
         f"driver-green union: {r['green_union']}/{r['registry']} "
