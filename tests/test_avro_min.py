@@ -558,3 +558,79 @@ def test_registry_enforces_compatibility_on_register():
         reg.register(bad)
     assert reg.register(good) == 2
     assert reg.register(v1) == 1  # re-register of an old version is a no-op
+
+
+# ------------------------------- schema-randomized property coverage
+
+_PRIM_STRATS = {
+    "boolean": st.booleans(),
+    "int": st.integers(-(2**31), 2**31 - 1),
+    "long": st.integers(-(2**63), 2**63 - 1),
+    "float": st.floats(allow_nan=False, width=32),
+    "double": st.floats(allow_nan=False),
+    "bytes": st.binary(max_size=16),
+    "string": st.text(max_size=16),
+}
+
+_counter = iter(range(10**9))
+
+
+def _schemas(depth=2):
+    prim = st.sampled_from(list(_PRIM_STRATS))
+    if depth == 0:
+        return prim
+    sub = _schemas(depth - 1)
+    return st.one_of(
+        prim,
+        st.builds(lambda t: ["null", t], prim),
+        st.builds(lambda s: {"type": "array", "items": s}, sub),
+        st.builds(lambda s: {"type": "map", "values": s}, sub),
+        st.builds(
+            lambda types: {
+                "type": "record",
+                "name": f"R{next(_counter)}",
+                "fields": [
+                    {"name": f"f{i}", "type": t} for i, t in enumerate(types)
+                ],
+            },
+            st.lists(sub, min_size=1, max_size=4),
+        ),
+    )
+
+
+def _value_for(schema):
+    if isinstance(schema, str):
+        return _PRIM_STRATS[schema]
+    if isinstance(schema, list):
+        return st.one_of(st.none(), *[_value_for(b) for b in schema if b != "null"])
+    t = schema["type"]
+    if t in _PRIM_STRATS:
+        return _PRIM_STRATS[t]
+    if t == "array":
+        return st.lists(_value_for(schema["items"]), max_size=4)
+    if t == "map":
+        return st.dictionaries(
+            st.text(max_size=8), _value_for(schema["values"]), max_size=4
+        )
+    if t == "record":
+        return st.fixed_dictionaries(
+            {f["name"]: _value_for(f["type"]) for f in schema["fields"]}
+        )
+    raise AssertionError(t)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_random_schema_roundtrip_and_self_resolution(data):
+    """For ANY generated (schema, conforming value): encode->decode is
+    identity, decode_resolved(schema, schema, .) agrees, and the
+    canonical fingerprint is stable across re-parses."""
+    schema = data.draw(_schemas())
+    value = data.draw(_value_for(schema))
+    body = avro_min.encode(schema, value)
+    assert avro_min.decode(schema, body) == value
+    assert avro_min.decode_resolved(schema, schema, body) == value
+    reparsed = json.loads(json.dumps(schema))
+    assert avro_min.rabin_fingerprint(reparsed) == avro_min.rabin_fingerprint(
+        schema
+    )
