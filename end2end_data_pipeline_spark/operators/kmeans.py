@@ -82,6 +82,16 @@ def _fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["vec_id"]): [int(x) for x in r["qv"]]
         for r in base.where(F.col("vec_id") < K).collect()
     }
+    if not centroids:
+        # empty corpus: no seeds exist, the argmin expression would be
+        # untyped — return the schema-stable empty assignment instead
+        return base.select(
+            "vec_id",
+            "label",
+            "qv",
+            F.lit(None).cast("bigint").alias("cluster"),
+            F.lit(None).cast("bigint").alias("dist2"),
+        )
     for _ in range(ITERS):
         sums = (
             _assign(base, centroids)

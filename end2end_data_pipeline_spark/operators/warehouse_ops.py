@@ -122,7 +122,17 @@ def warehouse_minute_dpp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible — the executed plan carries a ``dynamicpruning``
     subquery on ``minute_key`` and the fact scan touches only the
     matching partition directories."""
-    fact = spark.read.parquet(day1_minute_warehouse(spark, sf_dir))
+    # Schema pinned on read: inference over a partitioned layout is an
+    # antipattern at scale (one extra listing+footer pass) and fails
+    # outright on an empty slice (no files to infer from).
+    layout_schema = (
+        _day1_events(spark, sf_dir)
+        .withColumn("minute_key", F.date_format("ts", MINUTE_FMT))
+        .schema
+    )
+    fact = spark.read.schema(layout_schema).parquet(
+        day1_minute_warehouse(spark, sf_dir)
+    )
     dim = (
         _day1_events(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
