@@ -393,3 +393,40 @@ def write_avro_ocf(
         yield pd.DataFrame({"file": [out_path], "records": [len(records)]})
 
     return df.mapInPandas(enc, schema="file string, records long")
+
+
+# ------------------------------------------------ catalog egress/ingress
+
+
+def export_tables_ocf(
+    spark, sf_dir: str, out_dir: str, tables: tuple[str, ...] | None = None
+) -> dict[str, int]:
+    """Egress the warehouse catalog as .avro container files (one
+    subdirectory of per-partition OCFs per table) — the jar-less
+    backup/interchange path. Returns {table: row_count written}."""
+    import os
+
+    from end2end_data_pipeline_spark.sources.tables import TABLE_NAMES, load_table
+
+    counts: dict[str, int] = {}
+    for name in tables or TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        manifest = write_avro_ocf(df, os.path.join(out_dir, name)).collect()
+        counts[name] = sum(r.records for r in manifest)
+    return counts
+
+
+def import_tables_ocf(
+    spark, in_dir: str, tables: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Read an ``export_tables_ocf`` directory back into typed
+    DataFrames keyed by table name (schemas come from the file
+    headers)."""
+    import os
+
+    from end2end_data_pipeline_spark.sources.tables import TABLE_NAMES
+
+    names = tables or tuple(
+        t for t in TABLE_NAMES if os.path.isdir(os.path.join(in_dir, t))
+    )
+    return {name: read_avro_ocf(spark, os.path.join(in_dir, name)) for name in names}

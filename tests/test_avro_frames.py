@@ -248,3 +248,26 @@ def test_spark_ocf_mixed_generations_resolve(spark, tmp_path):
     assert rows[1].lang == "und" and rows[1].text == "old"
     assert rows[2].lang == "en"
     assert dict(out.dtypes)["id"] == "bigint"
+
+
+def test_catalog_ocf_export_import_roundtrip(spark, sf_dir, tmp_path):
+    """Warehouse egress/ingress: three catalog tables exported as OCF
+    directories read back row-identical with schemas from the file
+    headers."""
+    from end2end_data_pipeline_spark.sources.avro_frames import (
+        export_tables_ocf,
+        import_tables_ocf,
+    )
+    from end2end_data_pipeline_spark.sources.tables import load_table
+
+    out = str(tmp_path / "egress")
+    tables = ("region", "nation", "supplier")
+    counts = export_tables_ocf(spark, sf_dir, out, tables=tables)
+    back = import_tables_ocf(spark, out)
+    assert set(back) == set(tables)
+    for name in tables:
+        src = load_table(spark, sf_dir, name)
+        assert counts[name] == src.count()
+        assert sorted(map(repr, back[name].collect())) == sorted(
+            map(repr, src.collect())
+        )
