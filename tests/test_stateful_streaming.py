@@ -247,3 +247,44 @@ def test_first_seen_suppresses_across_restarts(spark, tmp_path, streak_events):
     assert len(after) == len(first) + 1
     new_rows = {r.user_id for r in after} - {r.user_id for r in first}
     assert new_rows == {"u9"}
+
+
+def test_streak_state_recovers_across_query_restart(spark, tmp_path):
+    """Stop the query with a live streak=2, then restart a NEW query
+    from the same checkpoint after the 3rd error lands: the state
+    store must reload the carried streak and alert — the crash/deploy
+    recovery property of the custom stateful operator."""
+    src = tmp_path / "src_restart"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_restart")
+    # memory sink forbids checkpoint recovery; a file sink is the
+    # fault-tolerant shape this test exists to exercise
+    sink = str(tmp_path / "sink_restart")
+
+    def run():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            error_streak_alerts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    spark.createDataFrame(
+        [_mk(0, "u7", "ERROR"), _mk(1, "u7", "ERROR")], EVENT_SCHEMA
+    ).write.parquet(str(src / "b1"))
+    assert run() == []  # streak=2 held in state, no alert
+
+    spark.createDataFrame([_mk(2, "u7", "ERROR")], EVENT_SCHEMA).write.parquet(
+        str(src / "b2")
+    )
+    assert [(r.user_id, r.streak) for r in run()] == [("u7", 3)]
