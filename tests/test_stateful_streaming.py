@@ -288,3 +288,195 @@ def test_streak_state_recovers_across_query_restart(spark, tmp_path):
         str(src / "b2")
     )
     assert [(r.user_id, r.streak) for r in run()] == [("u7", 3)]
+
+
+# --- out-of-order-tolerant variant (transformWithStateInPandas) -----
+#
+# The transformWithState Python worker needs protobuf, absent from
+# this container, so the Spark runtime path is gated (see the
+# degradation test). The processor's buffer/flush/streak logic is
+# pure Python over the state handles — unit-tested here with fakes.
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeListState:
+    def __init__(self):
+        self._items = []
+
+    def get(self):
+        return iter(list(self._items))
+
+    def appendList(self, items):
+        self._items.extend(items)
+
+    def clear(self):
+        self._items = []
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.timers = []
+        self._states = {}
+
+    def getValueState(self, name, schema):
+        return self._states.setdefault(name, _FakeValueState())
+
+    def getListState(self, name, schema):
+        return self._states.setdefault(name, _FakeListState())
+
+    def registerTimer(self, ms):
+        self.timers.append(ms)
+
+
+class _FakeTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
+def _proc(threshold=3):
+    from end2end_data_pipeline_spark.streaming.stateful import (
+        _BufferedStreakProcessor,
+    )
+
+    p = _BufferedStreakProcessor(threshold)
+    p.init(_FakeHandle())
+    return p
+
+
+def _pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["event_timestamp", "is_error"])
+
+
+MIN = 60_000  # ms
+
+
+def _collect(gen):
+    return [
+        (r.user_id, r.alert_ts, int(r.streak))
+        for df in gen
+        for r in df.itertuples()
+    ]
+
+
+def test_ooo_processor_repairs_cross_batch_disorder():
+    """First and THIRD error arrive in batch 1, the middle error in
+    batch 2; the watermark flush re-sorts the span so the streak
+    counts 0 -> 1 -> 2 in event-time order and alerts once."""
+    import pandas as pd
+
+    p = _proc()
+    t = lambda m: pd.Timestamp(m * MIN, unit="ms")  # noqa: E731
+    assert (
+        list(p.handleInputRows(("u1",), iter([_pdf([(t(0), True), (t(2), True)])]), None))
+        == []
+    )
+    list(p.handleInputRows(("u1",), iter([_pdf([(t(1), True)])]), None))
+    assert p.handle.timers == [2 * MIN, 1 * MIN]
+
+    alerts = _collect(
+        p.handleExpiredTimer(("u1",), _FakeTimerValues(20 * MIN), None)
+    )
+    assert alerts == [("u1", t(2), 3)]
+    assert p.streak.get() == (3,)
+
+
+def test_ooo_processor_partial_flush_keeps_pending_tail():
+    """Only the watermark-complete prefix flushes; the tail stays
+    buffered with a re-registered timer and completes the streak on
+    the next expiry — no event is processed before it is final."""
+    import pandas as pd
+
+    p = _proc()
+    t = lambda m: pd.Timestamp(m * MIN, unit="ms")  # noqa: E731
+    list(
+        p.handleInputRows(
+            ("u2",),
+            iter([_pdf([(t(0), True), (t(1), True), (t(5), True)])]),
+            None,
+        )
+    )
+    # watermark only reaches t(1): streak=2 held, t(5) pending
+    assert (
+        _collect(p.handleExpiredTimer(("u2",), _FakeTimerValues(1 * MIN), None))
+        == []
+    )
+    assert p.streak.get() == (2,)
+    assert p.handle.timers[-1] == 5 * MIN
+    alerts = _collect(
+        p.handleExpiredTimer(("u2",), _FakeTimerValues(6 * MIN), None)
+    )
+    assert alerts == [("u2", t(5), 3)]
+
+
+def test_ooo_processor_success_resets_across_flushes():
+    import pandas as pd
+
+    p = _proc()
+    t = lambda m: pd.Timestamp(m * MIN, unit="ms")  # noqa: E731
+    list(
+        p.handleInputRows(
+            ("u3",),
+            iter(
+                [
+                    _pdf(
+                        [
+                            (t(0), True),
+                            (t(1), True),
+                            (t(2), False),  # reset mid-span
+                            (t(3), True),
+                            (t(4), True),
+                            (t(5), True),
+                        ]
+                    )
+                ]
+            ),
+            None,
+        )
+    )
+    alerts = _collect(
+        p.handleExpiredTimer(("u3",), _FakeTimerValues(10 * MIN), None)
+    )
+    assert alerts == [("u3", t(5), 3)]
+
+
+def test_ooo_spark_path_degrades_actionably(spark, tmp_path):
+    """Without protobuf the Spark wiring must fail with the actionable
+    ConnectorUnavailable, not a worker crash mid-query."""
+    import pytest
+
+    from end2end_data_pipeline_spark.sources.connectors import (
+        ConnectorUnavailable,
+    )
+    from end2end_data_pipeline_spark.streaming.stateful import (
+        error_streak_alerts_ooo,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present: the runtime path would start")
+    except ImportError:
+        pass
+    src = str(tmp_path / "gate_src")
+    spark.createDataFrame([_mk(0, "u1", "ERROR")], EVENT_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    with pytest.raises(ConnectorUnavailable, match="protobuf"):
+        error_streak_alerts_ooo(stream)
