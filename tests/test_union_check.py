@@ -64,3 +64,44 @@ def test_propose_window_covers_all_awaiting():
     anchors = [q for q in window if q in union]
     rounds = [union[q] for q in anchors]
     assert rounds == sorted(rounds)
+
+
+def test_bench_diff_flags_fingerprint_changes():
+    from tools.bench_diff import diff
+
+    old = {
+        "value": 50.0,
+        "carried_subtotal": 30.0,
+        "n_queries": 3,
+        "queries": {"a": 1.0, "b": 2.0},
+        "tasks": {"a": 10, "b": 20},
+    }
+    same = dict(old, value=55.0, queries={"a": 1.2, "b": 2.1, "c": 9.0},
+                tasks={"a": 10, "b": 20, "c": 7}, n_queries=4)
+    d = diff(old, same)
+    assert not d["plan_regression"]
+    assert d["new_queries"] == ["c"]
+    assert d["wall_delta_by_query"] == {"a": 0.2, "b": 0.1}
+
+    changed = dict(old, tasks={"a": 10, "b": 33})
+    d2 = diff(old, changed)
+    assert d2["plan_regression"] and d2["fingerprint_changes"] == {"b": (20, 33)}
+
+
+def test_bench_diff_on_committed_records():
+    """The committed r6 record vs the full-run record must diff cleanly
+    (same pinned fingerprints for shared queries)."""
+    import json
+
+    from tools.bench_diff import diff
+
+    with open("BENCH_r06.json") as f:
+        r6 = json.load(f).get("parsed", json.load(open("BENCH_r06.json")))
+    with open("BENCH_FULL.json") as f:
+        full = json.load(f)
+    if "queries" not in r6:
+        import pytest
+
+        pytest.skip("r6 record lacks per-query timings")
+    d = diff(r6, full)
+    assert not d["plan_regression"], d["fingerprint_changes"]
