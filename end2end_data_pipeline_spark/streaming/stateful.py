@@ -296,3 +296,97 @@ def error_streak_alerts_ooo(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+class _BufferedFirstSeenProcessor:
+    """StatefulProcessor: exact first-seen under disorder — hold the
+    candidate minimum until the watermark passes it, then emit once.
+    Unlike the AT-FIRST-BATCH contract of ``first_seen_users``, an
+    earlier event arriving in a later micro-batch (inside the
+    watermark delay) DOES revise the candidate before emission."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        # (candidate_ts_ms, emitted 0/1)
+        self.state = handle.getValueState("first_seen", "ts_ms long, emitted int")
+
+    def handleInputRows(self, key, rows, timerValues):
+        batch_min = None
+        for pdf in rows:
+            if len(pdf):
+                m = int(
+                    pd.to_datetime(pdf["event_timestamp"])
+                    .astype("datetime64[ms]")
+                    .astype("int64")
+                    .min()
+                )
+                batch_min = m if batch_min is None else min(batch_min, m)
+        if batch_min is None:
+            return iter(())
+        if self.state.exists():
+            ts_ms, emitted = self.state.get()
+            if emitted or batch_min >= ts_ms:
+                return iter(())
+        self.state.update((batch_min, 0))
+        self.handle.registerTimer(batch_min)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        if not self.state.exists():
+            return
+        ts_ms, emitted = self.state.get()
+        if emitted or timerValues.getCurrentWatermarkInMs() < ts_ms:
+            return  # superseded timer or candidate not yet final
+        self.state.update((ts_ms, 1))
+        yield pd.DataFrame(
+            [(user_id, pd.Timestamp(ts_ms, unit="ms"))],
+            columns=["user_id", "first_ts"],
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        raise NotImplementedError("no initial state for first-seen")
+
+    def close(self) -> None:
+        pass
+
+
+def first_seen_users_ooo(
+    events: DataFrame,
+    ts_col: str = "event_timestamp",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Exact-minimum first-seen under out-of-order arrival (the
+    revision the AT-FIRST-BATCH contract documents as impossible for
+    the applyInPandasWithState form): the candidate minimum is held in
+    state and emitted only when the watermark passes it. Same protobuf
+    runtime gate as :func:`error_streak_alerts_ooo`."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        from end2end_data_pipeline_spark.sources.connectors import (
+            ConnectorUnavailable,
+        )
+
+        raise ConnectorUnavailable(
+            "first_seen_users_ooo needs the protobuf package "
+            "(transformWithStateInPandas state protocol); for "
+            "at-first-batch semantics use first_seen_users"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "BufferedFirstSeenProcessor",
+        (_BufferedFirstSeenProcessor, StatefulProcessor),
+        {},
+    )
+    src = events.withWatermark(ts_col, watermark)
+    keyed = src.selectExpr(
+        "user_id", f"{ts_col} AS event_timestamp"
+    ).groupBy("user_id")
+    return keyed.transformWithStateInPandas(
+        proc_cls(),
+        outputStructType=FIRST_SEEN_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

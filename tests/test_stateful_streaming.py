@@ -480,3 +480,65 @@ def test_ooo_spark_path_degrades_actionably(spark, tmp_path):
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
     with pytest.raises(ConnectorUnavailable, match="protobuf"):
         error_streak_alerts_ooo(stream)
+
+
+def test_ooo_first_seen_revises_candidate_before_watermark():
+    """An earlier event arriving in a LATER batch (inside the delay)
+    revises the held candidate; emission happens exactly once, with
+    the true minimum, only after the watermark passes it."""
+    import pandas as pd
+
+    from end2end_data_pipeline_spark.streaming.stateful import (
+        _BufferedFirstSeenProcessor,
+    )
+
+    p = _BufferedFirstSeenProcessor()
+    p.init(_FakeHandle())
+    t = lambda m: pd.Timestamp(m * MIN, unit="ms")  # noqa: E731
+
+    def feed(minutes):
+        return list(
+            p.handleInputRows(
+                ("u1",),
+                iter([pd.DataFrame({"event_timestamp": [t(m) for m in minutes]})]),
+                None,
+            )
+        )
+
+    assert feed([10, 12]) == []          # candidate = 10
+    assert feed([7]) == []               # earlier event revises -> 7
+    assert p.handle.timers == [10 * MIN, 7 * MIN]
+
+    # watermark below the candidate: nothing emits (superseded timer)
+    assert list(p.handleExpiredTimer(("u1",), _FakeTimerValues(5 * MIN), None) or []) == []
+    out = [
+        (r.user_id, r.first_ts)
+        for df in p.handleExpiredTimer(("u1",), _FakeTimerValues(8 * MIN), None)
+        for r in df.itertuples()
+    ]
+    assert out == [("u1", t(7))]
+    # further timers and later events are no-ops after emission
+    assert list(p.handleExpiredTimer(("u1",), _FakeTimerValues(30 * MIN), None) or []) == []
+    assert feed([3]) == []  # would be late beyond watermark in practice
+    assert p.state.get() == (7 * MIN, 1)
+
+
+def test_ooo_first_seen_degrades_actionably(spark, tmp_path):
+    import pytest
+
+    from end2end_data_pipeline_spark.sources.connectors import (
+        ConnectorUnavailable,
+    )
+    from end2end_data_pipeline_spark.streaming.stateful import first_seen_users_ooo
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present: the runtime path would start")
+    except ImportError:
+        pass
+    src = str(tmp_path / "fs_gate_src")
+    spark.createDataFrame([_mk(0, "u1", "ERROR")], EVENT_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    with pytest.raises(ConnectorUnavailable, match="protobuf"):
+        first_seen_users_ooo(stream)
