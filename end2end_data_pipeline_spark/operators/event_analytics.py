@@ -1257,3 +1257,90 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+CUSUM_TARGET_PCT = 30  # target+allowance above the ~25% design error rate
+CUSUM_DRIFT_UNITS = 1500  # flag threshold, in (error-count x 100) units
+
+
+@query(
+    "events_cusum_drift",
+    # One-sided CUSUM via the running-min identity:
+    #   S_t = max(0, S_{t-1} + dev_t)  ==  U_t - min_{j<=t} U_j
+    # with U_t = cumsum(dev). dev stays an exact integer
+    # (100*n_err - TARGET_PCT*n_total), so the whole recursion is
+    # BIGINT window arithmetic — no floats anywhere.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             count(*) AS n_events,
+             CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                      AS INTEGER) < {ERROR_K_THRESHOLD}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT h, n_events, n_errors,
+             100 * n_errors - {CUSUM_TARGET_PCT} * n_events AS d
+      FROM hourly
+    ), cum AS (
+      SELECT h, n_events, n_errors,
+             CAST(SUM(d) OVER (ORDER BY h) AS BIGINT) AS u
+      FROM dev
+    ), run AS (
+      SELECT h, n_events, n_errors, u,
+             CAST(MIN(u) OVER (ORDER BY h) AS BIGINT) AS u_min
+      FROM cum
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n_events, n_errors,
+           u - LEAST(u_min, 0) AS cusum_units,
+           CAST(CASE WHEN u - LEAST(u_min, 0) > {CUSUM_DRIFT_UNITS}
+                     THEN 1 ELSE 0 END AS INT) AS drift_flag
+    FROM run ORDER BY hour
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point surveillance on the hourly error rate: a one-sided
+    CUSUM over (100*errors - {TGT}*events) per hour, flagging hours
+    where the accumulated excess error mass exceeds {THR} units — the
+    drift detector that catches a slow error-rate creep long before
+    any single hour breaches an alert threshold. The recursive
+    max(0, prev + dev) is re-expressed as running-sum minus
+    running-min, exactly SQL-expressible in both engines and exact
+    integer end to end.
+
+    Scale: the partial-aggregated hourly rollup is the only data-sized
+    shuffle; the CUSUM windows run over the O(hours) series (720 rows
+    per month — driver-tiny at any corpus size, same class as
+    ``hourly_count_autocorr_24h``)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n_events"),
+        F.sum((k < ERROR_K_THRESHOLD).cast("bigint"))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    dev = hourly.withColumn(
+        "d",
+        100 * F.col("n_errors") - CUSUM_TARGET_PCT * F.col("n_events"),
+    )
+    wu = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    run = dev.select(
+        "h",
+        "n_events",
+        "n_errors",
+        F.sum("d").over(wu).cast("bigint").alias("u"),
+    ).withColumn("u_min", F.min("u").over(wu).cast("bigint"))
+    cusum = F.col("u") - F.least(F.col("u_min"), F.lit(0).cast("bigint"))
+    return run.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "n_events",
+        "n_errors",
+        cusum.alias("cusum_units"),
+        (cusum > CUSUM_DRIFT_UNITS).cast("int").alias("drift_flag"),
+    ).orderBy("hour")
+
+
+events_cusum_drift.__doc__ = events_cusum_drift.__doc__.replace(
+    "{TGT}", str(CUSUM_TARGET_PCT)
+).replace("{THR}", str(CUSUM_DRIFT_UNITS))

@@ -819,3 +819,175 @@ def customer_rfm_segments_bucketed(
         )
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+@query(
+    "orders_seasonality_dow",
+    # ISO day-of-week: DuckDB isodow == Spark weekday+1 (1=Mon..7=Sun).
+    # mean_cents and the seasonality index are single divisions of
+    # exact integer products (cents * n_total etc.), so both engines
+    # emit bit-identical doubles regardless of aggregation order.
+    oracle="""
+    WITH dows AS (
+      SELECT CAST(isodow(o_orderdate) AS INT) AS dow,
+             count(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT dow, n_orders, cents,
+             CAST(SUM(n_orders) OVER () AS BIGINT) AS n_total,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+      FROM dows
+    )
+    SELECT dow, n_orders, cents,
+           CAST(cents AS DOUBLE) / n_orders AS mean_cents,
+           CAST(cents * n_total AS DOUBLE) / (n_orders * total_cents)
+               AS seasonality_index
+    FROM tot ORDER BY dow
+    """,
+)
+def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality decomposition of order revenue: per ISO
+    weekday, order count, exact-cents revenue, mean ticket, and the
+    seasonality index (that dow's revenue share over its order share —
+    1.0 = flat week). The weekly-cycle diagnostic every ops dashboard
+    starts from (reference analog: the minutely cadence of
+    ``airflow/dags/pipeline.py`` rolled up a level).
+
+    Scale: one partial-aggregated shuffle to 7 rows; the window totals
+    run over those 7 rows only. Index and mean are single divisions of
+    exact integer products."""
+    o = load_table(spark, sf_dir, "orders")
+    dows = o.groupBy(
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy()
+    tot = dows.select(
+        "dow",
+        "n_orders",
+        "cents",
+        F.sum("n_orders").over(w).cast("bigint").alias("n_total"),
+        F.sum("cents").over(w).cast("bigint").alias("total_cents"),
+    )
+    return tot.select(
+        "dow",
+        "n_orders",
+        "cents",
+        (F.col("cents").cast("double") / F.col("n_orders")).alias("mean_cents"),
+        (
+            (F.col("cents") * F.col("n_total")).cast("double")
+            / (F.col("n_orders") * F.col("total_cents"))
+        ).alias("seasonality_index"),
+    ).orderBy("dow")
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@query(
+    "lineitem_quantity_winsorized",
+    # Exact p01/p99 via the rank identity (value at row_number
+    # ceil(p*n) of the per-brand ascending sort) — tie-breaks don't
+    # matter because equal values are interchangeable at a rank
+    # boundary. Clamped sums stay BIGINT end to end.
+    oracle=f"""
+    WITH pq AS (
+      SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS q,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY p_brand ORDER BY q, l_orderkey, l_linenumber
+             ) AS rn,
+             count(*) OVER (PARTITION BY p_brand) AS n
+      FROM pq
+    ), bounds AS (
+      SELECT p_brand,
+             MAX(CASE WHEN rn = GREATEST(CAST(ceil({WINSOR_LO} * n) AS BIGINT), 1)
+                      THEN q END) AS p01,
+             MAX(CASE WHEN rn = CAST(ceil({WINSOR_HI} * n) AS BIGINT)
+                      THEN q END) AS p99
+      FROM ranked GROUP BY p_brand
+    )
+    SELECT r.p_brand AS brand, count(*) AS n_lines,
+           CAST(b.p01 AS BIGINT) AS p01, CAST(b.p99 AS BIGINT) AS p99,
+           CAST(SUM(r.q) AS BIGINT) AS sum_qty,
+           CAST(SUM(LEAST(GREATEST(r.q, b.p01), b.p99)) AS BIGINT)
+               AS sum_qty_winsorized
+    FROM ranked r JOIN bounds b ON r.p_brand = b.p_brand
+    GROUP BY r.p_brand, b.p01, b.p99 ORDER BY brand
+    """,
+)
+def lineitem_quantity_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized quantity stats per part brand: exact p01/p99 order
+    statistics (rank identity), then sums of raw vs clamped
+    quantities — the outlier-robust demand profile that keeps one
+    fat-finger order from skewing a brand's forecast.
+
+    Scale: the documented exact-order-statistic cost — one per-brand
+    sort window (same class as ``event_value_deciles``); bounds
+    collapse to O(brands) and broadcast back onto the ranked rows, so
+    the second pass is map-side. At 100 TB the approx-then-exact
+    two-pass (approx_percentile to find candidate cut regions, exact
+    rank only inside them) drops the full sort; the exact variant here
+    IS the oracle-checkable core of that second pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pq = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    wr = Window.partitionBy("p_brand").orderBy("q", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("p_brand")
+    ranked = pq.select(
+        "p_brand",
+        "q",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("p_brand").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.ceil(WINSOR_LO * F.col("n")).cast("bigint"), F.lit(1)
+                ),
+                F.col("q"),
+            )
+        ).alias("p01"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(WINSOR_HI * F.col("n")).cast("bigint"),
+                F.col("q"),
+            )
+        ).alias("p99"),
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "p_brand")
+        .groupBy(F.col("p_brand").alias("brand"), "p01", "p99")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("q").cast("bigint").alias("sum_qty"),
+            F.sum(F.least(F.greatest(F.col("q"), F.col("p01")), F.col("p99")))
+            .cast("bigint")
+            .alias("sum_qty_winsorized"),
+        )
+        .select(
+            "brand",
+            "n_lines",
+            F.col("p01").cast("bigint").alias("p01"),
+            F.col("p99").cast("bigint").alias("p99"),
+            "sum_qty",
+            "sum_qty_winsorized",
+        )
+        .orderBy("brand")
+    )
