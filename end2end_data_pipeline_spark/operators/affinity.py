@@ -353,3 +353,124 @@ def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t.threshold_pct", "t.n_pairs", "n_candidates")
         .orderBy("threshold_pct")
     )
+
+
+@query(
+    "sessions_markov_transitions",
+    # Laplace-smoothed probabilities are single divisions of exact
+    # integers ((c+1) / (row_total+V)), so zero cells and observed
+    # cells alike hash identically across engines. The grid completion
+    # (distinct types x distinct types) makes the matrix total — every
+    # from->to cell present even at count 0.
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w
+                          > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) AS sid FROM gaps
+    ), trans AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id, sid ORDER BY ts, event_id
+             ) AS to_type
+      FROM sess
+    ), counts AS (
+      SELECT from_type, to_type, count(*) AS c
+      FROM trans WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ), types AS (
+      SELECT DISTINCT event_type AS t FROM events
+    ), grid AS (
+      SELECT a.t AS from_type, b.t AS to_type,
+             CAST((SELECT count(*) FROM types) AS BIGINT) AS v
+      FROM types a CROSS JOIN types b
+    ), cells AS (
+      SELECT g.from_type, g.to_type, g.v,
+             CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      FROM grid g LEFT JOIN counts c
+        ON g.from_type = c.from_type AND g.to_type = c.to_type
+    ), rowtot AS (
+      SELECT *, CAST(SUM(c) OVER (PARTITION BY from_type) AS BIGINT)
+                    AS row_total
+      FROM cells
+    )
+    SELECT from_type, to_type, c AS n,
+           CAST(c + 1 AS DOUBLE) / (row_total + v) AS smoothed_prob
+    FROM rowtot ORDER BY from_type, to_type
+    """,
+)
+def sessions_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-bounded Markov transition matrix with Laplace
+    smoothing: event-type transitions counted only WITHIN a
+    {GAP}-minute-gap session (unlike ``event_transition_matrix``,
+    which chains across a user's whole history), the from x to grid
+    completed so unobserved transitions appear at count 0, and
+    probabilities add-one smoothed — the estimator a next-action model
+    actually consumes, where impossible-looking transitions keep small
+    nonzero mass.
+
+    Scale: the one user_id shuffle drives sessionization and the
+    per-session lead; counts collapse to O(types^2). The grid is a
+    crossJoin of two O(types) distinct lists (broadcast, waived in
+    ``tools/plan_audit.py``) left-joined to the counts — matrix size
+    is independent of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "sid", F.sum("new_session").over(w)
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    counts = (
+        sess.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(ws).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("c"))
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    v = types.agg(F.count("*").cast("bigint").alias("v"))
+    grid = (
+        types.select(F.col("t").alias("from_type"))
+        .crossJoin(F.broadcast(types.select(F.col("t").alias("to_type"))))
+        .crossJoin(F.broadcast(v))
+    )
+    cells = grid.join(counts, ["from_type", "to_type"], "left").select(
+        "from_type",
+        "to_type",
+        "v",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+    )
+    wr = Window.partitionBy("from_type")
+    return (
+        cells.withColumn(
+            "row_total", F.sum("c").over(wr).cast("bigint")
+        )
+        .select(
+            "from_type",
+            "to_type",
+            F.col("c").alias("n"),
+            (
+                (F.col("c") + 1).cast("double")
+                / (F.col("row_total") + F.col("v"))
+            ).alias("smoothed_prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+sessions_markov_transitions.__doc__ = sessions_markov_transitions.__doc__.replace(
+    "{GAP}", str(SESSION_GAP_MINUTES)
+)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import load_table
@@ -174,3 +175,84 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+COSESSION_MINUTE_CAP = 50  # max users considered per co-presence minute
+
+
+@query(
+    "user_cosession_degree",
+    # Implicit co-presence graph: users active in the same minute are
+    # neighbors. The minute bucket is capped at COSESSION_MINUTE_CAP
+    # users (deterministic user_id order) so a flash-crowd minute
+    # can't go quadratic — the same hot-bucket device as the LSH
+    # band join caps, applied identically by both engines.
+    oracle=f"""
+    WITH mu AS (
+      SELECT DISTINCT date_trunc('minute', ts) AS m, user_id
+      FROM events
+    ), capped AS (
+      SELECT m, user_id FROM (
+        SELECT m, user_id,
+               row_number() OVER (PARTITION BY m ORDER BY user_id) AS rk
+        FROM mu
+      ) WHERE rk <= {COSESSION_MINUTE_CAP}
+    ), pairs AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM capped a JOIN capped b
+        ON a.m = b.m AND a.user_id < b.user_id
+    ), degrees AS (
+      SELECT u AS user_id, count(*) AS degree FROM (
+        SELECT u, v FROM pairs
+        UNION ALL
+        SELECT v AS u, u AS v FROM pairs
+      ) GROUP BY u
+    )
+    SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_users
+    FROM degrees GROUP BY degree ORDER BY degree
+    """,
+)
+def user_cosession_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the implicit co-activity graph: users
+    who produce events in the same wall-clock minute are linked, and
+    the histogram of per-user neighbor counts profiles how social /
+    bursty the traffic is (a long-tailed degree curve = shared spikes,
+    a flat one = independent users). The audience-overlap primitive
+    behind collaborative filtering and fraud-ring detection.
+
+    Scale: pair generation is keyed by minute with a
+    {CAP}-user-per-minute cap (rank by user_id, drop beyond cap —
+    applied identically in both engines), so the self-join output is
+    sum over minutes of capped-bucket-squared, never |users|^2. One
+    shuffle on the minute key for the join, one on user for the
+    degree count; the histogram is O(distinct degrees)."""
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.select(
+        F.date_trunc("minute", "ts").alias("m"), "user_id"
+    ).distinct()
+    wk = Window.partitionBy("m").orderBy("user_id")
+    capped = (
+        mu.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= COSESSION_MINUTE_CAP)
+        .select("m", "user_id")
+    )
+    a = capped.select("m", F.col("user_id").alias("u"))
+    b = capped.select("m", F.col("user_id").alias("v"))
+    pairs = (
+        a.join(b, "m")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    degrees = sym.groupBy("u").agg(F.count("*").alias("degree"))
+    return (
+        degrees.groupBy(F.col("degree").cast("bigint").alias("degree"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("degree")
+    )
+
+
+user_cosession_degree.__doc__ = user_cosession_degree.__doc__.replace(
+    "{CAP}", str(COSESSION_MINUTE_CAP)
+)

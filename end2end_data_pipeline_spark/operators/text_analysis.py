@@ -552,3 +552,87 @@ def bigram_surprise_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "docs_bigram_diversity_bands",
+    # Gini-Simpson diversity 1 - sum(c_i^2)/N^2 per document, banded
+    # ENTIRELY by integer cross-multiplication (100*(N^2 - sum(c^2))
+    # vs k*N^2) — the log-free entropy stand-in, so no float ever
+    # enters the banding (same device as user_type_diversity_bands).
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, lang,
+             unnest({th.shingles(th.tokens('text', th.DUCK), 2, th.DUCK)})
+                 AS bigram
+      FROM documents
+    ), per_bigram AS (
+      SELECT doc_id, lang, bigram, count(*) AS c
+      FROM occ GROUP BY doc_id, lang, bigram
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM per_bigram GROUP BY doc_id, lang
+    ), banded AS (
+      SELECT lang, n,
+             CASE
+               WHEN 100 * (n * n - sum_sq) < 50 * n * n THEN 'a_lt50'
+               WHEN 100 * (n * n - sum_sq) < 80 * n * n THEN 'b_lt80'
+               WHEN 100 * (n * n - sum_sq) < 95 * n * n THEN 'c_lt95'
+               ELSE 'd_ge95'
+             END AS diversity_band
+      FROM per_doc
+    )
+    SELECT lang, diversity_band, count(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_bigrams
+    FROM banded GROUP BY lang, diversity_band
+    ORDER BY lang, diversity_band
+    """,
+)
+def docs_bigram_diversity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-vs-diversity census of the corpus: per document the
+    Gini-Simpson diversity of its token bigrams (low = looping/
+    boilerplate text, high = varied prose), banded at 0.5/0.8/0.95 and
+    rolled up per language — the quality-filter cut a pretraining
+    pipeline applies before tokenization, without the ln() that an
+    entropy score would need (not bit-stable across engines).
+
+    Scale: bigram occurrences partial-aggregate on (doc, bigram) —
+    the per-doc key keeps hot stop-bigrams from concentrating — then
+    collapse to two integers per doc and an O(langs x 4) rollup.
+    No join, no window, no float before the final rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = fan_out(spark, docs).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(th.shingles(th.tokens("text", th.SPARK), 2, th.SPARK))
+        ).alias("bigram"),
+    )
+    per_doc = (
+        occ.groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        )
+    )
+    nn = F.col("n") * F.col("n")
+    spread = (nn - F.col("sum_sq")) * 100
+    band = (
+        F.when(spread < 50 * nn, "a_lt50")
+        .when(spread < 80 * nn, "b_lt80")
+        .when(spread < 95 * nn, "c_lt95")
+        .otherwise("d_ge95")
+    )
+    return (
+        per_doc.select("lang", "n", band.alias("diversity_band"))
+        .groupBy("lang", "diversity_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_bigrams"),
+        )
+        .orderBy("lang", "diversity_band")
+    )
