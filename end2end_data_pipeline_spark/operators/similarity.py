@@ -974,3 +974,112 @@ def embedding_centroid_margin_profile(
         )
         .orderBy("label")
     )
+
+
+PQ_M = 4  # subspaces (EMBED_DIM 64 -> 16 dims each)
+PQ_K = 8  # codewords per subspace (first PQ_K vectors' subvectors)
+PQ_SUBDIM = vec.EMBED_DIM // PQ_M
+
+
+def _pq_sqdist(a: str, b: str, dialect: str) -> str:
+    """Exact integer squared L2 between two quantized subvectors."""
+    if dialect == th.SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, v) -> acc + v)"
+        )
+    return (
+        f"CAST(list_sum(list_transform({a}, "
+        f"(x, i) -> (x - ({b})[i]) * (x - ({b})[i]))) AS BIGINT)"
+    )
+
+
+@query(
+    "embedding_pq_codebook",
+    # Codewords are the first PQ_K vectors' subvectors — the same
+    # deterministic bootstrap as the IVF coarse quantizer, so both
+    # engines derive identical codebooks from nothing. Distances are
+    # exact integer squared L2 on quantized components; assignment
+    # tie-breaks on code id. mean_sqdist is one division of exact
+    # integers.
+    oracle=_qbase_sql()
+    + f""", subs AS (
+      SELECT vec_id, CAST(v.sub AS INT) AS subspace,
+             list_slice(qv, v.sub * {PQ_SUBDIM} + 1,
+                        v.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM qbase, (VALUES (0), (1), (2), (3)) v(sub)
+    ), codebook AS (
+      SELECT subspace, vec_id AS code, sv AS cv
+      FROM subs WHERE vec_id < {PQ_K}
+    ), assigned AS (
+      SELECT subspace, code, d FROM (
+        SELECT s.subspace, c.code,
+               {_pq_sqdist('s.sv', 'c.cv', th.DUCK)} AS d,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.subspace
+                 ORDER BY {_pq_sqdist('s.sv', 'c.cv', th.DUCK)}, c.code
+               ) AS rn
+        FROM subs s JOIN codebook c USING (subspace)
+      ) WHERE rn = 1
+    )
+    SELECT subspace, CAST(code AS BIGINT) AS code,
+           count(*) AS n_vectors,
+           CAST(SUM(d) AS BIGINT) AS total_sqdist,
+           CAST(SUM(d) AS DOUBLE) / count(*) AS mean_sqdist
+    FROM assigned GROUP BY subspace, code ORDER BY subspace, code
+    """,
+)
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization census: split every embedding into {M}
+    16-dim subvectors, assign each to its nearest of {K} per-subspace
+    codewords (exact integer squared L2 on the quantized components),
+    and report per-cell population and distortion — the codebook
+    health check behind PQ-compressed ANN indexes (Jégou et al. 2011),
+    where 64 floats become {M} byte codes and mean_sqdist is the
+    reconstruction error you trade for the 64x compression.
+
+    Scale: the corpus never shuffles for assignment — each vector
+    explodes to {M} subvector rows and equi-joins the O({M}x{K})
+    broadcast codebook on the subspace key; the census is an
+    O({M}x{K})-key partial aggregate. The codebook bootstrap
+    (vec_id < {K}) is a filter, not a collect."""
+    base = _qbase(spark, sf_dir)
+    slices = F.array(
+        *[
+            F.slice("qv", i * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for i in range(PQ_M)
+        ]
+    )
+    subs = base.select(
+        "vec_id", F.posexplode(slices).alias("subspace", "sv")
+    ).select("vec_id", F.col("subspace").cast("int").alias("subspace"), "sv")
+    codebook = F.broadcast(
+        subs.where(F.col("vec_id") < PQ_K).select(
+            "subspace",
+            F.col("vec_id").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    scored = subs.join(codebook, "subspace").withColumn(
+        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("subspace", "code", "d")
+    )
+    return (
+        assigned.groupBy("subspace", F.col("code").cast("bigint").alias("code"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("d").cast("bigint").alias("total_sqdist"),
+            (F.sum("d").cast("double") / F.count("*")).alias("mean_sqdist"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+embedding_pq_codebook.__doc__ = embedding_pq_codebook.__doc__.replace(
+    "{M}", str(PQ_M)
+).replace("{K}", str(PQ_K))

@@ -222,3 +222,108 @@ def minute_counts_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_minute", "event_type")
     )
+
+
+SESSION_REPLAY_GAP = "30 minutes"
+
+
+@query(
+    "session_window_stream_replay",
+    # Boundary semantics pinned to Spark's session_window: an event
+    # extends the session iff it lands STRICTLY inside [start,
+    # last_ts + gap), so the oracle opens a new session at d >= gap
+    # (not the lag-SQL convention d > gap — at an exact-gap tie the
+    # two differ and session_window starts a new session).
+    oracle="""
+    WITH slice AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-02 00:00:00'
+    ), gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM slice
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 driver-visible parity: per-user gap sessions computed BY THE
+    STREAMING ENGINE — file source, ``session_window`` stateful
+    aggregation, complete-mode memory sink, availableNow drain — must
+    hash-match the batch lag-SQL sessionization. The second replay
+    proof after ``minute_counts_stream_replay``, covering the MERGING
+    window state (session windows grow and coalesce as events arrive)
+    rather than fixed tumbling buckets. Timestamps format to whole
+    seconds only at the output boundary; the session identity is
+    min/max event time, microsecond-exact in both engines.
+
+    Scale: streaming state is one (user, open-session) entry per
+    active user, evicted by the watermark in the production append
+    form (``streaming/pipeline.py:sessionized_counts``); the bounded
+    day-slice replay holds state for the slice only."""
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    table = _REPLAY.get((key[0], sf_abs + "#session"))
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"session_window_stream_replay_{next(_REPLAY_IDS)}"
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            stream.where(
+                (F.col("ts") >= F.lit(SLICE_START).cast("timestamp"))
+                & (F.col("ts") < F.lit(SLICE_END).cast("timestamp"))
+            )
+            .groupBy(
+                F.session_window("ts", SESSION_REPLAY_GAP).alias("s"),
+                "user_id",
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", key[0], table
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[(key[0], sf_abs + "#session")] = table
+    return (
+        spark.table(table)
+        .select(
+            "user_id",
+            F.date_format(F.col("s.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("s.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -93,6 +93,10 @@ WAIVERS: dict[str, str] = {
     # O(|labels|) broadcast centroid-sum table — the same intentional
     # O(n x K) shape as the waived IVF quantizer.
     "embedding_centroid_margin_profile": "bnlj-over-two-scans",
+    # Laplace grid completion: the from x to matrix is the crossJoin
+    # of two O(|event_types|) broadcast distinct lists (plus the 1-row
+    # V attach) — matrix size is independent of corpus size.
+    "sessions_markov_transitions": "bnlj-over-two-scans",
 }
 
 
