@@ -32,12 +32,19 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # Round 7 closes it: (a) the 20 round-6 operators registered after the
 # r6 window froze, (b) the 3 r1 hash-fails (float-sum order dependence,
 # fixed by the r2 integer-cents rework, passing the local gate since —
-# never driver-re-checked), (c) the 4 round-7 operators (partitioned-
-# warehouse DPP extract, streaming replay parity, and the q4/q18
-# bucketed twins widening the exchange-free orderkey family), (d) 23
-# multiply-proven anchors keeping one green row per operator family.
-# A green r7 makes the computed r1-r7 union exactly the full 180-query
-# registry.
+# never driver-re-checked), (c) the 12 round-7 operators (partitioned-
+# warehouse DPP extract, TWO streaming replay parities, the q4/q18
+# bucketed twins widening the exchange-free orderkey family, and the
+# 8 COVERAGE.md-queued analytics ops: dow seasonality, winsorized
+# quantities, CUSUM drift, session Markov matrix, bigram diversity,
+# co-activity degrees, PQ codebook census, session-window replay),
+# (d) 15 multiply-proven anchors keeping a green row per family (the
+# 8 anchors rotated out to make room — epoch_ms_roundtrip,
+# knn_bruteforce, lineitem_pricing_summary, q3_shipping_priority,
+# kmeans_assignments, docs_scrubbed_stats, eval_contamination,
+# events_approx_cardinality — are all r6-green, the freshest rows in
+# the union, so nothing regresses). A green r7 makes the computed
+# r1-r7 union exactly the full 188-query registry.
 CHECKED_FIRST = [
     # (a) round-6 operators, registered post-freeze, never checked
     "customer_pareto_share",
@@ -67,33 +74,29 @@ CHECKED_FIRST = [
     # (c) round-7 operators
     "warehouse_minute_dpp_extract",
     "minute_counts_stream_replay",
+    "session_window_stream_replay",
     "q4_order_priority_bucketed",
     "q18_large_orders_bucketed",
-    # (d) proven per-family anchors (driver-green in r1-r6;
-    # dedup_minhash_pairs and embedding_lsh_buckets rotated out to
-    # make room for the bucketed twins — their families stay
-    # represented by dedup_exact_stats / ann_ivf_topk_nprobe /
-    # embedding_centroid_margin_profile, and both keep green rows
-    # from earlier rounds)
+    "orders_seasonality_dow",
+    "lineitem_quantity_winsorized",
+    "events_cusum_drift",
+    "sessions_markov_transitions",
+    "docs_bigram_diversity_bands",
+    "user_cosession_degree",
+    "embedding_pq_codebook",
+    # (d) proven per-family anchors (driver-green in r1-r6; every
+    # rotated-out anchor keeps a green row from an earlier round)
     "dedup_exact_stats",
     "event_status_pivot",
     "multimodal_decode_features",
     "props_k_extract",
     "ann_ivf_topk_nprobe",
-    "knn_bruteforce",
     "asof_last_view_before_purchase",
-    "epoch_ms_roundtrip",
     "text_quality_scores",
-    "q3_shipping_priority",
-    "lineitem_pricing_summary",
     "salted_user_event_counts",
     "corpus_pack_chunks",
-    "eval_contamination",
-    "docs_scrubbed_stats",
-    "kmeans_assignments",
     "incr_dedup_decisions",
     "docs_split_assign",
-    "events_approx_cardinality",
     "first_seen_users_batch",
     "fk_orphan_audit",
     "session_top_paths",

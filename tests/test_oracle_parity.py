@@ -70,17 +70,13 @@ def test_checked_window_contract():
         "ann_": "similarity",
         "asof_": "temporal",
         "text_": "text analysis",
-        "q3_": "tpch",
+        "q4_": "tpch (bucketed twin)",
         "lineitem_": "relational",
         "salted_": "skew pattern",
         "corpus_pack": "corpus prep",
-        "eval_contamination": "contamination",
-        "docs_scrubbed": "scrubbing",
-        "kmeans_": "clustering",
         "incr_": "incremental dedup",
         "docs_split": "splits/sampling",
         # round-6 families
-        "events_approx_": "sketch accuracy contract",
         "first_seen_": "first-seen detection",
         "fk_orphan_audit": "quality audit",
         "session_top_paths": "affinity/sequence",
@@ -93,9 +89,17 @@ def test_checked_window_contract():
         "nation_supplier_revenue": "r1-regreen: dim-join rollup",
         "orders_monthly_trend": "r1-regreen: monthly trend",
         "warehouse_minute_dpp_extract": "partitioned warehouse + DPP",
-        "minute_counts_stream_replay": "streaming parity",
+        "minute_counts_stream_replay": "streaming parity (tumbling)",
+        "session_window_stream_replay": "streaming parity (session windows)",
         "q4_order_priority_bucketed": "bucketed semi-join",
         "q18_large_orders_bucketed": "bucketed agg-on-bucket-key",
+        "orders_seasonality_dow": "seasonality decomposition",
+        "lineitem_quantity_winsorized": "robust order statistics",
+        "events_cusum_drift": "change-point detection",
+        "sessions_markov_transitions": "smoothed transition matrix",
+        "docs_bigram_diversity_bands": "log-free diversity scoring",
+        "user_cosession_degree": "co-activity graph degrees",
+        "embedding_pq_codebook": "product quantization",
         "customer_": "customer lifecycle",
         "embedding_centroid_margin_profile": "label-noise audit",
         "session_bounce_rate_daily": "sessionized quality",
