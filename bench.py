@@ -116,6 +116,16 @@ HEADLINE = [
     "user_type_diversity_bands",
     "embedding_centroid_margin_profile",
     "session_bounce_rate_daily",
+    # round-7 additions (session_window_stream_replay excluded like
+    # minute_counts_stream_replay: it times the streaming
+    # sink+checkpoint lifecycle, not plan execution)
+    "orders_seasonality_dow",
+    "lineitem_quantity_winsorized",
+    "events_cusum_drift",
+    "sessions_markov_transitions",
+    "docs_bigram_diversity_bands",
+    "user_cosession_degree",
+    "embedding_pq_codebook",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
