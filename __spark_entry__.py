@@ -28,7 +28,7 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # ``tools/union_check.py`` recomputes it from the committed
 # CORRECTNESS_r*.json files every test run (the r6 judge found the
 # narrative claim off by three — r1 hash-fails that were fixed in r2
-# but never re-windowed). Computed r1-r6 union: 153/178 registered.
+# but never re-windowed). Computed r1-r6 union: 153/188 registered.
 # Round 7 closes it: (a) the 20 round-6 operators registered after the
 # r6 window froze, (b) the 3 r1 hash-fails (float-sum order dependence,
 # fixed by the r2 integer-cents rework, passing the local gate since —
