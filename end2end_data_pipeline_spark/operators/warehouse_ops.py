@@ -230,10 +230,11 @@ SESSION_REPLAY_GAP = "30 minutes"
 @query(
     "session_window_stream_replay",
     # Boundary semantics pinned to Spark's session_window: an event
-    # extends the session iff it lands STRICTLY inside [start,
-    # last_ts + gap), so the oracle opens a new session at d >= gap
-    # (not the lag-SQL convention d > gap — at an exact-gap tie the
-    # two differ and session_window starts a new session).
+    # at EXACTLY last_ts + gap still MERGES (inclusive boundary —
+    # verified by the degenerate-fixture test in
+    # tests/test_r7_operators.py), so the oracle opens a new session
+    # only at d > gap — the same convention as the batch lag-SQL
+    # sessionization family.
     oracle="""
     WITH slice AS (
       SELECT user_id, ts, event_id FROM events
@@ -242,7 +243,7 @@ SESSION_REPLAY_GAP = "30 minutes"
     ), gaps AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM slice
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
