@@ -991,3 +991,74 @@ def lineitem_quantity_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def exact_percentiles_two_pass(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ps: tuple[float, ...],
+    order: tuple[str, ...] = (),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Exact per-key percentiles WITHOUT a full per-key sort — the
+    100 TB form of the rank identity used by
+    ``lineitem_quantity_winsorized``.
+
+    Pass 1 (cheap, map-side): ``approx_percentile`` brackets each
+    requested percentile with [p - 1/accuracy, p + 1/accuracy]
+    candidate bounds, plus an exact per-key row count.
+    Pass 2 (narrow): only rows INSIDE a bracket are ranked — the sort
+    touches O(n/accuracy) rows per key instead of n — and the exact
+    target rank (ceil(p*n), floored at 1) is located by adding the
+    exact count of rows below the bracket. Rows outside every bracket
+    are never shuffled to the rank stage.
+
+    Returns one row per (key, p) with the exact percentile value —
+    bit-identical to the full-sort rank identity (asserted in
+    ``tests/test_r7_operators.py::test_two_pass_percentiles_match_exact``).
+    Tie-safety: bracket bounds come from approx_percentile's observed
+    values, and the below-bracket count uses strict <, so duplicated
+    boundary values land inside the bracket and the rank stays exact.
+    """
+    import math as _math
+
+    eps = 1.0 / accuracy
+    lo_ps = [max(p - eps, 0.0) for p in ps]
+    hi_ps = [min(p + eps, 1.0) for p in ps]
+    stats = df.groupBy(key).agg(
+        F.count("*").alias("_n"),
+        F.percentile_approx(value, list(lo_ps), accuracy).alias("_blo"),
+        F.percentile_approx(value, list(hi_ps), accuracy).alias("_bhi"),
+    )
+    out = None
+    for i, p in enumerate(ps):
+        b = stats.select(
+            key,
+            "_n",
+            F.element_at("_blo", i + 1).alias("_lo"),
+            F.element_at("_bhi", i + 1).alias("_hi"),
+        )
+        j = df.select(key, value, *order).join(F.broadcast(b), key)
+        below = (
+            j.where(F.col(value) < F.col("_lo"))
+            .groupBy(key)
+            .agg(F.count("*").alias("_below"))
+        )
+        inside = j.where(
+            (F.col(value) >= F.col("_lo")) & (F.col(value) <= F.col("_hi"))
+        )
+        w = Window.partitionBy(key).orderBy(value, *order)
+        ranked = inside.withColumn("_rk", F.row_number().over(w)).join(
+            F.broadcast(below), key, "left"
+        )
+        target = F.greatest(F.ceil(F.lit(p) * F.col("_n")), F.lit(1))
+        hit = ranked.where(
+            F.col("_rk") + F.coalesce(F.col("_below"), F.lit(0)) == target
+        ).select(
+            key,
+            F.lit(p).alias("p"),
+            F.col(value).alias("percentile_value"),
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

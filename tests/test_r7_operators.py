@@ -208,3 +208,46 @@ def test_seasonality_indices_weight_to_one(spark):
         assert r["seasonality_index"] == pytest.approx(
             (r["cents"] * n_total) / (r["n_orders"] * total_cents), abs=0
         )
+
+
+def test_two_pass_percentiles_match_exact(spark):
+    """The scale-path (approx-bracket -> exact-rank-inside-bracket)
+    percentile must be BIT-IDENTICAL to the full-sort rank identity
+    that the registered winsorize query uses."""
+    from end2end_data_pipeline_spark.operators.relational_ext import (
+        exact_percentiles_two_pass,
+    )
+    from end2end_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    p = load_table(spark, SF, "part").select("p_partkey", "p_brand")
+    pq = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    got = {
+        (r["p_brand"], r["p"]): r["percentile_value"]
+        for r in exact_percentiles_two_pass(
+            pq, "p_brand", "q", (0.01, 0.5, 0.99), ("l_orderkey", "l_linenumber")
+        ).collect()
+    }
+    # full-sort reference
+    exact = {}
+    winsor = QUERIES["lineitem_quantity_winsorized"](spark, SF).collect()
+    for r in winsor:
+        exact[(r["brand"], 0.01)] = r["p01"]
+        exact[(r["brand"], 0.99)] = r["p99"]
+    import math
+
+    rows = pq.select("p_brand", "q").collect()
+    from collections import defaultdict
+
+    by_brand = defaultdict(list)
+    for r in rows:
+        by_brand[r["p_brand"]].append(r["q"])
+    for brand, qs in by_brand.items():
+        qs.sort()
+        exact[(brand, 0.5)] = qs[max(math.ceil(0.5 * len(qs)), 1) - 1]
+    assert got == exact
