@@ -1063,11 +1063,19 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = subs.join(codebook, "subspace").withColumn(
         "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
     )
-    w = Window.partitionBy("vec_id", "subspace").orderBy("d", "code")
+    # argmin via min(struct(d, code)): lexicographic struct-min is
+    # exactly the (distance, code-id) tie-broken assignment the oracle
+    # ranks, but partial-aggregates map-side — the K-way fan-out
+    # collapses before the shuffle instead of sorting inside a
+    # (vec, subspace) window.
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("subspace", "code", "d")
+        scored.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select(
+            "subspace",
+            F.col("best.code").alias("code"),
+            F.col("best.d").alias("d"),
+        )
     )
     return (
         assigned.groupBy("subspace", F.col("code").cast("bigint").alias("code"))
