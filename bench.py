@@ -204,15 +204,26 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # SPARK_GRAFT_BENCH_REPEAT=N (default 1, the driver's mode) times
+    # each query N times and keeps the MINIMUM — the standard way to
+    # strip ambient-tenant noise from plan-time comparisons when
+    # investigating a suspected regression. Task fingerprints come
+    # from the first execution only (repeats reuse the plan).
+    repeat = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")), 1)
     timings: dict[str, float] = {}
     tasks: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries[name]
-        sc.setJobGroup(name, f"bench:{name}")
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        tasks[name] = _group_tasks(sc, name)
+        best = None
+        for i in range(repeat):
+            sc.setJobGroup(name, f"bench:{name}")
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            if i == 0:
+                tasks[name] = _group_tasks(sc, name)
+            best = wall if best is None else min(best, wall)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     carried = round(sum(timings[n] for n in CARRIED_33), 3)
