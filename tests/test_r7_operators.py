@@ -251,3 +251,42 @@ def test_two_pass_percentiles_match_exact(spark):
         qs.sort()
         exact[(brand, 0.5)] = qs[max(math.ceil(0.5 * len(qs)), 1) - 1]
     assert got == exact
+
+
+def test_two_pass_percentiles_property(spark):
+    """Property check on adversarial value multisets (boundary
+    duplicates, constant runs, tiny groups): the two-pass result must
+    equal the plain sorted-rank cut for every requested percentile."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from end2end_data_pipeline_spark.operators.relational_ext import (
+        exact_percentiles_two_pass,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+        ),
+        st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.99, 1.0]),
+    )
+    def check(values, p):
+        df = spark.createDataFrame(
+            [("g", v, i) for i, v in enumerate(values)], "k string, v long, i long"
+        )
+        got = {
+            r["p"]: r["percentile_value"]
+            for r in exact_percentiles_two_pass(df, "k", "v", (p,), ("i",)).collect()
+        }
+        qs = sorted(values)
+        expected = qs[max(math.ceil(p * len(qs)), 1) - 1]
+        assert got == {p: expected}, (values, p)
+
+    check()
