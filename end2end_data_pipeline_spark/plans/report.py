@@ -60,8 +60,8 @@ def status_pivot_report(
 
 def report_json(report: dict[str, Any]) -> str:
     """Serialized form the reference uploads to MinIO / POSTs to the
-    dashboard API (spark.py:90-97) — emission targets (object store,
-    REST) stay out of engine scope."""
+    dashboard API (spark.py:90-97). The REST push + store/serve side
+    lives in ``plans/report_service.py`` (stdlib, in-process)."""
     return json.dumps(report)
 
 

@@ -408,3 +408,33 @@ def test_avro_stream_dead_letters_corrupt_frames(spark, tmp_path, golden_events)
     assert good.count() == golden_events.count()
     assert bad.count() == 2
     assert {r.corrupt_reason.split(":")[0] for r in bad.collect()} == {"ValueError"}
+
+
+def test_stream_to_dashboard_end_to_end(spark, tmp_path, events_with_tail):
+    """The reference's whole report loop in one process (S13+S14):
+    streaming minutely aggregation publishes through real HTTP into
+    the latest-report store, and the consumer GET sees the exact
+    closed-minute report."""
+    from end2end_data_pipeline_spark.plans.report_service import (
+        ReportStoreServer,
+        get_latest_report,
+        make_report_publisher,
+    )
+    from end2end_data_pipeline_spark.streaming.pipeline import (
+        publish_minutely_reports,
+    )
+
+    src = str(tmp_path / "dash_src")
+    ckpt = str(tmp_path / "dash_ckpt")
+    events_with_tail.write.parquet(src)
+
+    with ReportStoreServer() as srv:
+        q = publish_minutely_reports(
+            spark, src, ckpt, make_report_publisher(srv.url)
+        )
+        q.awaitTermination(120)
+        rep = get_latest_report(srv.url)["report"]
+    assert rep["file_name"] == "2024-01-01_12-30.json"
+    assert rep["total_events"] == 100
+    assert rep["total_errors"] == 15
+    assert rep["by_event_type"]["SEARCH"] == {"SUCCESS": 17, "ERROR": 3}
