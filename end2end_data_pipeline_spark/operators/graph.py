@@ -227,24 +227,42 @@ def user_cosession_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the minute key for the join, one on user for the
     degree count; the histogram is O(distinct degrees)."""
     ev = load_table(spark, sf_dir, "events")
-    mu = ev.select(
-        F.date_trunc("minute", "ts").alias("m"), "user_id"
-    ).distinct()
-    wk = Window.partitionBy("m").orderBy("user_id")
-    capped = (
-        mu.withColumn("rk", F.row_number().over(wk))
-        .where(F.col("rk") <= COSESSION_MINUTE_CAP)
-        .select("m", "user_id")
+    # ONE scan: per-minute sorted-distinct user arrays (bounded at the
+    # cap — array_sort(collect_set)[1..CAP] IS "rank by user_id, keep
+    # <= cap"), pairs generated by a nested array transform inside the
+    # bounded arrays. A self-join formulation reads the fact table
+    # twice and duplicates the cap window on both sides; this shape
+    # aggregates once and never materializes an uncapped bucket.
+    per_minute = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("user_id")),
+                1,
+                COSESSION_MINUTE_CAP,
+            ).alias("us")
+        )
     )
-    a = capped.select("m", F.col("user_id").alias("u"))
-    b = capped.select("m", F.col("user_id").alias("v"))
+    pair_expr = F.flatten(
+        F.transform(
+            "us",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("us"), i + 2, F.lit(COSESSION_MINUTE_CAP)
+                ),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "m")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
+        per_minute.select(F.explode(pair_expr).alias("p"))
+        .select("p.u", "p.v")
         .distinct()
     )
-    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # degree counts both endpoints of each u<v pair: explode the
+    # 2-array instead of a self-union (which would duplicate the
+    # whole pair-generation subtree in the plan)
+    sym = pairs.select(F.explode(F.array("u", "v")).alias("u"))
     degrees = sym.groupBy("u").agg(F.count("*").alias("degree"))
     return (
         degrees.groupBy(F.col("degree").cast("bigint").alias("degree"))
