@@ -440,7 +440,10 @@ def sessions_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("c"))
     )
-    types = ev.select(F.col("event_type").alias("t")).distinct()
+    # O(|types|) frame used three times (both grid axes + V) — cache
+    # so the grid completion costs ONE column-pruned pass over the
+    # fact, not three
+    types = ev.select(F.col("event_type").alias("t")).distinct().cache()
     v = types.agg(F.count("*").cast("bigint").alias("v"))
     grid = (
         types.select(F.col("t").alias("from_type"))
