@@ -1217,8 +1217,12 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded type vocabulary), and the per-type counts broadcast onto
     the O(|types|^2) pair table."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    n_users = ev.agg(F.count_distinct("user_id").alias("n"))
+    # the distinct basket frame feeds both self-join sides, the
+    # per-type counts, AND the user total (every user has >= 1 type,
+    # so count_distinct over it equals the raw-table count) — cache it
+    # so the fact is scanned once
+    ut = ev.select("user_id", "event_type").distinct().cache()
+    n_users = ut.agg(F.count_distinct("user_id").alias("n"))
     type_counts = ut.groupBy("event_type").agg(F.count("*").alias("n_type"))
     a = ut.alias("a")
     b = ut.alias("b")
