@@ -161,8 +161,14 @@ def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 def _decisions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior, batch = _snapshots(spark, sf_dir)
+    # in production the two stores are PERSISTED tables; the fixture
+    # derives them from the prior snapshot per call, so cache them —
+    # the minhash store feeds both the band join and the verify join,
+    # and uncached each use re-fingerprints the whole prior corpus
     return incremental_decisions(
-        batch, exact_store_for(prior), signatures_for(prior)
+        batch,
+        exact_store_for(prior).cache(),
+        signatures_for(prior).cache(),
     )
 
 
