@@ -1113,9 +1113,12 @@ def user_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine days (planner-visible constant), and the spine side is
     O(|days|), broadcastable at any horizon."""
     ev = load_table(spark, sf_dir, "events")
+    # cached: feeds the spine, the band join, AND the dau rollup — the
+    # docstring's "only pass over raw events" holds because this
+    # distinct frame materializes once
     active = ev.select(
         "user_id", F.to_date("ts").alias("day")
-    ).distinct()
+    ).distinct().cache()
     spine = F.broadcast(active.select("day").distinct().alias("s"))
     a = active.alias("a")
     wau = (

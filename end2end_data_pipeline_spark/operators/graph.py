@@ -143,7 +143,9 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    nodes = n.select(F.col("n_name").alias("node"))
+    # cached: re-read every iteration for the teleport left join (a
+    # 25-row dim, so this trims file-listing overhead, not data volume)
+    nodes = n.select(F.col("n_name").alias("node")).cache()
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // N_NATIONS).cast("bigint").alias("rank")
     )
