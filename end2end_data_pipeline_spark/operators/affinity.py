@@ -442,8 +442,15 @@ def sessions_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # O(|types|) frame used three times (both grid axes + V) — cache
     # so the grid completion costs ONE column-pruned pass over the
-    # fact, not three
-    types = ev.select(F.col("event_type").alias("t")).distinct().cache()
+    # fact, not three. coalesce(1): the cached build runs outside
+    # AQE's partition coalescing, so without it the 5-row distinct
+    # materializes as 200 near-empty tasks.
+    types = (
+        ev.select(F.col("event_type").alias("t"))
+        .distinct()
+        .coalesce(1)
+        .cache()
+    )
     v = types.agg(F.count("*").cast("bigint").alias("v"))
     grid = (
         types.select(F.col("t").alias("from_type"))
