@@ -135,7 +135,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     eshare = (
-        edges.join(outw, "src")
+        edges.join(F.broadcast(outw), "src")
         .select(
             "src",
             "dst",
@@ -151,7 +151,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PR_ITERS):
         contribs = (
-            eshare.join(ranks, eshare.src == ranks.node)
+            eshare.join(F.broadcast(ranks), eshare.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"((rank * 17) div 20) * wshare div {W_SHARE_SCALE}").alias(
@@ -161,7 +161,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contribs), "node", "left").select(
             "node",
             (F.lit(TELEPORT) + F.coalesce(F.col("contrib"), F.lit(0)))
             .cast("bigint")
