@@ -103,3 +103,31 @@ def test_registered_dpp_query_plans_dynamic_pruning(spark):
     df = warehouse_minute_dpp_extract(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_r7_plan_improvements_hold(spark):
+    """Regression guards for the round-7 plan work: the one-scan
+    co-activity pipeline, the broadcast-only pagerank iteration, and
+    the coalesced Markov type cache must not silently revert."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+
+    def executed(name):
+        df = q[name](spark, "/root/testdata/sf0.001")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cos = executed("user_cosession_degree")
+    # one real events scan, no rank window (WindowGroupLimit included)
+    assert len(re.findall(r"FileScan parquet", cos)) == 1
+    assert "Window [" not in cos
+
+    pr = executed("nation_trade_pagerank")
+    assert "SortMergeJoin" not in pr  # every iteration join broadcasts
+
+    mk = executed("sessions_markov_transitions")
+    # the type-list cache builds as ONE partition (coalesce(1)), so no
+    # 200-partition InMemoryRelation for the 5-row frame
+    assert "Coalesce 1" in mk
