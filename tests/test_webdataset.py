@@ -1,0 +1,61 @@
+"""WebDataset tar-shard source: member explode, sample regrouping,
+multi-suffix keys, and dead-letter routing for corrupt shards."""
+
+from __future__ import annotations
+
+from end2end_data_pipeline_spark.sources.webdataset import (
+    read_tar_shards,
+    read_webdataset_samples,
+    tar_shard_dead_letters,
+    write_tar_shards,
+)
+
+
+def _corpus():
+    return [
+        (f"sample{i:03d}", {"jpg": bytes([i]) * (i + 1), "txt": f"caption {i}".encode(),
+                            "cls.txt": b"7"})
+        for i in range(5)
+    ]
+
+
+def test_members_roundtrip(spark, tmp_path):
+    write_tar_shards(_corpus(), str(tmp_path), shard_size=3)
+    rows = read_tar_shards(spark, str(tmp_path)).collect()
+    assert len(rows) == 15  # 5 samples x 3 members
+    got = {(r["key"], r["ext"]): bytes(r["content"]) for r in rows}
+    assert got[("sample002", "jpg")] == b"\x02\x02\x02"
+    assert got[("sample004", "txt")] == b"caption 4"
+    # multi-suffix member keys to the same sample
+    assert got[("sample000", "cls.txt")] == b"7"
+    assert all(r["size"] == len(bytes(r["content"])) for r in rows)
+    # two shards of 3 and 2 samples
+    assert len({r["shard"] for r in rows}) == 2
+
+
+def test_sample_regrouping(spark, tmp_path):
+    write_tar_shards(_corpus(), str(tmp_path), shard_size=100)
+    samples = {r["key"]: r for r in read_webdataset_samples(spark, str(tmp_path)).collect()}
+    assert set(samples) == {f"sample{i:03d}" for i in range(5)}
+    s1 = samples["sample001"]
+    assert s1["n_files"] == 3
+    assert set(s1["files"]) == {"jpg", "txt", "cls.txt"}
+    assert bytes(s1["files"]["txt"]) == b"caption 1"
+    assert s1["sample_bytes"] == sum(len(b) for b in (b"\x01\x01", b"caption 1", b"7"))
+
+
+def test_corrupt_shard_dead_letters(spark, tmp_path):
+    write_tar_shards(_corpus(), str(tmp_path), shard_size=3)
+    (tmp_path / "broken.tar").write_bytes(b"definitely not a tar file")
+    members = read_tar_shards(spark, str(tmp_path)).collect()
+    assert len(members) == 15  # corrupt shard absent, good shards intact
+    dead = tar_shard_dead_letters(spark, str(tmp_path)).collect()
+    assert [d["shard"].rsplit("/", 1)[-1] for d in dead] == ["broken.tar"]
+    assert "Error" in dead[0]["error"] or "error" in dead[0]["error"].lower()
+
+
+def test_empty_dir_is_empty_frame(spark, tmp_path):
+    (tmp_path / "empty").mkdir()
+    write_tar_shards([], str(tmp_path / "empty"))
+    # binaryFile on a dir with no matches -> empty member frame
+    assert read_tar_shards(spark, str(tmp_path / "empty")).collect() == []
