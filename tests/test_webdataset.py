@@ -59,3 +59,42 @@ def test_empty_dir_is_empty_frame(spark, tmp_path):
     write_tar_shards([], str(tmp_path / "empty"))
     # binaryFile on a dir with no matches -> empty member frame
     assert read_tar_shards(spark, str(tmp_path / "empty")).collect() == []
+
+
+def test_shard_to_multimodal_decode_composes(spark, tmp_path):
+    """The full multimodal ingest path: REAL PNG bytes packed into tar
+    shards -> sample read -> the engine's tiered image decode
+    (png_min in this container) recovers true dimensions."""
+    from pyspark.sql import functions as F
+
+    from end2end_data_pipeline_spark.functions.png_min import encode_png
+    from end2end_data_pipeline_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        _extract_features,
+    )
+
+    def png(w, h, v):
+        return encode_png(w, h, bytes([v]) * (w * h), mode="L")
+
+    corpus = [
+        ("img000", {"png": png(4, 3, 10), "txt": b"a caption"}),
+        ("img001", {"png": png(7, 2, 200), "txt": b"another"}),
+    ]
+    write_tar_shards(corpus, str(tmp_path))
+    samples = read_webdataset_samples(spark, str(tmp_path))
+    payloads = samples.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("key"),
+        F.col("files")["png"].alias("payload"),
+    )
+    feats = {
+        r["key"]: r
+        for r in payloads.join(
+            payloads.mapInPandas(_extract_features, FEATURE_SCHEMA), "doc_id"
+        ).collect()
+    }
+    assert (feats["img000"]["width"], feats["img000"]["height"]) == (4, 3)
+    assert (feats["img001"]["width"], feats["img001"]["height"]) == (7, 2)
+    assert all(r["format"] == "png" for r in feats.values())
+    assert feats["img000"]["mean_luma"] == 10
+    assert feats["img001"]["mean_luma"] == 200
