@@ -26,6 +26,7 @@ pickling. Batch size is governed by
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -387,3 +388,102 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ts_ms",
         F.lower(F.hex("frame")).alias("frame_hex"),
     ).orderBy("doc_id", "frame_idx")
+
+
+# --- audio tier -------------------------------------------------------
+# WAV parses with the stdlib ``wave`` module, so unlike images the
+# REAL audio decode needs no optional dependency: header fields plus
+# exact-integer PCM16 energy stats. Non-WAV bytes fall to the same
+# deterministic sha256 stub contract as the image tier.
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("sum_abs_pcm", LongType(), False),
+        StructField("peak_pcm", IntegerType(), False),
+    ]
+)
+
+
+def _audio_stub(payload: bytes) -> dict:
+    digest = hashlib.sha256(payload).digest()
+    return {
+        "codec": "fake/raw",
+        "n_channels": 1 + digest[0] % 2,
+        "sample_rate": 8000 * (1 + digest[1] % 6),
+        "n_frames": int.from_bytes(digest[2:4], "big"),
+        "duration_ms": 0,
+        "sum_abs_pcm": 0,
+        "peak_pcm": 0,
+    }
+
+
+def audio_features(payload: bytes) -> dict:
+    """Real WAV parse when the bytes are RIFF/WAVE; deterministic stub
+    otherwise. PCM16 energy accumulates in exact integers (|sample|
+    sum + peak), so any two runs — or engines — agree bit-for-bit;
+    duration_ms floors the exact rational frames*1000/rate."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch, sw, rate, n_frames = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            pcm = w.readframes(n_frames)
+        out = {
+            "codec": f"pcm{8 * sw}",
+            "n_channels": n_ch,
+            "sample_rate": rate,
+            "n_frames": n_frames,
+            "duration_ms": n_frames * 1000 // rate if rate else 0,
+            "sum_abs_pcm": 0,
+            "peak_pcm": 0,
+        }
+        if sw == 2 and pcm:
+            import numpy as np
+
+            v = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+            a = np.abs(v.astype(np.int64))
+            out["sum_abs_pcm"] = int(a.sum())
+            out["peak_pcm"] = int(a.max())
+        return out
+    except (wave.Error, EOFError, ValueError):
+        return _audio_stub(payload)
+
+
+def _extract_audio(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow record batches in, audio rows out."""
+    for pdf in batches:
+        feats = [audio_features(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "codec": [f["codec"] for f in feats],
+                "n_channels": [f["n_channels"] for f in feats],
+                "sample_rate": [f["sample_rate"] for f in feats],
+                "n_frames": [f["n_frames"] for f in feats],
+                "duration_ms": [f["duration_ms"] for f in feats],
+                "sum_abs_pcm": [f["sum_abs_pcm"] for f in feats],
+                "peak_pcm": [f["peak_pcm"] for f in feats],
+            }
+        )
+
+
+def extract_audio_features(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> typed audio features, Arrow-batched.
+    Same plumbing contract as the image tier: explicit schema,
+    partition-preserving batches, no row-at-a-time Python."""
+    return payloads.mapInPandas(_extract_audio, AUDIO_SCHEMA)

@@ -156,3 +156,73 @@ def test_real_decode_falls_back_on_malformed_payload(monkeypatch):
         monkeypatch.setattr(multimodal, "_decode_real", boom)
         monkeypatch.setattr(multimodal, "_HAS_PIL", True)
         assert multimodal.decode_features(b"junk") == _decode_stub(b"junk")
+
+
+def test_audio_features_real_wav(spark):
+    """The stdlib WAV tier parses real PCM16 audio: header fields,
+    exact duration floor, and exact-integer energy stats."""
+    import io
+    import wave
+
+    from end2end_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    def make_wav(rate, samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(
+                b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+            )
+        return buf.getvalue()
+
+    samples = [0, 100, -200, 300, -32768]
+    rows = [
+        (1, make_wav(16000, samples)),
+        (2, make_wav(8000, [5] * 12000)),  # 1.5 s
+        (3, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    a = got[1]
+    assert (a["codec"], a["n_channels"], a["sample_rate"]) == ("pcm16", 1, 16000)
+    assert a["n_frames"] == 5
+    assert a["sum_abs_pcm"] == 0 + 100 + 200 + 300 + 32768
+    assert a["peak_pcm"] == 32768
+    b = got[2]
+    assert b["duration_ms"] == 1500 and b["sum_abs_pcm"] == 5 * 12000
+    assert got[3]["codec"] == "fake/raw"  # deterministic stub fallback
+
+
+def test_audio_from_tar_shards(spark, tmp_path):
+    """Audio payloads ride the WebDataset shard path like images."""
+    import io
+    import wave
+
+    from pyspark.sql import functions as F
+
+    from end2end_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from end2end_data_pipeline_spark.sources.webdataset import (
+        read_webdataset_samples,
+        write_tar_shards,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x01\x00" * 882)  # 441 stereo frames = 10 ms
+    write_tar_shards([("clip0", {"wav": buf.getvalue(), "txt": b"x"})], str(tmp_path))
+    payloads = read_webdataset_samples(spark, str(tmp_path)).select(
+        F.lit(0).cast("long").alias("doc_id"),
+        F.col("files")["wav"].alias("payload"),
+    )
+    r = extract_audio_features(payloads).collect()[0]
+    assert (r["n_channels"], r["sample_rate"], r["n_frames"]) == (2, 44100, 441)
+    assert r["duration_ms"] == 10 and r["sum_abs_pcm"] == 882
