@@ -222,11 +222,12 @@ def user_cosession_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     a flat one = independent users). The audience-overlap primitive
     behind collaborative filtering and fraud-ring detection.
 
-    Scale: pair generation is keyed by minute with a
-    {CAP}-user-per-minute cap (rank by user_id, drop beyond cap —
-    applied identically in both engines), so the self-join output is
-    sum over minutes of capped-bucket-squared, never |users|^2. One
-    shuffle on the minute key for the join, one on user for the
+    Scale: ONE pass over the fact — per-minute capped user arrays
+    ({CAP} by user_id order, identical in both engines) built in a
+    single aggregation, pairs generated INSIDE the bounded arrays
+    (sum over minutes of capped-bucket-squared, never |users|^2), so
+    there is no self-join and no second scan. One shuffle on the
+    minute key, one on the pair for the distinct, one on user for the
     degree count; the histogram is O(distinct degrees)."""
     ev = load_table(spark, sf_dir, "events")
     # ONE scan: per-minute sorted-distinct user arrays (bounded at the
