@@ -1,0 +1,57 @@
+"""JSONL document ingest — the text-corpus front door, built entirely
+on Spark's native JSON source (Spark-first: no custom parser, so
+predicate pushdown, schema enforcement, and whole-stage codegen all
+apply) with the same dead-letter discipline as the Avro and tar-shard
+readers: malformed lines are quarantined, never fatal and never
+silently dropped.
+
+Mechanics: PERMISSIVE mode with ``columnNameOfCorruptRecord`` — a
+parseable line lands typed, an unparseable one lands with its raw text
+in the corrupt column and nulls elsewhere. ``read_jsonl_docs`` splits
+the two streams; at 100 TB the corrupt side is typically a handful of
+truncated objects per thousand files and writes to a quarantine path
+for replay, exactly like ``decode_events_avro_dlq`` and
+``tar_shard_dead_letters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, dead) frames for line-delimited JSON under ``path``.
+
+    ``good`` carries exactly ``schema``'s columns; ``dead`` is
+    (raw_line string) — route it to quarantine. The caller's schema is
+    REQUIRED: schema inference over a 100 TB corpus is an extra full
+    pass, and a drifting producer should fail typed, not re-infer.
+    """
+    full = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        # Spark requires materializing the corrupt column before
+        # filtering on it (SPARK-21610): referencing it straight off
+        # the scan is disallowed, so land the batch through a cache
+        .cache()
+    )
+    good = raw.where(F.col(CORRUPT_COL).isNull()).select(
+        *[f.name for f in schema.fields]
+    )
+    dead = raw.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, dead

@@ -1,0 +1,63 @@
+"""JSONL ingest: typed good rows, quarantined bad lines, and the
+no-silent-drop invariant (good + dead == input lines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from end2end_data_pipeline_spark.sources.jsonl import read_jsonl_docs
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+LINES = [
+    '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+    '{"doc_id": 2, "text": "bonjour", "lang": "fr"}',
+    '{"doc_id": 3, "text": "truncated...',  # broken JSON
+    "not json at all",
+    '{"doc_id": 4, "text": "ok again", "lang": "de"}',
+]
+
+
+def test_split_good_and_dead(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(LINES) + "\n")
+    good, dead = read_jsonl_docs(spark, str(p), SCHEMA)
+    g = {r["doc_id"]: r for r in good.collect()}
+    assert set(g) == {1, 2, 4}
+    assert g[2]["text"] == "bonjour" and g[4]["lang"] == "de"
+    assert good.columns == ["doc_id", "text", "lang"]
+    d = sorted(r["raw_line"] for r in dead.collect())
+    assert d == sorted([LINES[2], "not json at all"])
+    # nothing silently dropped
+    assert good.count() + dead.count() == len(LINES)
+
+
+def test_all_good_means_empty_dead(spark, tmp_path):
+    p = tmp_path / "clean.jsonl"
+    p.write_text('{"doc_id": 7, "text": "t", "lang": "en"}\n')
+    good, dead = read_jsonl_docs(spark, str(p), SCHEMA)
+    assert good.count() == 1 and dead.collect() == []
+
+
+def test_jsonl_feeds_text_operators(spark, tmp_path):
+    """The ingested frame slots straight into the text-analysis family
+    (same column contract as the documents fixture)."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(LINES) + "\n")
+    good, _ = read_jsonl_docs(spark, str(p), SCHEMA)
+    toks = good.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).groupBy("lang").count()
+    assert {r["lang"]: r["count"] for r in toks.collect()} == {
+        "en": 2,
+        "fr": 1,
+        "de": 2,
+    }
