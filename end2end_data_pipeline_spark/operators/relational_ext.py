@@ -824,9 +824,14 @@ def customer_rfm_segments_bucketed(
 @query(
     "orders_seasonality_dow",
     # ISO day-of-week: DuckDB isodow == Spark weekday+1 (1=Mon..7=Sun).
-    # mean_cents and the seasonality index are single divisions of
-    # exact integer products (cents * n_total etc.), so both engines
-    # emit bit-identical doubles regardless of aggregation order.
+    # mean_cents and the seasonality index are identical-shaped double
+    # expressions over exact integers, so both engines emit
+    # bit-identical doubles regardless of aggregation order. Operands
+    # are cast to DOUBLE BEFORE the products: cents*n_total in BIGINT
+    # overflows int64 at large scale, where DuckDB raises but
+    # non-ANSI Spark wraps silently — the double-first shape keeps the
+    # engines in lockstep at any scale (IEEE mul/div are correctly
+    # rounded, same tree shape on both sides).
     oracle="""
     WITH dows AS (
       SELECT CAST(isodow(o_orderdate) AS INT) AS dow,
@@ -842,7 +847,8 @@ def customer_rfm_segments_bucketed(
     )
     SELECT dow, n_orders, cents,
            CAST(cents AS DOUBLE) / n_orders AS mean_cents,
-           CAST(cents * n_total AS DOUBLE) / (n_orders * total_cents)
+           (CAST(cents AS DOUBLE) * CAST(n_total AS DOUBLE))
+               / (CAST(n_orders AS DOUBLE) * CAST(total_cents AS DOUBLE))
                AS seasonality_index
     FROM tot ORDER BY dow
     """,
@@ -856,8 +862,9 @@ def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``airflow/dags/pipeline.py`` rolled up a level).
 
     Scale: one partial-aggregated shuffle to 7 rows; the window totals
-    run over those 7 rows only. Index and mean are single divisions of
-    exact integer products."""
+    run over those 7 rows only. Index and mean are identical-shaped
+    double expressions over exact integer aggregates (cast-first, so
+    no int64 product overflow at any scale)."""
     o = load_table(spark, sf_dir, "orders")
     dows = o.groupBy(
         (F.weekday("o_orderdate") + 1).cast("int").alias("dow")
@@ -881,8 +888,8 @@ def orders_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (F.col("cents").cast("double") / F.col("n_orders")).alias("mean_cents"),
         (
-            (F.col("cents") * F.col("n_total")).cast("double")
-            / (F.col("n_orders") * F.col("total_cents"))
+            (F.col("cents").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("n_orders").cast("double") * F.col("total_cents").cast("double"))
         ).alias("seasonality_index"),
     ).orderBy("dow")
 

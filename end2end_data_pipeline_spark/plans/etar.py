@@ -32,6 +32,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from end2end_data_pipeline_spark.operators.event_analytics import ERROR_K_THRESHOLD
 from end2end_data_pipeline_spark.plans.report import status_pivot_report
 from end2end_data_pipeline_spark.plans.report_service import push_report
 
@@ -53,7 +54,7 @@ def extract_minute(events: DataFrame, minute_utc: dt.datetime) -> DataFrame:
     lo = minute_utc.replace(second=0, microsecond=0)
     hi = lo + dt.timedelta(minutes=1)
     k = F.get_json_object("props", "$.k").cast("int")
-    status = F.when(k < 25, F.lit("ERROR")).otherwise(F.lit("SUCCESS"))
+    status = F.when(k < ERROR_K_THRESHOLD, F.lit("ERROR")).otherwise(F.lit("SUCCESS"))
     return (
         events.where(
             (F.col("ts") >= F.lit(lo.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))

@@ -70,6 +70,13 @@ def _explode_members(batches, *, want_errors: bool):
         out = {k: [] for k in ("shard", "key", "ext", "member", "size", "content")}
         err = {"shard": [], "error": []}
         for path, blob in zip(pdf["path"], pdf["content"]):
+            # Buffer the whole shard: a tar that truncates mid-archive
+            # raises partway through iteration, and rows emitted before
+            # the raise would otherwise appear in BOTH the member output
+            # and the dead-letter output — double-counting members when
+            # the quarantined shard is repaired and replayed. A shard is
+            # all-or-nothing: either every member row or one error row.
+            rows: list[tuple[str, str, str, str, int, bytes | None]] = []
             try:
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob)), mode="r:*") as tf:
                     for m in tf:
@@ -77,15 +84,21 @@ def _explode_members(batches, *, want_errors: bool):
                             continue
                         f = tf.extractfile(m)
                         key, ext = _split_member(m.name)
-                        out["shard"].append(path)
-                        out["key"].append(key)
-                        out["ext"].append(ext)
-                        out["member"].append(m.name)
-                        out["size"].append(m.size)
-                        out["content"].append(f.read() if f is not None else None)
+                        rows.append(
+                            (path, key, ext, m.name, m.size,
+                             f.read() if f is not None else None)
+                        )
             except (tarfile.TarError, EOFError, OSError) as exc:
                 err["shard"].append(path)
                 err["error"].append(f"{type(exc).__name__}: {exc}")
+                continue
+            for shard, key, ext, member, size, content in rows:
+                out["shard"].append(shard)
+                out["key"].append(key)
+                out["ext"].append(ext)
+                out["member"].append(member)
+                out["size"].append(size)
+                out["content"].append(content)
         yield pd.DataFrame(err if want_errors else out)
 
 
@@ -127,10 +140,31 @@ def read_webdataset_samples(
     per key with a ``files`` map<ext, binary>. Grouping shuffles on
     (shard, key) — at scale members of one sample are adjacent in one
     shard, so the shuffle moves each sample once; n_files lets quality
-    filters drop incomplete samples (e.g. image without caption)."""
+    filters drop incomplete samples (e.g. image without caption).
+
+    A tar may legally contain two members with the same key+ext
+    (e.g. an appended replacement); under Spark's default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` a duplicate map key
+    would kill the whole read, so duplicates are resolved FIRST with
+    a deterministic winner — the lexicographically smallest member
+    name per (shard, key, ext) — and ``n_files``/``sample_bytes``
+    count the kept members only."""
     members = read_tar_shards(spark, path, glob)
+    deduped = (
+        members.groupBy("shard", "key", "ext")
+        .agg(
+            F.min(F.struct("member", "size", "content")).alias("pick"),
+        )
+        .select(
+            "shard",
+            "key",
+            "ext",
+            F.col("pick.size").alias("size"),
+            F.col("pick.content").alias("content"),
+        )
+    )
     return (
-        members.groupBy("shard", "key")
+        deduped.groupBy("shard", "key")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("ext", "content"))

@@ -9,6 +9,7 @@ import datetime as dt
 
 import duckdb
 
+from end2end_data_pipeline_spark.operators.event_analytics import ERROR_K_THRESHOLD
 from end2end_data_pipeline_spark.plans.etar import (
     minute_file_name,
     run_backfill,
@@ -25,7 +26,8 @@ SF = "/root/testdata/sf0.001"
 # fixtures are sparse at this scale
 _BUSY_MINUTE_SQL = f"""
     SELECT date_trunc('minute', ts) AS m, count(*) AS n,
-           SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) < 25
+           SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT)
+                         < {ERROR_K_THRESHOLD}
                 THEN 1 ELSE 0 END) AS errs
     FROM read_parquet('{SF}/events.parquet')
     GROUP BY 1 ORDER BY n DESC, m LIMIT 1
