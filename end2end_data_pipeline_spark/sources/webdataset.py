@@ -52,6 +52,22 @@ DEAD_LETTER_SCHEMA = T.StructType(
     ]
 )
 
+# One row per member PLUS one row per unreadable shard (member fields
+# null, ``error`` set) — both streams out of a SINGLE scan, for
+# consumers that want members and dead letters without reading every
+# shard twice.
+UNIFIED_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("ext", T.StringType(), True),
+        T.StructField("member", T.StringType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
 
 def _split_member(name: str) -> tuple[str, str]:
     """WebDataset convention: ``dir/key.ext`` → (key, ext); the FIRST
@@ -131,6 +147,53 @@ def tar_shard_dead_letters(
     return raw.mapInPandas(
         lambda it: _explode_members(it, want_errors=True), DEAD_LETTER_SCHEMA
     )
+
+
+def _explode_unified(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        cols = ("shard", "key", "ext", "member", "size", "content", "error")
+        out = {k: [] for k in cols}
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            # Same all-or-nothing shard buffering as _explode_members.
+            rows: list[tuple] = []
+            try:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob)), mode="r:*") as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        f = tf.extractfile(m)
+                        key, ext = _split_member(m.name)
+                        rows.append(
+                            (path, key, ext, m.name, m.size,
+                             f.read() if f is not None else None, None)
+                        )
+            except (tarfile.TarError, EOFError, OSError) as exc:
+                rows = [(path, None, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}")]
+            for row in rows:
+                for k, v in zip(cols, row):
+                    out[k].append(v)
+        yield pd.DataFrame(out)
+
+
+def read_tar_shards_unified(
+    spark: SparkSession, path: str, glob: str = "*.tar"
+) -> DataFrame:
+    """Members AND dead letters from ONE scan: good shards explode to
+    member rows (``error`` null), unreadable shards to a single row
+    with ``error`` set and member fields null. At 100 TB this is the
+    shape to use when a job consumes both streams — the two-function
+    API (``read_tar_shards`` + ``tar_shard_dead_letters``) reads every
+    shard twice; this reads each once and the split is a filter."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(_explode_unified, UNIFIED_SCHEMA)
 
 
 def read_webdataset_samples(

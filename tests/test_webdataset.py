@@ -98,3 +98,59 @@ def test_shard_to_multimodal_decode_composes(spark, tmp_path):
     assert all(r["format"] == "png" for r in feats.values())
     assert feats["img000"]["mean_luma"] == 10
     assert feats["img001"]["mean_luma"] == 200
+
+
+def test_unified_scan_matches_split_reads(spark, tmp_path):
+    """read_tar_shards_unified must equal the two-function split —
+    same member rows (error null) and same dead letters (error set,
+    member fields null) — out of a single scan."""
+    from end2end_data_pipeline_spark.sources.webdataset import (
+        read_tar_shards_unified,
+    )
+
+    write_tar_shards(_corpus(), str(tmp_path), shard_size=3)
+    (tmp_path / "broken.tar").write_bytes(b"definitely not a tar file")
+    unified = read_tar_shards_unified(spark, str(tmp_path)).collect()
+
+    good = [r for r in unified if r["error"] is None]
+    dead = [r for r in unified if r["error"] is not None]
+    members = read_tar_shards(spark, str(tmp_path)).collect()
+    letters = tar_shard_dead_letters(spark, str(tmp_path)).collect()
+
+    key = lambda r: (r["shard"], r["member"])  # noqa: E731
+    assert sorted((key(r), bytes(r["content"])) for r in good) == sorted(
+        (key(r), bytes(r["content"])) for r in members
+    )
+    assert [(r["shard"], r["error"]) for r in dead] == [
+        (r["shard"], r["error"]) for r in letters
+    ]
+    assert all(r["key"] is None and r["content"] is None for r in dead)
+
+
+def test_truncated_tar_is_all_or_nothing(spark, tmp_path):
+    """A tar that truncates MID-archive (valid header, cut data) must
+    contribute zero member rows and exactly one dead letter — partial
+    rows beside a dead letter would double-count on repair+replay."""
+    import tarfile as tarmod
+
+    write_tar_shards(_corpus(), str(tmp_path), shard_size=5)
+    whole = (tmp_path / "shard-00000.tar").read_bytes()
+    # cut INSIDE the second member's data region (layout: h1@0, d1@512,
+    # h2@1024, d2@1536): the first member parses fully and would be
+    # emitted by a non-buffering explode, then reading the second
+    # member's truncated data raises — the exact partial-rows scenario.
+    # (A cut at a header boundary reads as clean EOF — undetectable
+    # without an external index; tar framing, not an engine gap.)
+    (tmp_path / "trunc.tar").write_bytes(whole[: 512 * 3 + 100])
+    with tarmod.open(tmp_path / "trunc.tar") as tf:
+        import pytest
+
+        with pytest.raises((tarmod.TarError, EOFError, OSError)):
+            for m in tf:
+                tf.extractfile(m)
+
+    members = read_tar_shards(spark, str(tmp_path)).collect()
+    letters = tar_shard_dead_letters(spark, str(tmp_path)).collect()
+    assert all(r["shard"].endswith("shard-00000.tar") for r in members)
+    assert len(members) == 15
+    assert [r["shard"].endswith("trunc.tar") for r in letters] == [True]
