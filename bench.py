@@ -126,6 +126,12 @@ HEADLINE = [
     "docs_bigram_diversity_bands",
     "user_cosession_degree",
     "embedding_pq_codebook",
+    # round-8 additions. (Excluded: q8/q15 bucketed twins — first
+    # call materializes bucketed tables, like the other twins; the
+    # three ingest-parity queries — they time a driver-side fixture
+    # build plus a kilobyte-scale tar/jsonl/wav read, not engine
+    # throughput.)
+    "order_value_ge2_index",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -9,6 +9,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     event_analytics,
     graph,
     incremental,
+    ingest_parity,
     kmeans,
     multimodal,
     quality,

@@ -218,3 +218,136 @@ def q18_large_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
         .limit(50)
     )
+
+
+# (applicationId, abs sf_dir) -> suppkey-bucketed lineitem table name
+_BUCKETED_SUPP: dict[tuple[str, str], str] = {}
+
+
+def bucketed_lineitem_by_suppkey(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog name of a lineitem copy bucketed on ``l_suppkey`` —
+    the OTHER high-traffic lineitem key: revenue-per-supplier shapes
+    (Q15 and friends) group on it, so bucketing by the aggregation
+    key makes those rollups exchange-free the same way the orderkey
+    family de-shuffles its joins. One more one-time write, amortized
+    across every suppkey-keyed consumer in the session."""
+    sf_abs = os.path.abspath(sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_abs)
+    cached = _BUCKETED_SUPP.get(key)
+    if cached and spark.catalog.tableExists(cached):
+        return cached
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_abs))
+    name = f"bkt_{tag}_lineitem_supp"
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bucketed", app_id, tag, name
+    )
+    from end2end_data_pipeline_spark.sources.bucketing import write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        name,
+        "l_suppkey",
+        sort_col="l_suppkey",
+        path=out,
+    )
+    _BUCKETED_SUPP[key] = name
+    return name
+
+
+@query(
+    "q8_market_share_bucketed",
+    # IDENTICAL oracle to the plain twin, same invariant as q3's.
+    oracle=ORACLE["q8_market_share"],
+)
+def q8_market_share_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 over the co-bucketed facts: the only fact-fact edge in
+    the eight-way join is orders ⋈ lineitem on the order key, and both
+    sides' broadcast pre-reductions (part filter on lineitem, AMERICA
+    customers + date on orders) PRESERVE the bucket scan's hash
+    distribution — a broadcast hash join keeps the streamed side's
+    partitioning — so the surviving join runs bucket-pairwise with
+    zero exchanges. Everything else was already broadcast in the plain
+    twin; bucketing removes the last shuffle of fact rows (the final
+    per-year rollup moves O(years) partials).
+    ``tests/test_bucketing.py`` asserts the plan shape."""
+    o_name, l_name = bucketed_orders_lineitem(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    li = spark.table(l_name).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    america_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("am_nk"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(america_nations), F.col("c_nationkey") == F.col("am_nk")
+    ).select("c_custkey")
+    o = spark.table(o_name).where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(F.lit(0))
+    )
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            nation_cents.alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+            (nation_cents / F.sum(cents).cast("double")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q15_top_supplier_bucketed",
+    # IDENTICAL oracle to the plain twin, same invariant as q3's.
+    oracle=ORACLE["q15_top_supplier"],
+)
+def q15_top_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 over lineitem bucketed on its AGGREGATION key: the
+    plain twin's only shuffle is the revenue rollup by ``l_suppkey``;
+    with the suppkey-bucketed copy that group-by is satisfied by the
+    scan partitioning (the q18 trick applied to an agg-only query),
+    the max-revenue scalar and the supplier dim both broadcast, and
+    the whole query runs without exchanging a single fact row.
+    ``tests/test_bucketing.py`` asserts the agg-side plan shape."""
+    l_name = bucketed_lineitem_by_suppkey(spark, sf_dir)
+    li = spark.table(l_name).where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents).alias("total_revenue_cents")
+    )
+    top = revenue.agg(F.max("total_revenue_cents").alias("max_cents"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(
+            F.broadcast(top),
+            F.col("total_revenue_cents") == F.col("max_cents"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )

@@ -1069,3 +1069,135 @@ def exact_percentiles_two_pass(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def _ge2_expr(n, a, s):
+    """GE(2) from exact integer aggregates, cast-first so no int64
+    product can overflow: (n*a - s^2) / (2*s^2). Both engines build
+    the IDENTICAL double expression tree over the same exact
+    integers, so the result is bit-stable (each IEEE op is correctly
+    rounded) — the no-ln() rule's rational-index pattern."""
+    n_d, a_d, s_d = (F.col(c).cast("double") for c in (n, a, s))
+    return (n_d * a_d - s_d * s_d) / (F.lit(2.0) * s_d * s_d)
+
+
+_GE2_SQL = (
+    "(CAST({n} AS DOUBLE)*CAST({a} AS DOUBLE) "
+    "- CAST({s} AS DOUBLE)*CAST({s} AS DOUBLE)) "
+    "/ (CAST(2 AS DOUBLE)*CAST({s} AS DOUBLE)*CAST({s} AS DOUBLE))"
+)
+
+
+@query(
+    "order_value_ge2_index",
+    oracle=f"""
+    WITH y AS (
+      SELECT n_name, CAST(ROUND(o_totalprice) AS BIGINT) AS d
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ), g AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(SUM(d) AS BIGINT) AS s_g,
+             CAST(SUM(d*d) AS BIGINT) AS ssq_g
+      FROM y GROUP BY n_name
+    ), t AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(ssq_g) AS BIGINT) AS ssq,
+             CAST(SUM(n_g * (s_g // n_g) * (s_g // n_g)) AS BIGINT) AS b
+      FROM g
+    )
+    SELECT n_name AS component, n_g AS n_orders, s_g AS dollars,
+           {_GE2_SQL.format(n="n_g", a="ssq_g", s="s_g")} AS ge2
+    FROM g
+    UNION ALL
+    SELECT '_total', n, s, {_GE2_SQL.format(n="n", a="ssq", s="s")} FROM t
+    UNION ALL
+    SELECT '_between', n, s, {_GE2_SQL.format(n="n", a="b", s="s")} FROM t
+    UNION ALL
+    SELECT '_within', n, s,
+           ({_GE2_SQL.format(n="n", a="ssq", s="s")})
+         - ({_GE2_SQL.format(n="n", a="b", s="s")})
+    FROM t
+    ORDER BY component
+    """,
+)
+def order_value_ge2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality decomposition of order values within/between customer
+    nations via the GE(2) generalized-entropy index (half the squared
+    coefficient of variation) — the decomposable inequality measure
+    that, unlike Theil, needs no ln() and therefore hash-matches
+    across engines (COVERAGE.md r8 queue; the GE(2)/HHI substitution
+    from the oracle-hash rules).
+
+    Exactness: values are whole ROUNDED DOLLARS, not cents — GE(2) is
+    scale-invariant and the squared sums must fit int64 (Σcents²
+    already overflows at sf0.01; Spark 4 ANSI raised, which is how
+    this bound was chosen). All aggregates (n, Σy, Σy², and the
+    between-groups Σ n_g·⌊S_g/n_g⌋²) are exact BIGINTs; the floored
+    integer group mean makes BOTH engines drop identical sub-dollar
+    remainders instead of an order-dependent float sum over groups.
+    Each GE(2) is then ONE identical-shaped cast-first double
+    expression; within = total − between. Exact while Σy² < 2^63
+    (~3×10^7 orders at this price distribution) — past that, migrate
+    the squared accumulators to DECIMAL(38) on both engines.
+
+    Scale: one fact shuffle (the nation rollup — partial-aggregated
+    to 25 groups), customer→nation broadcast onto orders; everything
+    after the rollup is O(nations)."""
+    dollars = F.round(F.col("o_totalprice")).cast("bigint")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_nation = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+    y = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", dollars.alias("d"))
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    g = y.groupBy("n_name").agg(
+        F.count("*").alias("n_g"),
+        F.sum("d").alias("s_g"),
+        F.sum(F.col("d") * F.col("d")).alias("ssq_g"),
+    )
+    per_nation = g.select(
+        F.col("n_name").alias("component"),
+        F.col("n_g").alias("n_orders"),
+        F.col("s_g").alias("dollars"),
+        _ge2_expr("n_g", "ssq_g", "s_g").alias("ge2"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ssq_g").cast("bigint").alias("ssq"),
+        F.sum(F.expr("n_g * (s_g div n_g) * (s_g div n_g)"))
+        .cast("bigint")
+        .alias("b"),
+    )
+    total = t.select(
+        F.lit("_total").alias("component"),
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("dollars"),
+        _ge2_expr("n", "ssq", "s").alias("ge2"),
+    )
+    between = t.select(
+        F.lit("_between").alias("component"),
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("dollars"),
+        _ge2_expr("n", "b", "s").alias("ge2"),
+    )
+    within = t.select(
+        F.lit("_within").alias("component"),
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("dollars"),
+        (_ge2_expr("n", "ssq", "s") - _ge2_expr("n", "b", "s")).alias("ge2"),
+    )
+    return (
+        per_nation.unionByName(total)
+        .unionByName(between)
+        .unionByName(within)
+        .orderBy("component")
+    )

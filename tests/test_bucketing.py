@@ -161,3 +161,57 @@ def test_bucketed_q18_twin_agg_and_join_exchange_free(spark, no_broadcast):
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
     assert _join_key_exchanges(plan) == 0
+
+
+def test_bucketed_q8_twin_join_is_exchange_free(spark, no_broadcast):
+    """Q8's only fact-fact edge (orders ⋈ lineitem on the order key)
+    must run bucket-pairwise even though BOTH sides pass through
+    broadcast pre-reductions first — broadcast hash joins preserve the
+    streamed side's bucket partitioning, so no orderkey Exchange may
+    appear anywhere in the plan."""
+    from end2end_data_pipeline_spark.operators.bucketed import (
+        q8_market_share_bucketed,
+    )
+
+    df = q8_market_share_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert _join_key_exchanges(plan) == 0
+
+
+def test_bucketed_q15_twin_agg_is_exchange_free(spark, no_broadcast):
+    """Q15 over the suppkey-bucketed lineitem: the revenue rollup
+    groups BY THE BUCKET KEY, so the aggregation inherits the scan
+    partitioning — no l_suppkey/supplier_no Exchange anywhere (the
+    max scalar and supplier dim are explicit broadcasts)."""
+    from end2end_data_pipeline_spark.operators.bucketed import (
+        q15_top_supplier_bucketed,
+    )
+
+    df = q15_top_supplier_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert not any(
+        "Exchange hashpartitioning" in line
+        and ("l_suppkey" in line or "supplier_no" in line)
+        for line in plan.splitlines()
+    )
+
+
+def test_bucketed_q8_q15_twins_match_plain(spark):
+    from end2end_data_pipeline_spark.operators.bucketed import (
+        q8_market_share_bucketed,
+        q15_top_supplier_bucketed,
+    )
+    from end2end_data_pipeline_spark.operators.tpch_like import (
+        q8_market_share,
+        q15_top_supplier,
+    )
+
+    assert list(map(tuple, q8_market_share_bucketed(spark, SF).collect())) == list(
+        map(tuple, q8_market_share(spark, SF).collect())
+    )
+    assert list(map(tuple, q15_top_supplier_bucketed(spark, SF).collect())) == list(
+        map(tuple, q15_top_supplier(spark, SF).collect())
+    )

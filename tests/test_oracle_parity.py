@@ -63,46 +63,30 @@ def test_checked_window_contract():
     assert set(QUERIES) == set(RAW)
     assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
+        # round-8 window composition (VERDICT r7 #2/#3): the six new
+        # registrations first, then the stalest r1/r2 greens — map
+        # re-aligned to THIS window per the rotation rule below.
+        "q8_market_share_bucketed": "bucketed layout (exchange-free join)",
+        "q15_top_supplier_bucketed": "bucketed layout (exchange-free agg)",
+        "webdataset_": "tar-shard ingest parity",
+        "jsonl_": "jsonl quarantine ingest parity",
+        "audio_": "audio codec parity",
+        "order_value_ge2_index": "inequality decomposition",
+        # stalest-regreen families (r1/r2 rows being refreshed)
         "dedup_": "dedup",
         "event_": "event analytics",
         "multimodal_": "multimodal",
-        "props_": "semistructured",
         "ann_": "similarity",
         "asof_": "temporal",
-        "text_": "text analysis",
-        "q4_": "tpch (bucketed twin)",
-        "lineitem_": "relational",
+        "corpus_": "corpus prep",
         "salted_": "skew pattern",
-        "corpus_pack": "corpus prep",
-        "incr_": "incremental dedup",
-        "docs_split": "splits/sampling",
-        # round-6 families
-        "first_seen_": "first-seen detection",
-        "fk_orphan_audit": "quality audit",
-        "session_top_paths": "affinity/sequence",
-        "orders_backlog_over_time": "sweep-line intervals",
-        # round-7 window composition (VERDICT r6 #1): the post-freeze
-        # r6 queue, the three r1 hash-fails being re-greened, and the
-        # two r7 operators
-        "q12_shipmode_priority_bucketed": "bucketed layout (exchange-free join)",
-        "brand_revenue": "r1-regreen: revenue rollup",
-        "nation_supplier_revenue": "r1-regreen: dim-join rollup",
-        "orders_monthly_trend": "r1-regreen: monthly trend",
-        "warehouse_minute_dpp_extract": "partitioned warehouse + DPP",
-        "minute_counts_stream_replay": "streaming parity (tumbling)",
-        "session_window_stream_replay": "streaming parity (session windows)",
-        "q4_order_priority_bucketed": "bucketed semi-join",
-        "q18_large_orders_bucketed": "bucketed agg-on-bucket-key",
-        "orders_seasonality_dow": "seasonality decomposition",
-        "lineitem_quantity_winsorized": "robust order statistics",
-        "events_cusum_drift": "change-point detection",
-        "sessions_markov_transitions": "smoothed transition matrix",
-        "docs_bigram_diversity_bands": "log-free diversity scoring",
-        "user_cosession_degree": "co-activity graph degrees",
-        "embedding_pq_codebook": "product quantization",
-        "customer_": "customer lifecycle",
-        "embedding_centroid_margin_profile": "label-noise audit",
-        "session_bounce_rate_daily": "sessionized quality",
+        "epoch_ms_roundtrip": "epoch roundtrip + minute naming",
+        "param_sql_minute_extract": "parameterized extract",
+        "projection_filter_pushdown": "projection/filter pushdown",
+        "top_orders_": "top-N",
+        "customers_": "set ops / scalar subqueries",
+        "string_munging_props": "scalar functions",
+        "dedup_clusters": "iterative connected components",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
