@@ -337,8 +337,17 @@ def q15_top_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(cents).alias("total_revenue_cents")
+    # The plain twin's two consumers of `revenue` share one scan via
+    # exchange reuse; here the agg is exchange-free, so without a
+    # cache the max-scalar branch would re-scan lineitem. Cache the
+    # O(suppliers) rollup instead — one bucket-local scan total.
+    # coalesce(1): cached builds sit outside AQE coalescing and the
+    # rollup is dim-sized.
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents).alias("total_revenue_cents"))
+        .coalesce(1)
+        .cache()
     )
     top = revenue.agg(F.max("total_revenue_cents").alias("max_cents"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -1158,10 +1158,20 @@ def order_value_ge2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", dollars.alias("d"))
         .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
     )
-    g = y.groupBy("n_name").agg(
-        F.count("*").alias("n_g"),
-        F.sum("d").alias("s_g"),
-        F.sum(F.col("d") * F.col("d")).alias("ssq_g"),
+    # The four output branches (per-nation + total/between/within) all
+    # derive from this O(nations) rollup; without the cache each union
+    # branch re-scans orders+customer+nation (12 FileScans observed).
+    # coalesce(1) first — cached builds run outside AQE partition
+    # coalescing (PERF_NOTES r7), and 25 rows need one partition.
+    g = (
+        y.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum("d").alias("s_g"),
+            F.sum(F.col("d") * F.col("d")).alias("ssq_g"),
+        )
+        .coalesce(1)
+        .cache()
     )
     per_nation = g.select(
         F.col("n_name").alias("component"),
