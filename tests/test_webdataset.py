@@ -154,3 +154,44 @@ def test_truncated_tar_is_all_or_nothing(spark, tmp_path):
     assert all(r["shard"].endswith("shard-00000.tar") for r in members)
     assert len(members) == 15
     assert [r["shard"].endswith("trunc.tar") for r in letters] == [True]
+
+
+def test_duplicate_member_resolves_deterministically(spark, tmp_path):
+    """A tar may legally carry two members with the same key+ext (an
+    appended replacement). Under the default
+    spark.sql.mapKeyDedupPolicy=EXCEPTION a duplicate map key kills
+    the whole read; the sample regrouping must instead resolve to the
+    deterministic winner (lexicographically smallest member name) and
+    count only kept members."""
+    import io
+    import tarfile as tarmod
+
+    p = tmp_path / "shard-00000.tar"
+    with tarmod.open(p, "w") as tf:
+        for name, blob in (
+            ("b/sample.txt", b"from-b"),
+            ("a/zzz.jpg", b"img"),
+        ):
+            info = tarmod.TarInfo(name=name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+        # append a second member with the SAME name (keys include the
+        # directory, so this is a true key+ext collision)
+        info = tarmod.TarInfo(name="b/sample.txt")
+        blob = b"replacement"
+        info.size = len(blob)
+        tf.addfile(info, io.BytesIO(blob))
+
+    members = read_tar_shards(spark, str(tmp_path)).collect()
+    assert len(members) == 3  # the raw explode keeps both duplicates
+
+    samples = {
+        r["key"]: r
+        for r in read_webdataset_samples(spark, str(tmp_path)).collect()
+    }
+    dup = samples["b/sample"]
+    # min(struct(member, size, content)) on equal member names falls
+    # through to size: "from-b" (6) beats "replacement" (11)
+    assert bytes(dup["files"]["txt"]) == b"from-b"
+    assert dup["n_files"] == 1
+    assert dup["sample_bytes"] == len(b"from-b")
