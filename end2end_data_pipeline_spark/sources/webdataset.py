@@ -196,6 +196,41 @@ def read_tar_shards_unified(
     return raw.mapInPandas(_explode_unified, UNIFIED_SCHEMA)
 
 
+# binaryFile's fixed schema, spelled out because streaming file
+# sources require an explicit schema (no inference pass at 100 TB).
+_BINARYFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modificationTime", T.TimestampType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def stream_tar_shards_unified(
+    spark: SparkSession, path: str, glob: str = "*.tar"
+) -> DataFrame:
+    """Streaming arrival for the WebDataset front door: shards landing
+    continuously in object storage are discovered by the file stream
+    source and exploded by the SAME unified worker as the batch
+    reader — member rows and dead-letter rows out of one pass, each
+    shard processed exactly once across restarts (file-source
+    checkpointing tracks seen paths; tars are not splittable, so the
+    shard is the natural exactly-once unit). Stateless map, so any
+    sink mode works; pair with ``trigger(availableNow=True)`` for
+    catch-up backfills exactly like the Avro frame stream
+    (``streaming/pipeline.py``)."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(_explode_unified, UNIFIED_SCHEMA)
+
+
 def read_webdataset_samples(
     spark: SparkSession, path: str, glob: str = "*.tar"
 ) -> DataFrame:

@@ -195,3 +195,54 @@ def test_duplicate_member_resolves_deterministically(spark, tmp_path):
     assert bytes(dup["files"]["txt"]) == b"from-b"
     assert dup["n_files"] == 1
     assert dup["sample_bytes"] == len(b"from-b")
+
+
+def test_streaming_shards_match_batch_and_are_exactly_once(spark, tmp_path):
+    """Shards arriving over time: the streaming unified explode must
+    (a) produce exactly the batch reader's rows for what has landed,
+    and (b) process each shard exactly once across restarts — a second
+    availableNow run after a new shard lands appends ONLY that shard's
+    members (file-source checkpoint)."""
+    from end2end_data_pipeline_spark.sources.webdataset import (
+        read_tar_shards_unified,
+        stream_tar_shards_unified,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    write_tar_shards(_corpus()[:3], str(land), shard_size=2, prefix="wave1")
+    (land / "broken.tar").write_bytes(b"definitely not a tar file")
+
+    def run_once():
+        q = (
+            stream_tar_shards_unified(spark, str(land))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(sink).collect()
+    want = read_tar_shards_unified(spark, str(land)).collect()
+    key = lambda r: (r["shard"], r["member"], r["error"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert sum(r["error"] is not None for r in got) == 1
+
+    # wave 2: one new shard; replay must append only its members
+    write_tar_shards(_corpus()[3:], str(land), shard_size=2, prefix="wave2")
+    run_once()
+    got2 = spark.read.parquet(sink).collect()
+    assert len(got2) == len(got) + 2 * 3  # 2 new samples x 3 members
+    new_rows = [r for r in got2 if "wave2" in r["shard"]]
+    assert len(new_rows) == 6
+    # wave-1 rows were not reprocessed (exactly once per shard)
+    assert (
+        sorted(key(r) for r in got2 if "wave2" not in r["shard"])
+        == sorted(map(key, got))
+    )
