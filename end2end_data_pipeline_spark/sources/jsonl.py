@@ -55,3 +55,48 @@ def read_jsonl_docs(
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return good, dead
+
+
+def read_jsonl_docs_observed(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+):
+    """(parsed, observation) — the SINGLE-PASS form of the ingest.
+
+    ``read_jsonl_docs`` is the two-frame convenience API; it lands the
+    batch through a cache because Spark disallows querying only the
+    corrupt column off a raw JSON scan (SPARK-21610), and a cache of
+    the whole corpus is exactly what a 100 TB ingest cannot afford.
+    This variant returns the parsed frame WITH the corrupt column and
+    an in-flight ``is_corrupt`` flag, plus an ``Observation`` counting
+    total/corrupt lines during whatever single action the caller runs.
+    The production shape: ONE partitioned write routes both streams —
+
+        parsed.write.partitionBy("is_corrupt").parquet(out)
+
+    — good rows and quarantine land in separate partitions of one
+    pass, and ``observation.get`` then yields ``n_lines``/``n_corrupt``
+    for the no-silent-drop check (good + corrupt == lines read) with
+    zero extra scans."""
+    from pyspark.sql import Observation
+
+    full = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    obs = Observation("jsonl_ingest")
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias(
+                "n_corrupt"
+            ),
+        )
+        .withColumn("is_corrupt", F.col(CORRUPT_COL).isNotNull())
+    )
+    return parsed, obs

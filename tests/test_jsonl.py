@@ -61,3 +61,41 @@ def test_jsonl_feeds_text_operators(spark, tmp_path):
         "fr": 1,
         "de": 2,
     }
+
+
+def test_observed_single_pass_routes_both_streams(spark, tmp_path):
+    """read_jsonl_docs_observed: ONE partitioned write must land good
+    rows and quarantine separately AND yield the total/corrupt
+    counters from that same pass (observe above the split), matching
+    the two-frame API exactly - the no-silent-drop invariant with
+    zero extra scans."""
+    from pyspark.sql import functions as F
+
+    from end2end_data_pipeline_spark.sources.jsonl import (
+        read_jsonl_docs_observed,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(LINES) + "\n")
+    parsed, obs = read_jsonl_docs_observed(spark, str(p), SCHEMA)
+    out = str(tmp_path / "routed")
+    parsed.write.partitionBy("is_corrupt").parquet(out)  # the one action
+
+    metrics = obs.get
+    assert metrics["n_lines"] == len(LINES)
+
+    good_ref, dead_ref = read_jsonl_docs(spark, str(p), SCHEMA)
+    # partition keys read back as strings unless cast
+    routed = spark.read.parquet(out).withColumn(
+        "is_corrupt", F.col("is_corrupt").cast("boolean")
+    )
+    good = routed.where(~F.col("is_corrupt"))
+    dead = routed.where(F.col("is_corrupt"))
+    assert metrics["n_corrupt"] == dead.count() == dead_ref.count()
+    assert good.count() + dead.count() == metrics["n_lines"]
+    assert sorted(
+        map(tuple, good.select(*good_ref.columns).collect())
+    ) == sorted(map(tuple, good_ref.collect()))
+    assert sorted(
+        r["_corrupt_record"] for r in dead.select("_corrupt_record").collect()
+    ) == sorted(r["raw_line"] for r in dead_ref.collect())
