@@ -473,6 +473,77 @@ def ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
+# (applicationId, abs sf_dir) -> persisted IVF index directory
+_IVF_INDEX: dict[tuple[str, str], str] = {}
+
+
+def persisted_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted file AS STORAGE: the cell assignment materialized
+    once per (session, sf_dir) as parquet PARTITIONED BY cell_id —
+    the build-once/probe-many layout real vector serving uses. Every
+    probe then touches only its nprobe cell directories instead of
+    the whole corpus (dynamic partition pruning; asserted in
+    ``tests/test_plan_audit.py``). At 100 TB the cell count would be
+    sized so a cell is a few files (~sqrt(n) cells), and this
+    one-time write plays the same amortized role as the bucketed
+    orderkey tables. Read back with an explicit schema so an empty
+    corpus round-trips as an empty frame (no inference pass)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    sf_abs = _os.path.abspath(sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_abs)
+    assigned = _ivf_assign(spark, sf_dir)
+    out = _IVF_INDEX.get(key)
+    if out is None or not _os.path.isdir(out):
+        out = _os.path.join(
+            _tempfile.gettempdir(), "spark_graft_ivf", app_id,
+            sf_abs.strip("/").replace("/", "_"),
+        )
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(out)
+        _IVF_INDEX[key] = out
+    return spark.read.schema(assigned.schema).parquet(out)
+
+
+@query(
+    # IDENTICAL oracle to ann_ivf_topk_nprobe: persistence is a
+    # layout choice and must be value-invisible.
+    "ann_ivf_persisted_topk",
+    oracle=ORACLE["ann_ivf_topk_nprobe"],
+)
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF search over the PERSISTED inverted file: the
+    corpus is not re-assigned per query — probes join the
+    cell-partitioned index on its partition column, so dynamic
+    partition pruning limits the scan to the probed cells (the
+    vector-search analog of the minute-partitioned warehouse
+    extract). Results must hash-match the in-memory
+    ``ann_ivf_topk_nprobe`` exactly."""
+    index = persisted_ivf_index(spark, sf_dir)
+    queries = _ivf_probes(spark, sf_dir, IVF_NPROBE)
+    pairs = index.join(
+        F.broadcast(queries),
+        (F.col("cell_id") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(vec.cosine_q("q_qv", "qv", "q_norm2", "norm2", th.SPARK)).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "docs_embedding_profile",
     oracle=_qbase_sql()

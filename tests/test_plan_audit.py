@@ -131,3 +131,17 @@ def test_r7_plan_improvements_hold(spark):
     # the type-list cache builds as ONE partition (coalesce(1)), so no
     # 200-partition InMemoryRelation for the 5-row frame
     assert "Coalesce 1" in mk
+
+
+def test_persisted_ivf_probe_plans_dynamic_pruning(spark):
+    """``ann_ivf_persisted_topk`` must probe the cell-partitioned
+    index with a dynamicpruning subquery on cell_id — the scan
+    touches only the probed cells' directories, the vector-search
+    analog of the warehouse minute extract above."""
+    from end2end_data_pipeline_spark.operators.similarity import (
+        ann_ivf_persisted_topk,
+    )
+
+    df = ann_ivf_persisted_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

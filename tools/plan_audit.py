@@ -72,6 +72,10 @@ WAIVERS: dict[str, str] = {
     "ann_ivf_cells": "bnlj-over-two-scans",
     "ann_ivf_topk": "bnlj-over-two-scans",
     "ann_ivf_topk_nprobe": "bnlj-over-two-scans",
+    # the persisted-index probe inherits the same waived O(q x K)
+    # broadcast centroid scoring on its QUERY side; the index side is
+    # a DPP-pruned equi-join (asserted in tests/test_plan_audit.py).
+    "ann_ivf_persisted_topk": "bnlj-over-two-scans",
     # 1-row broadcast scalar attach (global aggregate cross-joined back
     # onto the distributed side) — the standard way to apply a global
     # total/max without collecting to the driver; nothing large moves.
