@@ -290,15 +290,21 @@ def _ivf_assign_sql() -> str:
     )"""
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _qbase(spark, sf_dir)
-    centroids = F.broadcast(
-        base.where(F.col("vec_id") < N_IVF_CELLS).select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("qv").alias("c_qv"),
-            F.col("norm2").alias("c_norm2"),
-        )
+def _ivf_centroids(base: DataFrame) -> DataFrame:
+    """The deterministic coarse quantizer: the first N_IVF_CELLS
+    vectors of a quantized base frame, shaped for broadcast."""
+    return base.where(F.col("vec_id") < N_IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("norm2").alias("c_norm2"),
     )
+
+
+def _ivf_assign_frame(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector of ``base`` to its max-cosine centroid —
+    frame-parameterized so the SAME pass serves both a full build and
+    an incremental delta (``append_ivf_index``)."""
+    centroids = F.broadcast(centroids)
     scored = base.crossJoin(centroids).select(
         "vec_id",
         "label",
@@ -315,6 +321,11 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "label", "qv", "norm2", "cell_id")
     )
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _qbase(spark, sf_dir)
+    return _ivf_assign_frame(base, _ivf_centroids(base))
 
 
 @query(
@@ -522,6 +533,14 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_ivf_topk_nprobe`` exactly."""
     index = persisted_ivf_index(spark, sf_dir)
     queries = _ivf_probes(spark, sf_dir, IVF_NPROBE)
+    return probe_ivf_index(index, queries)
+
+
+def probe_ivf_index(index: DataFrame, queries: DataFrame) -> DataFrame:
+    """Top-k search of a (possibly persisted) IVF index frame by a
+    probe frame (query_id, q_qv, q_norm2, q_cell): DPP-prunable
+    equi-join on the cell, exact cosine re-rank inside the probed
+    cells."""
     pairs = index.join(
         F.broadcast(queries),
         (F.col("cell_id") == F.col("q_cell"))
@@ -542,6 +561,22 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def append_ivf_index(
+    index_dir: str, delta: DataFrame, centroids: DataFrame
+) -> None:
+    """Incremental index maintenance: assign ONLY the delta against
+    the FROZEN coarse quantizer (the centroids the index was built
+    with — re-deriving them from a grown corpus would silently
+    re-shard every existing cell) and append the new rows to their
+    cell partitions. The standing index is never read or rewritten —
+    the same prior-corpus-never-re-read posture as the incremental
+    dedup family (``operators/incremental.py``). ``delta`` and
+    ``centroids`` are quantized frames shaped like ``_qbase`` output.
+    """
+    assigned = _ivf_assign_frame(delta, centroids)
+    assigned.write.mode("append").partitionBy("cell_id").parquet(index_dir)
 
 
 @query(
