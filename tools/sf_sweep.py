@@ -1,0 +1,78 @@
+"""Full-registry strict sweep at an arbitrary scale factor — the 10×
+check that catches what driver-scale rehearsal can't: int64 products
+that overflow only on bigger aggregates (the r8 seasonality/GE(2)
+class), HUGEINT widenings, and any plan that silently degrades with
+row count. ``tools/driver_rehearsal.py`` pins sf0.01 (the driver's
+gate); this runs the same strict comparator at any fixture scale.
+
+Usage:
+    python tools/sf_sweep.py                  # sf0.1, whole registry
+    python tools/sf_sweep.py /root/testdata/sf0.01 q1 q2 ...
+
+Round-8 result for the record: 195/195 strict-match at sf0.1 (429 s,
+local[16]).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from tools.oracle_check import compare_query, duckdb_connection
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else DEFAULT_SF_DIR
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("sf-sweep")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    todo = names or [n for n in queries if n in oracles]
+    con = duckdb_connection(sf_dir)
+    t0 = time.time()
+    bad: list[tuple[str, object]] = []
+    try:
+        for name in todo:
+            try:
+                r = compare_query(queries[name](spark, sf_dir), con, oracles[name])
+                ok = (
+                    r["rows_match"]
+                    and r["cols_match"]
+                    and r["values_match"]
+                    and r["types_safe"]
+                )
+                if not ok:
+                    keys = ("rows_match", "cols_match", "values_match", "types_safe")
+                    bad.append((name, {k: r[k] for k in keys}))
+                    print(f"MISMATCH {name}: {bad[-1][1]}")
+            except Exception as exc:  # noqa: BLE001 — sweeping for a report
+                bad.append((name, f"{type(exc).__name__}: {str(exc)[:200]}"))
+                print(f"ERROR {name}: {bad[-1][1]}")
+    finally:
+        con.close()
+    print(
+        f"{len(todo) - len(bad)}/{len(todo)} strict-match at {sf_dir} "
+        f"in {int(time.time() - t0)}s"
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
