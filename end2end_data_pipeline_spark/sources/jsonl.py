@@ -100,3 +100,29 @@ def read_jsonl_docs_observed(
         .withColumn("is_corrupt", F.col(CORRUPT_COL).isNotNull())
     )
     return parsed, obs
+
+
+def stream_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Streaming arrival for the JSONL front door: files landing under
+    ``path`` parse through the same PERMISSIVE + corrupt-column
+    contract, flagged with ``is_corrupt`` so ONE partitioned sink
+    routes good rows and quarantine per micro-batch — the streaming
+    twin of ``read_jsonl_docs_observed`` and the JSONL counterpart of
+    ``webdataset.stream_tar_shards_unified``. Each file is processed
+    exactly once across restarts (file-source checkpoint); stateless,
+    so append mode and ``trigger(availableNow=True)`` backfills both
+    work."""
+    full = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .withColumn("is_corrupt", F.col(CORRUPT_COL).isNotNull())
+    )

@@ -99,3 +99,47 @@ def test_observed_single_pass_routes_both_streams(spark, tmp_path):
     assert sorted(
         r["_corrupt_record"] for r in dead.select("_corrupt_record").collect()
     ) == sorted(r["raw_line"] for r in dead_ref.collect())
+
+
+def test_streaming_jsonl_matches_batch_and_is_exactly_once(spark, tmp_path):
+    """JSONL files arriving over time: the streamed parse (with
+    quarantine flag) must equal the batch API for landed files, and a
+    second availableNow run after a new file lands appends only that
+    file's lines (file-source checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from end2end_data_pipeline_spark.sources.jsonl import stream_jsonl_docs
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    (land / "wave1.jsonl").write_text("\n".join(LINES) + "\n")
+
+    def run_once():
+        q = (
+            stream_jsonl_docs(spark, str(land), SCHEMA)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    routed = spark.read.parquet(sink)
+    good_ref, dead_ref = read_jsonl_docs(spark, str(land), SCHEMA)
+    assert routed.where(F.col("is_corrupt")).count() == dead_ref.count()
+    good = routed.where(~F.col("is_corrupt")).select(*good_ref.columns)
+    assert sorted(map(tuple, good.collect())) == sorted(
+        map(tuple, good_ref.collect())
+    )
+
+    n_before = routed.count()
+    (land / "wave2.jsonl").write_text('{"doc_id": 99, "text": "late", "lang": "en"}\n')
+    run_once()
+    after = spark.read.parquet(sink)
+    assert after.count() == n_before + 1
+    assert after.where(F.col("doc_id") == 99).count() == 1
