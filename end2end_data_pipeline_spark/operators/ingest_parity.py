@@ -26,6 +26,7 @@ fixtures (≤200 rows), documented O(k) like the kmeans seed collect.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import tempfile
@@ -37,11 +38,12 @@ from pyspark.sql import types as T
 from end2end_data_pipeline_spark.operators.multimodal import (
     extract_audio_features,
 )
-from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.jsonl import read_jsonl_docs
 from end2end_data_pipeline_spark.sources.tables import load_table
 from end2end_data_pipeline_spark.sources.webdataset import (
     read_tar_shards_unified,
+    stream_tar_shards_unified,
     write_tar_shards,
 )
 
@@ -349,3 +351,79 @@ def audio_pcm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d, _make_wav(d)) for d in ids], "doc_id long, payload binary"
     )
     return extract_audio_features(payloads).orderBy("doc_id")
+
+
+# (applicationId, abs sf_dir) -> memory-sink table of streamed members
+_WDS_REPLAY: dict[tuple[str, str], str] = {}
+_WDS_REPLAY_IDS = itertools.count()
+
+
+@query(
+    # IDENTICAL oracle to the batch roundtrip: the streaming engine
+    # must land byte-for-byte what the batch reader sees.
+    "webdataset_stream_replay",
+    oracle=ORACLE["webdataset_roundtrip_by_shard"],
+)
+def webdataset_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest parity run ON THE STREAMING ENGINE: the same tar
+    fixture consumed via ``stream_tar_shards_unified`` (file-stream
+    binaryFile source, availableNow drain, append-mode memory sink —
+    the explode is stateless so append is exact), then audited with
+    the identical per-shard rollup and hash-matched against the same
+    documents-derived SQL as the batch query. A green row here means
+    shards arriving over time produce byte-identical members, dead
+    letters included — the streaming front door earns the same
+    oracle the batch one has (pattern:
+    ``warehouse_ops.minute_counts_stream_replay``)."""
+    fix = _webdataset_fixture(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    table = _WDS_REPLAY.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"wds_stream_replay_{next(_WDS_REPLAY_IDS)}"
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_wds_ckpt", key[0], table
+        )
+        q = (
+            stream_tar_shards_unified(spark, fix, glob="*.tar")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _WDS_REPLAY[key] = table
+    combined = spark.table(table)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
+    )
+    shard_idx = F.when(F.col("error").isNotNull(), F.lit(-1)).otherwise(
+        F.regexp_extract(F.col("shard"), r"shard-(\d+)\.tar", 1)
+    ).cast("bigint")
+    return (
+        combined.withColumn("shard_idx", shard_idx)
+        .withColumn("m_doc_id", F.substring("key", 4, 10).cast("bigint"))
+        .join(
+            F.broadcast(docs),
+            F.col("m_doc_id") == F.col("src_doc_id"),
+            "left",
+        )
+        .groupBy("shard_idx")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(F.col("ext") == "txt", F.col("size")).otherwise(0))
+            .cast("bigint")
+            .alias("txt_bytes"),
+            F.sum(
+                F.when(
+                    (F.col("ext") == "txt")
+                    & (F.col("content").cast("string") == F.col("src_text")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+        )
+        .orderBy("shard_idx")
+    )

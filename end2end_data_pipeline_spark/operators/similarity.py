@@ -1197,3 +1197,30 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_pq_codebook.__doc__ = embedding_pq_codebook.__doc__.replace(
     "{M}", str(PQ_M)
 ).replace("{K}", str(PQ_K))
+
+
+@query(
+    # IDENTICAL oracle to ann_ivf_cells: the audit must see exactly
+    # the census the in-memory assignment produces — a drifted
+    # persisted index is the failure this query exists to catch.
+    "ivf_cell_occupancy_audit",
+    oracle=ORACLE["ann_ivf_cells"],
+)
+def ivf_cell_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health check over the PERSISTED inverted file: per-cell
+    vector and label counts read from the cell-partitioned store —
+    the page-on-this metric for a serving team (an empty or bloated
+    cell means a bad quantizer or a hot shard) and the post-append
+    verification for ``append_ivf_index``. Scan-side cost is one
+    column-pruned pass over the index; at 100 TB the same rollup runs
+    per cell directory. Hash-matching ``ann_ivf_cells``'s oracle
+    proves the persisted layout lost nothing."""
+    index = persisted_ivf_index(spark, sf_dir)
+    return (
+        index.groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .orderBy("cell_id")
+    )

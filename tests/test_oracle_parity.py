@@ -72,13 +72,13 @@ def test_checked_window_contract():
         "jsonl_": "jsonl quarantine ingest parity",
         "audio_": "audio codec parity",
         "order_value_ge2_index": "inequality decomposition",
+        "ivf_cell_occupancy_audit": "persisted-index health audit",
+        "webdataset_stream_replay": "streaming ingest parity",
         # stalest-regreen families (r1/r2 rows being refreshed)
         "dedup_": "dedup",
         "event_": "event analytics",
         "multimodal_": "multimodal",
         "ann_": "similarity",
-        "asof_": "temporal",
-        "corpus_": "corpus prep",
         "salted_": "skew pattern",
         "epoch_ms_roundtrip": "epoch roundtrip + minute naming",
         "param_sql_minute_extract": "parameterized extract",
