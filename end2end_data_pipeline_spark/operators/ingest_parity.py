@@ -427,3 +427,81 @@ def webdataset_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_idx")
     )
+
+
+# --- AVI container metadata parity -----------------------------------
+
+VIDEO_DOC_LIMIT = 12
+# Deterministic container parameters per doc, mirrored arithmetically
+# by the oracle: every field a reader extracts from the headers is a
+# pure function of doc_id.
+_V_W = "CAST(16*(1 + doc_id % 7) AS INTEGER)"
+_V_H = "CAST(16*(1 + doc_id % 5) AS INTEGER)"
+_V_NF = "CAST(24 + doc_id*3 AS BIGINT)"
+_V_USEC = "CAST(20000 + (doc_id % 5)*5000 AS BIGINT)"
+
+
+def _make_avi(doc_id: int) -> bytes:
+    from end2end_data_pipeline_spark.functions.avi_min import encode_avi_stub
+
+    return encode_avi_stub(
+        width=16 * (1 + doc_id % 7),
+        height=16 * (1 + doc_id % 5),
+        n_frames=24 + doc_id * 3,
+        usec_per_frame=20000 + (doc_id % 5) * 5000,
+    )
+
+
+@query(
+    "video_container_parity",
+    oracle=f"""
+    SELECT doc_id,
+           'avi' AS container,
+           {_V_W} AS width,
+           {_V_H} AS height,
+           {_V_NF} AS n_frames,
+           {_V_USEC} AS usec_per_frame,
+           CAST((24 + doc_id*3) * (20000 + (doc_id % 5)*5000) // 1000
+                AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id < {VIDEO_DOC_LIMIT}
+    ORDER BY doc_id
+    """,
+)
+def video_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video tier hash-checked like the audio one: deterministic
+    container parameters are rendered to real RIFF/AVI header bytes
+    (``functions/avi_min.py``, driver-side, ≤12 docs), parsed back by
+    ``extract_video_features`` (stdlib struct walking inside
+    ``mapInPandas``), while DuckDB regenerates every header field
+    arithmetically — a hash match certifies the container encode →
+    distributed parse loop. Resolution/frame-count/duration from
+    headers without a codec is exactly what a 100 TB video corpus
+    audit does before any decode is scheduled."""
+    from end2end_data_pipeline_spark.operators.multimodal import (
+        extract_video_features,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < VIDEO_DOC_LIMIT)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    payloads = spark.createDataFrame(
+        [(d, _make_avi(d)) for d in ids], "doc_id long, payload binary"
+    )
+    return (
+        extract_video_features(payloads)
+        .select(
+            "doc_id",
+            "container",
+            "width",
+            "height",
+            "n_frames",
+            "usec_per_frame",
+            "duration_ms",
+        )
+        .orderBy("doc_id")
+    )

@@ -487,3 +487,75 @@ def extract_audio_features(payloads: DataFrame) -> DataFrame:
     Same plumbing contract as the image tier: explicit schema,
     partition-preserving batches, no row-at-a-time Python."""
     return payloads.mapInPandas(_extract_audio, AUDIO_SCHEMA)
+
+
+# --- video tier -------------------------------------------------------
+# The AVI container's headers parse with pure stdlib struct unpacking
+# (functions/avi_min.py), so like WAV — and unlike full video decode —
+# the REAL metadata tier needs no optional dependency: resolution,
+# frame count, and frame duration straight from avih. Non-AVI bytes
+# fall to the deterministic sha256 stub contract of the other tiers.
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("container", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("usec_per_frame", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+    ]
+)
+
+
+def _video_stub(payload: bytes) -> dict:
+    digest = hashlib.sha256(payload).digest()
+    return {
+        "container": "fake/raw",
+        "width": 16 * (1 + digest[0] % 8),
+        "height": 16 * (1 + digest[1] % 8),
+        "n_frames": int.from_bytes(digest[2:4], "big"),
+        "usec_per_frame": 0,
+        "duration_ms": 0,
+    }
+
+
+def video_features(payload: bytes) -> dict:
+    """Real AVI header parse when the bytes are RIFF/AVI; deterministic
+    stub otherwise — the video analog of ``audio_features``."""
+    from end2end_data_pipeline_spark.functions.avi_min import parse_avi
+
+    meta = parse_avi(payload)
+    if meta is None:
+        return _video_stub(payload)
+    return {k: meta[k] for k in (
+        "container", "width", "height", "n_frames",
+        "usec_per_frame", "duration_ms",
+    )}
+
+
+def _extract_video(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [video_features(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "container": [f["container"] for f in feats],
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "n_frames": [f["n_frames"] for f in feats],
+                "usec_per_frame": [f["usec_per_frame"] for f in feats],
+                "duration_ms": [f["duration_ms"] for f in feats],
+            }
+        )
+
+
+def extract_video_features(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> typed container metadata, Arrow-
+    batched — same plumbing contract as the image and audio tiers."""
+    return payloads.mapInPandas(_extract_video, VIDEO_SCHEMA)

@@ -158,3 +158,53 @@ def test_ge2_oracle_matches_python_reference():
                    / (CAST(2 AS DOUBLE)*CAST({s} AS DOUBLE)*CAST({s} AS DOUBLE))"""
     ).fetchone()[0]
     assert db_total == pytest.approx(py_total, abs=0.0)  # bit-identical
+
+
+# --- AVI container codec ---------------------------------------------
+
+
+@given(
+    width=st.integers(min_value=1, max_value=8192),
+    height=st.integers(min_value=1, max_value=8192),
+    n_frames=st.integers(min_value=0, max_value=10_000_000),
+    usec=st.integers(min_value=1, max_value=1_000_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_avi_header_roundtrip(width, height, n_frames, usec):
+    """Any container parameters written by the encoder must parse back
+    exactly, including the derived integer duration."""
+    from end2end_data_pipeline_spark.functions.avi_min import (
+        encode_avi_stub,
+        parse_avi,
+    )
+
+    meta = parse_avi(encode_avi_stub(width, height, n_frames, usec))
+    assert meta is not None
+    assert (meta["width"], meta["height"]) == (width, height)
+    assert meta["n_frames"] == n_frames
+    assert meta["usec_per_frame"] == usec
+    assert meta["duration_ms"] == n_frames * usec // 1000
+    assert meta["n_streams"] == 1
+
+
+@given(junk=st.binary(min_size=0, max_size=256))
+@settings(max_examples=50, deadline=None)
+def test_avi_parser_rejects_non_avi(junk):
+    """Arbitrary bytes (including RIFF-prefixed non-AVI) must return
+    None, never a half-parsed dict — the stub-fallback contract."""
+    from end2end_data_pipeline_spark.functions.avi_min import parse_avi
+
+    if junk[:4] == b"RIFF" and junk[8:12] == b"AVI ":
+        return  # astronomically unlikely; not the case under test
+    assert parse_avi(junk) is None
+
+
+def test_avi_truncated_header_is_none():
+    from end2end_data_pipeline_spark.functions.avi_min import (
+        encode_avi_stub,
+        parse_avi,
+    )
+
+    whole = encode_avi_stub(320, 240, 100, 33333)
+    # keep the RIFF/AVI magic but cut inside the avih payload
+    assert parse_avi(whole[:40]) is None

@@ -74,6 +74,7 @@ def test_checked_window_contract():
         "order_value_ge2_index": "inequality decomposition",
         "ivf_cell_occupancy_audit": "persisted-index health audit",
         "webdataset_stream_replay": "streaming ingest parity",
+        "video_container_parity": "video container metadata parity",
         # stalest-regreen families (r1/r2 rows being refreshed)
         "dedup_": "dedup",
         "event_": "event analytics",
