@@ -126,11 +126,12 @@ HEADLINE = [
     "docs_bigram_diversity_bands",
     "user_cosession_degree",
     "embedding_pq_codebook",
-    # round-8 additions. (Excluded: q8/q15 bucketed twins and
-    # ann_ivf_persisted_topk — first call materializes the bucketed
-    # tables / partitioned IVF index, a one-time write, not query
-    # speed; the three ingest-parity queries — they time a
-    # driver-side fixture build plus a kilobyte-scale tar/jsonl/wav
+    # round-8 additions. (Excluded: q8/q15 bucketed twins,
+    # ann_ivf_persisted_topk, and ivf_cell_occupancy_audit — first
+    # call materializes the bucketed tables / partitioned IVF index,
+    # a one-time write, not query speed; the ingest-parity family
+    # (webdataset/jsonl/audio/video parity + the streaming replay) —
+    # they time a driver-side fixture build plus a kilobyte-scale
     # read, not engine throughput.)
     "order_value_ge2_index",
 ]
