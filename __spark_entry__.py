@@ -28,14 +28,15 @@ SF0001_DIR = "/root/testdata/sf0.001"
 # MECHANICAL: ``tools/union_check.py`` recomputes it from the
 # committed CORRECTNESS_r*.json files every test run. The r1-r7 union
 # closed at 188/188, so from round 8 the window's job flips (VERDICT
-# r7 #2): first every NEWLY registered query (ten this round — the
+# r7 #2): first every NEWLY registered query (eleven this round — the
 # q8/q15 bucketed twins, the three ingest-tier parity queries making
 # the r7 WebDataset/JSONL/WAV front doors driver-visible, the GE(2)
 # inequality index, the persisted partition-pruned IVF probe with
-# its occupancy audit, the streaming-engine replay of the shard
-# roundtrip, and the AVI container-metadata parity), then the
-# LEAST-recently-regreened queries
-# (max-min staleness: all 40 were last driver-checked in r1 or r2,
+# its occupancy audit, the streaming-engine replays of the shard
+# roundtrip AND the JSONL quarantine, and the AVI
+# container-metadata parity), then the LEAST-recently-regreened
+# queries
+# (max-min staleness: all 39 were last driver-checked in r1 or r2,
 # carrying 6+ rounds of code drift). This list IS the output
 # of ``tools/union_check.py --propose-window`` — mechanical, not
 # hand-picked.
@@ -50,6 +51,7 @@ CHECKED_FIRST = [
     "ivf_cell_occupancy_audit",
     "webdataset_stream_replay",
     "video_container_parity",
+    "jsonl_stream_replay",
     "acctbal_tiers",
     "all_party_nations",
     "customer_only_nations",
@@ -89,7 +91,6 @@ CHECKED_FIRST = [
     "top_orders_global",
     "top_orders_per_customer",
     "ann_ivf_cells",
-    "ann_ivf_topk",
 ]
 
 

@@ -505,3 +505,70 @@ def video_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# (applicationId, abs sf_dir) -> memory-sink table of streamed lines
+_JSONL_REPLAY: dict[tuple[str, str], str] = {}
+_JSONL_REPLAY_IDS = itertools.count()
+
+
+@query(
+    # IDENTICAL oracle to the batch quarantine stats: streamed lines
+    # must parse and quarantine exactly as the batch reader's do.
+    "jsonl_stream_replay",
+    oracle=ORACLE["jsonl_quarantine_stats"],
+)
+def jsonl_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL quarantine audit ON THE STREAMING ENGINE: the same
+    fixture consumed via ``stream_jsonl_docs`` (file-stream json
+    source, PERMISSIVE corrupt column, availableNow drain, append-mode
+    memory sink), then rolled up with the identical per-lang +
+    ``_quarantined`` aggregation and hash-matched against the same
+    documents-derived SQL as ``jsonl_quarantine_stats`` — the
+    streaming text front door earns its own driver-green row, closing
+    the pair with ``webdataset_stream_replay``."""
+    from end2end_data_pipeline_spark.sources.jsonl import (
+        CORRUPT_COL,
+        stream_jsonl_docs,
+    )
+
+    fix = _jsonl_fixture(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    table = _JSONL_REPLAY.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"jsonl_stream_replay_{next(_JSONL_REPLAY_IDS)}"
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_jsonl_ckpt", key[0], table
+        )
+        # file-stream sources take a DIRECTORY (files land, the source
+        # discovers them); the fixture dir holds only corpus.jsonl
+        q = (
+            stream_jsonl_docs(spark, fix, JSONL_SCHEMA)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _JSONL_REPLAY[key] = table
+    parsed = spark.table(table)
+    by_lang = (
+        parsed.where(~F.col("is_corrupt"))
+        .groupBy(F.col("lang").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_nchars"),
+        )
+    )
+    quarantined = parsed.where(F.col("is_corrupt")).agg(
+        F.lit("_quarantined").alias("bucket"),
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length(CORRUPT_COL)), F.lit(0))
+        .cast("bigint")
+        .alias("chars"),
+        F.lit(0).cast("bigint").alias("sum_nchars"),
+    )
+    return by_lang.unionByName(quarantined).orderBy("bucket")

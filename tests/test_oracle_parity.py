@@ -73,7 +73,8 @@ def test_checked_window_contract():
         "audio_": "audio codec parity",
         "order_value_ge2_index": "inequality decomposition",
         "ivf_cell_occupancy_audit": "persisted-index health audit",
-        "webdataset_stream_replay": "streaming ingest parity",
+        "webdataset_stream_replay": "streaming ingest parity (shards)",
+        "jsonl_stream_replay": "streaming ingest parity (jsonl)",
         "video_container_parity": "video container metadata parity",
         # stalest-regreen families (r1/r2 rows being refreshed)
         "dedup_": "dedup",
