@@ -9,8 +9,8 @@ Usage:
     python tools/sf_sweep.py                  # sf0.1, whole registry
     python tools/sf_sweep.py /root/testdata/sf0.01 q1 q2 ...
 
-Round-8 result for the record: 198/198 strict-match at sf0.1 (419 s,
-local[16], final registry).
+Round-8 result for the record: 199/199 strict-match at sf0.1 (480 s,
+local[16], final 199-query registry).
 """
 
 from __future__ import annotations
