@@ -212,36 +212,46 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # SPARK_GRAFT_BENCH_REPEAT=N times each query N times and keeps
-    # the MINIMUM — the standard way to strip ambient-tenant noise
-    # from plan-time comparisons. Default 3 since r8 (VERDICT r7 #6:
-    # the shared container's load spikes made every cross-round
-    # carried_subtotal comparison an adjudication). Task fingerprints
-    # come from the first execution only; NOTE they are comparable
-    # only between same-repeat records — repeated executions of
-    # earlier queries warm the session cache manager differently, so
-    # a handful of later queries' first runs skip stages they would
-    # otherwise run (PERF_NOTES r8: 4 such reductions vs the
-    # repeat=1 r7 record, all verified mode artifacts — a same-code
-    # repeat=1 run reproduces r7's fingerprints exactly).
+    # SPARK_GRAFT_BENCH_REPEAT=N times each query N times. Default 3
+    # since r8 (VERDICT r7 #6: load spikes on the shared container
+    # made every cross-round comparison an adjudication). TWO metrics
+    # are recorded per query, because they answer different questions:
+    # - FIRST-execution wall (``queries``/``carried_subtotal``): the
+    #   cold run, directly comparable with the repeat=1 r1-r7 history.
+    #   The min would flatter queries that .cache() internally —
+    #   repeats re-read the cached rollup and skip the dominant scan,
+    #   a phantom speedup, not a plan win.
+    # - MIN over repeats (``queries_min``/``carried_subtotal_min``):
+    #   the ambient-noise-stripped number for same-mode (r8+)
+    #   comparisons; for caching queries it measures the warm path,
+    #   consistently so across rounds.
+    # Task fingerprints come from the first execution only; they are
+    # comparable only between same-repeat records (cache-adjacent
+    # queries wobble ±2-6 tasks run-to-run — PERF_NOTES r8).
     repeat = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")), 1)
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     tasks: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = None
+        first = None
         for i in range(repeat):
             sc.setJobGroup(name, f"bench:{name}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - t0
             if i == 0:
+                first = wall
                 tasks[name] = _group_tasks(sc, name)
             best = wall if best is None else min(best, wall)
-        timings[name] = round(best, 3)
+        timings[name] = round(first, 3)
+        timings_min[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    total_min = round(sum(timings_min.values()), 3)
     carried = round(sum(timings[n] for n in CARRIED_33), 3)
+    carried_min = round(sum(timings_min[n] for n in CARRIED_33), 3)
     # contention fingerprint: wall times are only comparable across
     # rounds at similar ambient load. The r1->r2 "regression" (33.2s ->
     # 56.1s on identical code) was ambient contention at recording time
@@ -256,10 +266,13 @@ def main() -> None:
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_min": total_min,
         "unit": "sec",
         "carried_subtotal": carried,
+        "carried_subtotal_min": carried_min,
         "carried_n": len(CARRIED_33),
         "queries": timings,
+        "queries_min": timings_min,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": env,
         # plan-shape fingerprint: total tasks per query; stable across
@@ -284,8 +297,10 @@ def main() -> None:
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_min": total_min,
         "unit": "sec",
         "carried_subtotal": carried,
+        "carried_subtotal_min": carried_min,
         "queries": slowest,
         "n_queries": len(timings),
         "sf": full["sf"],

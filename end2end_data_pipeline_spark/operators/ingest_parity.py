@@ -100,6 +100,49 @@ def _webdataset_fixture(spark: SparkSession, sf_dir: str) -> str:
     return _remember(spark, sf_dir, "wds", out)
 
 
+def _audit_members_by_shard(
+    spark: SparkSession, members: DataFrame, sf_dir: str
+) -> DataFrame:
+    """The per-shard byte/roundtrip audit shared by the batch scan and
+    the streaming replay — ONE implementation so the two queries that
+    share an oracle can never drift apart."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
+    )
+    shard_idx = F.when(F.col("error").isNotNull(), F.lit(-1)).otherwise(
+        F.regexp_extract(F.col("shard"), r"shard-(\d+)\.tar", 1)
+    ).cast("bigint")
+    return (
+        members.withColumn("shard_idx", shard_idx)
+        .withColumn("m_doc_id", F.substring("key", 4, 10).cast("bigint"))
+        .join(
+            F.broadcast(docs),
+            F.col("m_doc_id") == F.col("src_doc_id"),
+            "left",
+        )
+        .groupBy("shard_idx")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(F.col("ext") == "txt", F.col("size")).otherwise(0))
+            .cast("bigint")
+            .alias("txt_bytes"),
+            # when/otherwise, not a bare boolean cast: the dead-letter
+            # row's null ext/content would make the whole group sum
+            # NULL instead of 0 under three-valued logic
+            F.sum(
+                F.when(
+                    (F.col("ext") == "txt")
+                    & (F.col("content").cast("string") == F.col("src_text")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+        )
+        .orderBy("shard_idx")
+    )
+
+
 @query(
     "webdataset_roundtrip_by_shard",
     oracle=f"""
@@ -131,41 +174,7 @@ def webdataset_roundtrip_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame
     once, not once per stream."""
     fix = _webdataset_fixture(spark, sf_dir)
     combined = read_tar_shards_unified(spark, fix, glob="*.tar")
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
-    )
-    shard_idx = F.when(F.col("error").isNotNull(), F.lit(-1)).otherwise(
-        F.regexp_extract(F.col("shard"), r"shard-(\d+)\.tar", 1)
-    ).cast("bigint")
-    return (
-        combined.withColumn("shard_idx", shard_idx)
-        .withColumn("m_doc_id", F.substring("key", 4, 10).cast("bigint"))
-        .join(
-            F.broadcast(docs),
-            F.col("m_doc_id") == F.col("src_doc_id"),
-            "left",
-        )
-        .groupBy("shard_idx")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum(F.when(F.col("ext") == "txt", F.col("size")).otherwise(0))
-            .cast("bigint")
-            .alias("txt_bytes"),
-            # when/otherwise, not a bare boolean cast: the dead-letter
-            # row's null ext/content would make the whole group sum
-            # NULL instead of 0 under three-valued logic
-            F.sum(
-                F.when(
-                    (F.col("ext") == "txt")
-                    & (F.col("content").cast("string") == F.col("src_text")),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_roundtrip_ok"),
-        )
-        .orderBy("shard_idx")
-    )
+    return _audit_members_by_shard(spark, combined, sf_dir)
 
 
 # --- JSONL quarantine ------------------------------------------------
@@ -230,6 +239,28 @@ def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
     return _remember(spark, sf_dir, "jsonl", out)
 
 
+def _jsonl_rollup(good: DataFrame, dead_lines: DataFrame) -> DataFrame:
+    """The per-lang + ``_quarantined`` rollup shared by the batch
+    quarantine stats and the streaming replay — ONE implementation so
+    the two queries that share an oracle can never drift apart.
+    ``good`` carries (lang, text, n_chars); ``dead_lines`` carries the
+    verbatim quarantined line as ``raw_line``."""
+    by_lang = good.groupBy(F.col("lang").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_nchars"),
+    )
+    quarantined = dead_lines.agg(
+        F.lit("_quarantined").alias("bucket"),
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length("raw_line")), F.lit(0))
+        .cast("bigint")
+        .alias("chars"),
+        F.lit(0).cast("bigint").alias("sum_nchars"),
+    )
+    return by_lang.unionByName(quarantined).orderBy("bucket")
+
+
 @query(
     "jsonl_quarantine_stats",
     oracle=f"""
@@ -255,20 +286,7 @@ def jsonl_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse back to the source values, and good + dead = lines written."""
     fix = _jsonl_fixture(spark, sf_dir)
     good, dead = read_jsonl_docs(spark, os.path.join(fix, "corpus.jsonl"), JSONL_SCHEMA)
-    by_lang = good.groupBy(F.col("lang").alias("bucket")).agg(
-        F.count("*").alias("n"),
-        F.sum(F.length("text")).cast("bigint").alias("chars"),
-        F.sum("n_chars").cast("bigint").alias("sum_nchars"),
-    )
-    quarantined = dead.agg(
-        F.lit("_quarantined").alias("bucket"),
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.length("raw_line")), F.lit(0))
-        .cast("bigint")
-        .alias("chars"),
-        F.lit(0).cast("bigint").alias("sum_nchars"),
-    )
-    return by_lang.unionByName(quarantined).orderBy("bucket")
+    return _jsonl_rollup(good, dead)
 
 
 # --- WAV audio codec parity ------------------------------------------
@@ -394,39 +412,7 @@ def webdataset_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _WDS_REPLAY[key] = table
-    combined = spark.table(table)
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
-    )
-    shard_idx = F.when(F.col("error").isNotNull(), F.lit(-1)).otherwise(
-        F.regexp_extract(F.col("shard"), r"shard-(\d+)\.tar", 1)
-    ).cast("bigint")
-    return (
-        combined.withColumn("shard_idx", shard_idx)
-        .withColumn("m_doc_id", F.substring("key", 4, 10).cast("bigint"))
-        .join(
-            F.broadcast(docs),
-            F.col("m_doc_id") == F.col("src_doc_id"),
-            "left",
-        )
-        .groupBy("shard_idx")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum(F.when(F.col("ext") == "txt", F.col("size")).otherwise(0))
-            .cast("bigint")
-            .alias("txt_bytes"),
-            F.sum(
-                F.when(
-                    (F.col("ext") == "txt")
-                    & (F.col("content").cast("string") == F.col("src_text")),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_roundtrip_ok"),
-        )
-        .orderBy("shard_idx")
-    )
+    return _audit_members_by_shard(spark, spark.table(table), sf_dir)
 
 
 # --- AVI container metadata parity -----------------------------------
@@ -554,21 +540,8 @@ def jsonl_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         _JSONL_REPLAY[key] = table
     parsed = spark.table(table)
-    by_lang = (
-        parsed.where(~F.col("is_corrupt"))
-        .groupBy(F.col("lang").alias("bucket"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.length("text")).cast("bigint").alias("chars"),
-            F.sum("n_chars").cast("bigint").alias("sum_nchars"),
-        )
+    good = parsed.where(~F.col("is_corrupt")).select("lang", "text", "n_chars")
+    dead = parsed.where(F.col("is_corrupt")).select(
+        F.col(CORRUPT_COL).alias("raw_line")
     )
-    quarantined = parsed.where(F.col("is_corrupt")).agg(
-        F.lit("_quarantined").alias("bucket"),
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.length(CORRUPT_COL)), F.lit(0))
-        .cast("bigint")
-        .alias("chars"),
-        F.lit(0).cast("bigint").alias("sum_nchars"),
-    )
-    return by_lang.unionByName(quarantined).orderBy("bucket")
+    return _jsonl_rollup(good, dead)

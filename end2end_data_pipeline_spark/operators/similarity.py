@@ -387,13 +387,7 @@ def _ivf_probes(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     ``nprobe`` nearest centroid cells (same broadcast O(n x K) pass as
     the corpus assignment, keeping the top-nprobe ranks instead of 1)."""
     base = _qbase(spark, sf_dir)
-    centroids = F.broadcast(
-        base.where(F.col("vec_id") < N_IVF_CELLS).select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("qv").alias("c_qv"),
-            F.col("norm2").alias("c_norm2"),
-        )
-    )
+    centroids = F.broadcast(_ivf_centroids(base))
     scored = (
         base.where(F.col("vec_id") % QUERY_STRIDE == 0)
         .crossJoin(centroids)
@@ -484,8 +478,8 @@ def ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
 
 
-# (applicationId, abs sf_dir) -> persisted IVF index directory
-_IVF_INDEX: dict[tuple[str, str], str] = {}
+# (applicationId, abs sf_dir) -> (persisted index directory, schema)
+_IVF_INDEX: dict[tuple[str, str], tuple[str, object]] = {}
 
 
 def persisted_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,16 +499,21 @@ def persisted_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_abs = _os.path.abspath(sf_dir)
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_abs)
-    assigned = _ivf_assign(spark, sf_dir)
-    out = _IVF_INDEX.get(key)
-    if out is None or not _os.path.isdir(out):
+    cached = _IVF_INDEX.get(key)
+    if cached is not None and _os.path.isdir(cached[0]):
+        out, schema = cached
+    else:
+        # the assignment DAG is built only on the (re)build path; hot
+        # calls reuse the memoized path+schema without re-analyzing it
+        assigned = _ivf_assign(spark, sf_dir)
         out = _os.path.join(
             _tempfile.gettempdir(), "spark_graft_ivf", app_id,
             sf_abs.strip("/").replace("/", "_"),
         )
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(out)
-        _IVF_INDEX[key] = out
-    return spark.read.schema(assigned.schema).parquet(out)
+        schema = assigned.schema
+        _IVF_INDEX[key] = (out, schema)
+    return spark.read.schema(schema).parquet(out)
 
 
 @query(

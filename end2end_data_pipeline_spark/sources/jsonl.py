@@ -78,7 +78,10 @@ def read_jsonl_docs_observed(
     — good rows and quarantine land in separate partitions of one
     pass, and ``observation.get`` then yields ``n_lines``/``n_corrupt``
     for the no-silent-drop check (good + corrupt == lines read) with
-    zero extra scans."""
+    zero extra scans. The driving action must reference at least one
+    DATA column (the write above does): a bare ``count()`` prunes the
+    scan down to the corrupt column alone, which Spark disallows on
+    raw JSON (SPARK-21610)."""
     from pyspark.sql import Observation
 
     full = T.StructType(
@@ -93,9 +96,11 @@ def read_jsonl_docs_observed(
         .observe(
             obs,
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias(
-                "n_corrupt"
-            ),
+            # coalesce: SUM over an empty scan is NULL, which would
+            # break the advertised good + corrupt == lines identity
+            F.coalesce(
+                F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")), F.lit(0)
+            ).alias("n_corrupt"),
         )
         .withColumn("is_corrupt", F.col(CORRUPT_COL).isNotNull())
     )

@@ -40,6 +40,10 @@ MEMBER_SCHEMA = T.StructType(
         T.StructField("key", T.StringType(), False),
         T.StructField("ext", T.StringType(), False),
         T.StructField("member", T.StringType(), False),
+        # position within the archive — tar semantics shadow earlier
+        # members with later same-named ones, so consumers that dedup
+        # must be able to keep the LAST occurrence
+        T.StructField("ordinal", T.IntegerType(), False),
         T.StructField("size", T.LongType(), False),
         T.StructField("content", T.BinaryType(), True),
     ]
@@ -62,6 +66,7 @@ UNIFIED_SCHEMA = T.StructType(
         T.StructField("key", T.StringType(), True),
         T.StructField("ext", T.StringType(), True),
         T.StructField("member", T.StringType(), True),
+        T.StructField("ordinal", T.IntegerType(), True),
         T.StructField("size", T.LongType(), True),
         T.StructField("content", T.BinaryType(), True),
         T.StructField("error", T.StringType(), True),
@@ -83,7 +88,8 @@ def _explode_members(batches, *, want_errors: bool):
     import pandas as pd
 
     for pdf in batches:
-        out = {k: [] for k in ("shard", "key", "ext", "member", "size", "content")}
+        cols = ("shard", "key", "ext", "member", "ordinal", "size", "content")
+        out = {k: [] for k in cols}
         err = {"shard": [], "error": []}
         for path, blob in zip(pdf["path"], pdf["content"]):
             # Buffer the whole shard: a tar that truncates mid-archive
@@ -92,36 +98,33 @@ def _explode_members(batches, *, want_errors: bool):
             # and the dead-letter output — double-counting members when
             # the quarantined shard is repaired and replayed. A shard is
             # all-or-nothing: either every member row or one error row.
-            rows: list[tuple[str, str, str, str, int, bytes | None]] = []
+            rows: list[tuple] = []
             try:
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob)), mode="r:*") as tf:
-                    for m in tf:
+                    for ordinal, m in enumerate(tf):
                         if not m.isfile():
                             continue
                         f = tf.extractfile(m)
                         key, ext = _split_member(m.name)
                         rows.append(
-                            (path, key, ext, m.name, m.size,
+                            (path, key, ext, m.name, ordinal, m.size,
                              f.read() if f is not None else None)
                         )
             except (tarfile.TarError, EOFError, OSError) as exc:
                 err["shard"].append(path)
                 err["error"].append(f"{type(exc).__name__}: {exc}")
                 continue
-            for shard, key, ext, member, size, content in rows:
-                out["shard"].append(shard)
-                out["key"].append(key)
-                out["ext"].append(ext)
-                out["member"].append(member)
-                out["size"].append(size)
-                out["content"].append(content)
+            for row in rows:
+                for k, v in zip(cols, row):
+                    out[k].append(v)
         yield pd.DataFrame(err if want_errors else out)
 
 
 def read_tar_shards(spark: SparkSession, path: str, glob: str = "*.tar") -> DataFrame:
     """One row per member across every shard under ``path``:
-    (shard, key, ext, member, size, content). Corrupt shards are
-    silently absent here — read them via ``tar_shard_dead_letters``."""
+    (shard, key, ext, member, ordinal, size, content). Corrupt shards
+    are silently absent here — read them via
+    ``tar_shard_dead_letters``."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -153,24 +156,25 @@ def _explode_unified(batches):
     import pandas as pd
 
     for pdf in batches:
-        cols = ("shard", "key", "ext", "member", "size", "content", "error")
+        cols = ("shard", "key", "ext", "member", "ordinal", "size",
+                "content", "error")
         out = {k: [] for k in cols}
         for path, blob in zip(pdf["path"], pdf["content"]):
             # Same all-or-nothing shard buffering as _explode_members.
             rows: list[tuple] = []
             try:
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob)), mode="r:*") as tf:
-                    for m in tf:
+                    for ordinal, m in enumerate(tf):
                         if not m.isfile():
                             continue
                         f = tf.extractfile(m)
                         key, ext = _split_member(m.name)
                         rows.append(
-                            (path, key, ext, m.name, m.size,
+                            (path, key, ext, m.name, ordinal, m.size,
                              f.read() if f is not None else None, None)
                         )
             except (tarfile.TarError, EOFError, OSError) as exc:
-                rows = [(path, None, None, None, None, None,
+                rows = [(path, None, None, None, None, None, None,
                          f"{type(exc).__name__}: {exc}")]
             for row in rows:
                 for k, v in zip(cols, row):
@@ -241,17 +245,18 @@ def read_webdataset_samples(
     filters drop incomplete samples (e.g. image without caption).
 
     A tar may legally contain two members with the same key+ext
-    (e.g. an appended replacement); under Spark's default
+    (an appended replacement — tar semantics shadow the earlier
+    member); under Spark's default
     ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` a duplicate map key
-    would kill the whole read, so duplicates are resolved FIRST with
-    a deterministic winner — the lexicographically smallest member
-    name per (shard, key, ext) — and ``n_files``/``sample_bytes``
-    count the kept members only."""
+    would kill the whole read, so duplicates are resolved FIRST,
+    keeping the LAST occurrence in archive order (max ordinal — the
+    same member a sequential tar extractor would leave on disk);
+    ``n_files``/``sample_bytes`` count the kept members only."""
     members = read_tar_shards(spark, path, glob)
     deduped = (
         members.groupBy("shard", "key", "ext")
         .agg(
-            F.min(F.struct("member", "size", "content")).alias("pick"),
+            F.max(F.struct("ordinal", "member", "size", "content")).alias("pick"),
         )
         .select(
             "shard",
@@ -314,10 +319,17 @@ def write_tar_shards_distributed(
     straight from the worker. ``out_dir`` must be storage every
     executor can reach (a shared/object path in production; any local
     dir on local[*]). No driver collect and no shuffle beyond the one
-    range partitioning — at 100 TB the write scales with executors,
-    and shard naming is deterministic per (partition, sequence) so a
-    retried task overwrites its own output (idempotent, no
-    duplicates)."""
+    range partitioning — at 100 TB the write scales with executors.
+
+    Commit protocol: each attempt packs into a PRIVATE temp name and
+    atomically renames into place only after the tar closes cleanly,
+    so a killed attempt leaves no torn shard behind and concurrent
+    speculative attempts never interleave writes — last completed
+    rename wins, and the final name is deterministic per (partition,
+    sequence), so retries stay idempotent. On a rename-less object
+    store, front ``out_dir`` with a committer or a
+    filesystem-semantics layer — the same caveat as any direct-write
+    sink."""
     if n_partitions is not None:
         samples = samples.repartitionByRange(n_partitions, "key")
     else:
@@ -332,17 +344,27 @@ def write_tar_shards_distributed(
         buf: list[tuple[str, dict[str, bytes]]] = []
         seq = 0
 
+        attempt = TaskContext.get().attemptNumber()
+
         def flush():
             nonlocal seq
             if not buf:
                 return
-            p = os.path.join(out_dir, f"{prefix}-{pid:05d}-{seq:05d}.tar")
-            with tarfile.open(p, "w") as tf:
-                for key, files in buf:
-                    for ext, blob in sorted(files.items()):
-                        info = tarfile.TarInfo(name=f"{key}.{ext}")
-                        info.size = len(blob)
-                        tf.addfile(info, io.BytesIO(blob))
+            final = os.path.join(out_dir, f"{prefix}-{pid:05d}-{seq:05d}.tar")
+            tmp = os.path.join(
+                out_dir, f".{prefix}-{pid:05d}-{seq:05d}.attempt-{attempt}.tmp"
+            )
+            try:
+                with tarfile.open(tmp, "w") as tf:
+                    for key, files in buf:
+                        for ext, blob in sorted(files.items()):
+                            info = tarfile.TarInfo(name=f"{key}.{ext}")
+                            info.size = len(blob)
+                            tf.addfile(info, io.BytesIO(blob))
+                os.replace(tmp, final)  # atomic publish, all-or-nothing
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
             buf.clear()
             seq += 1
 

@@ -143,3 +143,21 @@ def test_streaming_jsonl_matches_batch_and_is_exactly_once(spark, tmp_path):
     after = spark.read.parquet(sink)
     assert after.count() == n_before + 1
     assert after.where(F.col("doc_id") == 99).count() == 1
+
+
+def test_observed_counters_are_zero_on_empty_input(spark, tmp_path):
+    """An all-empty landing must observe (0, 0), not (0, NULL) — the
+    no-silent-drop identity has to be checkable with plain ints."""
+    from end2end_data_pipeline_spark.sources.jsonl import (
+        read_jsonl_docs_observed,
+    )
+
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "empty.jsonl"
+    p.write_text("")
+    parsed, obs = read_jsonl_docs_observed(spark, str(p), SCHEMA)
+    out = str(tmp_path / "routed")
+    parsed.write.partitionBy("is_corrupt").parquet(out)  # the intended action
+    assert obs.get == {"n_lines": 0, "n_corrupt": 0}
+    assert spark.read.schema(parsed.schema).parquet(out).count() == 0

@@ -63,9 +63,9 @@ def test_checked_window_contract():
     assert set(QUERIES) == set(RAW)
     assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
-        # round-8 window composition (VERDICT r7 #2/#3): the six new
-        # registrations first, then the stalest r1/r2 greens — map
-        # re-aligned to THIS window per the rotation rule below.
+        # round-8 window composition (VERDICT r7 #2/#3): the eleven
+        # new registrations first, then the stalest r1/r2 greens —
+        # map re-aligned to THIS window per the rotation rule below.
         "q8_market_share_bucketed": "bucketed layout (exchange-free join)",
         "q15_top_supplier_bucketed": "bucketed layout (exchange-free agg)",
         "webdataset_": "tar-shard ingest parity",

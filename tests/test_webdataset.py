@@ -156,13 +156,13 @@ def test_truncated_tar_is_all_or_nothing(spark, tmp_path):
     assert [r["shard"].endswith("trunc.tar") for r in letters] == [True]
 
 
-def test_duplicate_member_resolves_deterministically(spark, tmp_path):
+def test_duplicate_member_resolves_to_last_entry(spark, tmp_path):
     """A tar may legally carry two members with the same key+ext (an
     appended replacement). Under the default
     spark.sql.mapKeyDedupPolicy=EXCEPTION a duplicate map key kills
-    the whole read; the sample regrouping must instead resolve to the
-    deterministic winner (lexicographically smallest member name) and
-    count only kept members."""
+    the whole read; the sample regrouping must instead keep the LAST
+    occurrence in archive order — the member a sequential tar
+    extractor would leave on disk — and count only kept members."""
     import io
     import tarfile as tarmod
 
@@ -190,11 +190,10 @@ def test_duplicate_member_resolves_deterministically(spark, tmp_path):
         for r in read_webdataset_samples(spark, str(tmp_path)).collect()
     }
     dup = samples["b/sample"]
-    # min(struct(member, size, content)) on equal member names falls
-    # through to size: "from-b" (6) beats "replacement" (11)
-    assert bytes(dup["files"]["txt"]) == b"from-b"
+    # tar last-entry-wins: the appended "replacement" shadows "from-b"
+    assert bytes(dup["files"]["txt"]) == b"replacement"
     assert dup["n_files"] == 1
-    assert dup["sample_bytes"] == len(b"from-b")
+    assert dup["sample_bytes"] == len(b"replacement")
 
 
 def test_streaming_shards_match_batch_and_are_exactly_once(spark, tmp_path):
