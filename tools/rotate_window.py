@@ -1,0 +1,67 @@
+"""Rotate the driver check window AND regenerate the catalog in one
+run (VERDICT r8 #1: the two must never land in separate commits, or
+the catalog gate goes red for a round).
+
+Rewrites the ``CHECKED_FIRST = [...]`` block in ``__spark_entry__.py``
+with the mechanical ``tools/union_check.py --propose-window`` output
+(every query awaiting a driver-green row first, then the
+least-recently-regreened anchors), then regenerates CATALOG.md against
+the NEW window. Run after registering new queries, as the last
+registry-touching step of a round:
+
+    PYTHONPATH=. python tools/rotate_window.py --write
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENTRY = os.path.join(REPO, "__spark_entry__.py")
+
+BLOCK_RE = re.compile(r"CHECKED_FIRST = \[\n(?:    \"[^\"]+\",\n)*\]")
+
+
+def render_block(window: list[str]) -> str:
+    body = "".join(f'    "{q}",\n' for q in window)
+    return f"CHECKED_FIRST = [\n{body}]"
+
+
+def rotate(write: bool = False) -> list[str]:
+    from tools.union_check import propose_window
+
+    window = propose_window(50)
+    with open(ENTRY) as f:
+        src = f.read()
+    if not BLOCK_RE.search(src):
+        raise RuntimeError("CHECKED_FIRST block not found in __spark_entry__.py")
+    new_src = BLOCK_RE.sub(render_block(window), src, count=1)
+    if write:
+        with open(ENTRY, "w") as f:
+            f.write(new_src)
+        # the entry module is cached from propose_window's import —
+        # reload so the catalog renders against the NEW window
+        import __spark_entry__ as entrymod
+
+        importlib.reload(entrymod)
+        from tools import gen_catalog
+
+        text = gen_catalog.render()
+        with open(os.path.join(REPO, "CATALOG.md"), "w") as f:
+            f.write(text)
+        print(f"rotated window (50) + wrote CATALOG.md ({text.count(chr(10))} lines)")
+    else:
+        changed = new_src != src
+        print("window would " + ("CHANGE" if changed else "stay identical"))
+        for q in window:
+            print(f"  {q}")
+    return window
+
+
+if __name__ == "__main__":
+    rotate(write="--write" in sys.argv)

@@ -41,14 +41,20 @@ def correctness_files(repo_root: str = REPO_ROOT) -> list[str]:
 
 
 def green_union(repo_root: str = REPO_ROOT) -> dict[str, str]:
-    """query name -> first round whose driver row is green."""
+    """query name -> LATEST round whose driver row is green.
+
+    Membership ("ever driver-green") is what the coverage gates use;
+    the tag is the most recent green round so staleness-ranked window
+    rotation (``propose_window``) actually ages queries OUT after a
+    re-green. (Through r8 this recorded the FIRST green round, which
+    made re-greens invisible to the staleness sort — r9 fix.)"""
     union: dict[str, str] = {}
     for path in correctness_files(repo_root):
         round_tag = os.path.basename(path)[len("CORRECTNESS_") : -len(".json")]
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            if _is_green(row) and name not in union:
+            if _is_green(row):
                 union[name] = round_tag
     return union
 
