@@ -26,9 +26,11 @@ fixtures (≤200 rows), documented O(k) like the kmeans seed collect.
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +47,7 @@ from end2end_data_pipeline_spark.sources.webdataset import (
     read_tar_shards_unified,
     stream_tar_shards_unified,
     write_tar_shards,
+    write_tar_shards_distributed,
 )
 
 # --- WebDataset roundtrip --------------------------------------------
@@ -69,6 +72,9 @@ def _fixture_dir(spark: SparkSession, sf_dir: str, kind: str) -> str | None:
 def _remember(spark: SparkSession, sf_dir: str, kind: str, out: str) -> str:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
     _FIXTURES[key] = out
+    # fixture dirs live in the system temp dir; reclaim them when the
+    # python process exits instead of leaking across sessions
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     return out
 
 
@@ -85,6 +91,15 @@ def _webdataset_fixture(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id", "text", "lang")
         .orderBy("doc_id")
         .collect()
+    )
+    # the oracle's shard_idx = doc_id // WDS_SHARD_SIZE requires ids
+    # dense from 0 (positional packing below); fail loudly at fixture
+    # build if a regenerated corpus ever has gaps, instead of as an
+    # opaque hash mismatch (ADVICE r8)
+    got = [r["doc_id"] for r in docs]
+    assert got == list(range(WDS_DOC_LIMIT)), (
+        f"documents doc_id not dense 0..{WDS_DOC_LIMIT - 1}: "
+        f"{len(got)} rows, head {got[:5]}"
     )
     samples = [
         (
@@ -371,8 +386,9 @@ def audio_pcm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(payloads).orderBy("doc_id")
 
 
-# (applicationId, abs sf_dir) -> memory-sink table of streamed members
-_WDS_REPLAY: dict[tuple[str, str], str] = {}
+# (applicationId, abs sf_dir, fixture dir) -> memory-sink table of
+# streamed members
+_WDS_REPLAY: dict[tuple[str, str, str], str] = {}
 _WDS_REPLAY_IDS = itertools.count()
 
 
@@ -394,7 +410,10 @@ def webdataset_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle the batch one has (pattern:
     ``warehouse_ops.minute_counts_stream_replay``)."""
     fix = _webdataset_fixture(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # keyed on the fixture dir too: if the fixture is ever rebuilt at a
+    # new path (e.g. a tmp cleaner removed the old one), the memoized
+    # memory table from the stale fixture must not be served (ADVICE r8)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), fix)
     table = _WDS_REPLAY.get(key)
     if table is None or not spark.catalog.tableExists(table):
         table = f"wds_stream_replay_{next(_WDS_REPLAY_IDS)}"
@@ -493,8 +512,9 @@ def video_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (applicationId, abs sf_dir) -> memory-sink table of streamed lines
-_JSONL_REPLAY: dict[tuple[str, str], str] = {}
+# (applicationId, abs sf_dir, fixture dir) -> memory-sink table of
+# streamed lines
+_JSONL_REPLAY: dict[tuple[str, str, str], str] = {}
 _JSONL_REPLAY_IDS = itertools.count()
 
 
@@ -519,7 +539,9 @@ def jsonl_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fix = _jsonl_fixture(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # fixture dir in the key for the same stale-memo reason as
+    # ``webdataset_stream_replay``
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), fix)
     table = _JSONL_REPLAY.get(key)
     if table is None or not spark.catalog.tableExists(table):
         table = f"jsonl_stream_replay_{next(_JSONL_REPLAY_IDS)}"
@@ -545,3 +567,222 @@ def jsonl_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return _jsonl_rollup(good, dead)
+
+
+# --- Distributed shard-writer audit ----------------------------------
+
+SKEW_DOC_LIMIT = 120
+SKEW_SHARD_SIZE = 16
+SKEW_N_PARTITIONS = 4
+
+
+def _skew_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write doc_id < SKEW_DOC_LIMIT through the DISTRIBUTED shard
+    writer (``write_tar_shards_distributed``): samples are built as a
+    DataFrame straight from ``documents`` (no driver collect — the
+    writer is the thing under test and it packs executor-side)."""
+    cached = _fixture_dir(spark, sf_dir, "skew")
+    if cached:
+        return cached
+    samples = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < SKEW_DOC_LIMIT)
+        .select(
+            F.format_string("doc%05d", F.col("doc_id")).alias("key"),
+            F.create_map(F.lit("txt"), F.encode("text", "UTF-8")).alias("files"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_skew_")
+    write_tar_shards_distributed(
+        samples,
+        out,
+        shard_size=SKEW_SHARD_SIZE,
+        n_partitions=SKEW_N_PARTITIONS,
+    )
+    return _remember(spark, sf_dir, "skew", out)
+
+
+@query(
+    "docs_shard_skew_profile",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(octet_length(encode(text))), 0) AS BIGINT)
+             AS n_bytes,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(0 AS BIGINT) AS n_shards_over_cap,
+           CAST(0 AS BIGINT) AS n_range_overlaps,
+           CAST(0 AS BIGINT) AS n_dead_letters
+    FROM documents WHERE doc_id < {SKEW_DOC_LIMIT}
+    """,
+)
+def docs_shard_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract audit for the distributed shard writer
+    (``write_tar_shards_distributed``): documents → range-partitioned
+    executor-side tar packing → unified read-back → ONE-row profile.
+
+    Shard MEMBERSHIP is nondeterministic (``repartitionByRange``
+    boundaries come from sampling), so the profile hashes only
+    ORDER-INVARIANT facts (VERDICT r8 #3): every sample written exactly
+    once (``n_samples``), byte totals intact (``n_bytes`` = Σ utf-8
+    lengths from tar header sizes), every payload byte-identical to the
+    source after the full pack → read → decode loop
+    (``n_roundtrip_ok``), no shard over the ``shard_size`` cap, shard
+    key-ranges pairwise DISJOINT (range partitioning + in-partition
+    sorted sequential packing guarantee it; checked via sorted-interval
+    adjacency — with intervals ordered by min key, any overlap shows up
+    between lexicographic neighbours), and zero dead letters (the
+    writer's atomic tmp→rename publish must never leave a torn tar).
+
+    Scale shape: one scan of the shards; per-shard metadata is
+    O(corpus / shard_size) rows, so the unpartitioned ordering window
+    over shard SUMMARIES is an audit-sized sort, not a data sort."""
+    from pyspark.sql import Window
+
+    fix = _skew_fixture(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
+    )
+    members = (
+        read_tar_shards_unified(spark, fix, glob="*.tar")
+        .withColumn("m_doc_id", F.substring("key", 4, 10).cast("bigint"))
+        .join(F.broadcast(docs), F.col("m_doc_id") == F.col("src_doc_id"), "left")
+    )
+    per_shard = members.groupBy("shard").agg(
+        F.max(F.col("error").isNotNull()).alias("is_dead"),
+        F.count(F.when(F.col("ext") == "txt", 1)).alias("n"),
+        F.min("key").alias("kmin"),
+        F.max("key").alias("kmax"),
+        F.sum(
+            F.when(
+                (F.col("ext") == "txt")
+                & (F.col("content").cast("string") == F.col("src_text")),
+                1,
+            ).otherwise(0)
+        ).alias("ok"),
+        F.sum(F.coalesce(F.col("size"), F.lit(0))).alias("bytes"),
+    )
+    w = Window.orderBy("kmin", "shard")
+    flagged = per_shard.withColumn("prev_kmax", F.lag("kmax").over(w))
+    profile = flagged.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_samples"),
+        F.coalesce(F.sum("bytes"), F.lit(0)).cast("bigint").alias("n_bytes"),
+        F.coalesce(F.sum("ok"), F.lit(0)).cast("bigint").alias("n_roundtrip_ok"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > SKEW_SHARD_SIZE, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_shards_over_cap"),
+        F.coalesce(
+            F.sum(F.when(F.col("prev_kmax") >= F.col("kmin"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_range_overlaps"),
+        F.coalesce(F.sum(F.col("is_dead").cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_dead_letters"),
+    )
+    return profile
+
+
+# --- Avro Object Container File roundtrip ----------------------------
+
+OCF_DOC_LIMIT = 200
+OCF_PARTS = 3
+# synthetic event time exercising the timestamp-micros logical type:
+# micros since epoch = doc_id * 1e6 + OCF_TS_OFFSET_US
+OCF_TS_OFFSET_US = 123_456
+
+
+def _ocf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write doc_id < OCF_DOC_LIMIT through the distributed OCF writer
+    (``write_avro_ocf``, deflate codec, one .avro per partition). The
+    frame adds a timestamp column derived from doc_id so the
+    timestamp-micros logical type rides the roundtrip. The manifest
+    collect is O(OCF_PARTS)."""
+    from end2end_data_pipeline_spark.sources.avro_frames import write_avro_ocf
+
+    cached = _fixture_dir(spark, sf_dir, "ocf")
+    if cached:
+        return cached
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < OCF_DOC_LIMIT)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            "n_chars",
+            F.timestamp_micros(
+                F.col("doc_id") * F.lit(1_000_000) + F.lit(OCF_TS_OFFSET_US)
+            ).alias("ts"),
+        )
+        .repartition(OCF_PARTS, "doc_id")
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_ocf_")
+    write_avro_ocf(df, out, codec="deflate").collect()
+    return _remember(spark, sf_dir, "ocf", out)
+
+
+@query(
+    "avro_ocf_roundtrip",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(SUM(doc_id * 1000000 + {OCF_TS_OFFSET_US}) AS BIGINT)
+             AS sum_ts_us
+    FROM documents WHERE doc_id < {OCF_DOC_LIMIT}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last serde tier made driver-visible (VERDICT r8 #4):
+    documents → mechanical StructType→Avro schema derivation →
+    distributed Object Container File write (deflate blocks, one .avro
+    per partition, ``sources/avro_frames.py:write_avro_ocf``) →
+    jar-less ``binaryFile`` + block-decode read-back → per-lang rollup
+    hash-matched against pure SQL over the source table. ``text`` is
+    re-joined against the source (broadcast dim) so ``n_roundtrip_ok``
+    certifies string payloads byte-exact, and ``sum_ts_us`` re-derives
+    the timestamp-micros logical type arithmetically — a hash match
+    proves values, not just counts, survive schema derivation, zigzag/
+    varint encoding, deflate framing, and the typed Arrow decode.
+    Reference analog: the Avro subject-per-topic serde
+    (``producer/schema_registry.py:13-30``) extended to file
+    interchange."""
+    from end2end_data_pipeline_spark.sources.avro_frames import read_avro_ocf
+
+    fix = _ocf_fixture(spark, sf_dir)
+    if not any(f.endswith(".avro") for f in os.listdir(fix)):
+        # empty corpus -> writer had nothing to publish; degrade to the
+        # empty audit frame instead of failing the header read
+        return spark.createDataFrame(
+            [],
+            "lang string, n long, sum_nchars long, chars long, "
+            "n_roundtrip_ok long, sum_ts_us long",
+        )
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
+    )
+    back = read_avro_ocf(spark, fix)
+    return (
+        back.join(
+            F.broadcast(src), F.col("doc_id") == F.col("src_doc_id"), "left"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_nchars"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+            F.sum(
+                F.when(F.col("text") == F.col("src_text"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+            F.sum(F.unix_micros("ts")).cast("bigint").alias("sum_ts_us"),
+        )
+        .orderBy("lang")
+    )

@@ -271,3 +271,28 @@ def test_catalog_ocf_export_import_roundtrip(spark, sf_dir, tmp_path):
         assert sorted(map(repr, back[name].collect())) == sorted(
             map(repr, src.collect())
         )
+
+
+def test_avro_ocf_roundtrip_query_values_and_plan(spark):
+    """``avro_ocf_roundtrip`` (the OCF tier's registry-visible parity
+    query): per-lang rollup values must match the source table exactly
+    — text byte-identical via the re-join, timestamp-micros logical
+    type re-derived arithmetically — and the plan reads the OCF files
+    and the documents dim once each."""
+    import re
+
+    from end2end_data_pipeline_spark.operators.ingest_parity import (
+        OCF_DOC_LIMIT,
+        avro_ocf_roundtrip,
+    )
+
+    df = avro_ocf_roundtrip(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan binaryFile", plan)) == 1, plan[:1500]
+
+    rows = df.collect()
+    assert sum(r["n"] for r in rows) == OCF_DOC_LIMIT
+    assert all(r["n_roundtrip_ok"] == r["n"] for r in rows), rows
+    # the synthesized timestamps decode to the exact micros arithmetic
+    assert all(r["sum_ts_us"] % 1_000_000 == (123_456 * r["n"]) % 1_000_000
+               for r in rows)
