@@ -569,6 +569,149 @@ def jsonl_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jsonl_rollup(good, dead)
 
 
+# --- CSV quarantine --------------------------------------------------
+
+CSV_DOC_LIMIT = 200
+# Unambiguously malformed CSV records (arity/quoting failures the
+# PERMISSIVE reader must quarantine verbatim, not drop or coerce).
+CSV_CORRUPT_LINES = (
+    "not,enough",
+    "9001,xx,too,many,tokens,5",
+    '9002,yy,"unclosed quote,7',
+    "garbage line without commas",
+)
+_CSV_CORRUPT_CHARS = sum(len(line) for line in CSV_CORRUPT_LINES)
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Serialize doc_id < CSV_DOC_LIMIT as RFC-4180 CSV (QUOTE_ALL, so
+    every field rides the quote/dequote path) plus the four corrupt
+    lines, one interleaved after every 50th good line. Bounded
+    collect: ≤CSV_DOC_LIMIT rows."""
+    import csv
+    import io
+
+    cached = _fixture_dir(spark, sf_dir, "csv")
+    if cached:
+        return cached
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < CSV_DOC_LIMIT)
+        .select("doc_id", "lang", "text", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    corrupt = list(CSV_CORRUPT_LINES)
+    lines: list[str] = []
+    for i, r in enumerate(docs):
+        buf = io.StringIO()
+        csv.writer(buf, quoting=csv.QUOTE_ALL, lineterminator="").writerow(
+            [r["doc_id"], r["lang"], r["text"], r["n_chars"]]
+        )
+        lines.append(buf.getvalue())
+        if (i + 1) % 50 == 0 and corrupt:
+            lines.append(corrupt.pop(0))
+    lines.extend(corrupt)
+    out = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    with open(os.path.join(out, "corpus.csv"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return _remember(spark, sf_dir, "csv", out)
+
+
+@query(
+    "csv_quarantine_stats",
+    oracle=f"""
+    SELECT lang AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
+    FROM documents WHERE doc_id < {CSV_DOC_LIMIT}
+    GROUP BY lang
+    UNION ALL
+    SELECT '_quarantined', {len(CSV_CORRUPT_LINES)},
+           {_CSV_CORRUPT_CHARS}, 0
+    ORDER BY bucket
+    """,
+)
+def csv_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV front door hash-checked like the JSONL one: documents →
+    RFC-4180 lines (every field quoted; four malformed records
+    interleaved — wrong arity both ways, a broken quote, a single
+    junk token) → native PERMISSIVE reader with corrupt-record
+    quarantine → per-lang counts + parsed roundtrip sums, plus the
+    ``_quarantined`` row whose count AND verbatim-line character total
+    must match the injected constants. Completes the batch parity trio
+    (tar shards / JSONL / CSV) over the same ``_jsonl_rollup``
+    audit."""
+    from end2end_data_pipeline_spark.sources.csv_docs import read_csv_docs
+
+    fix = _csv_fixture(spark, sf_dir)
+    good, dead = read_csv_docs(
+        spark, os.path.join(fix, "corpus.csv"), CSV_SCHEMA
+    )
+    return _jsonl_rollup(
+        good.select("lang", "text", "n_chars"), dead
+    )
+
+
+# (applicationId, abs sf_dir, fixture dir) -> memory-sink table
+_CSV_REPLAY: dict[tuple[str, str, str], str] = {}
+_CSV_REPLAY_IDS = itertools.count()
+
+
+@query(
+    # IDENTICAL oracle to the batch stats: streamed CSV files must
+    # parse and quarantine exactly as the batch reader's do.
+    "csv_stream_replay",
+    oracle=ORACLE["csv_quarantine_stats"],
+)
+def csv_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV quarantine audit ON THE STREAMING ENGINE
+    (``stream_csv_docs``: file-stream csv source, PERMISSIVE corrupt
+    column, availableNow drain, append-mode memory sink), rolled up
+    with the identical aggregation and hash-matched against the same
+    documents-derived SQL — the third streaming front door earning its
+    own driver-green row, alongside ``webdataset_stream_replay`` and
+    ``jsonl_stream_replay``."""
+    from end2end_data_pipeline_spark.sources.csv_docs import stream_csv_docs
+    from end2end_data_pipeline_spark.sources.jsonl import CORRUPT_COL
+
+    fix = _csv_fixture(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), fix)
+    table = _CSV_REPLAY.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"csv_stream_replay_{next(_CSV_REPLAY_IDS)}"
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_csv_ckpt", key[0], table
+        )
+        q = (
+            stream_csv_docs(spark, fix, CSV_SCHEMA)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _CSV_REPLAY[key] = table
+    parsed = spark.table(table)
+    good = parsed.where(~F.col("is_corrupt")).select("lang", "text", "n_chars")
+    dead = parsed.where(F.col("is_corrupt")).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return _jsonl_rollup(good, dead)
+
+
 # --- Distributed shard-writer audit ----------------------------------
 
 SKEW_DOC_LIMIT = 120

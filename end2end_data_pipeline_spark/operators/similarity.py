@@ -1099,6 +1099,54 @@ def _pq_sqdist(a: str, b: str, dialect: str) -> str:
     )
 
 
+def _pq_subs(base: DataFrame) -> DataFrame:
+    """(vec_id, subspace, sv): every embedding exploded into its PQ_M
+    quantized subvectors — the shared front end of codebook census,
+    corpus encoding, and query distance tables."""
+    slices = F.array(
+        *[F.slice("qv", i * PQ_SUBDIM + 1, PQ_SUBDIM) for i in range(PQ_M)]
+    )
+    return base.select(
+        "vec_id", F.posexplode(slices).alias("subspace", "sv")
+    ).select("vec_id", F.col("subspace").cast("int").alias("subspace"), "sv")
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    """Broadcast (subspace, code, cv) codewords — the first PQ_K
+    vectors' subvectors, the same deterministic bootstrap as the IVF
+    coarse quantizer, so both engines derive identical codebooks."""
+    return F.broadcast(
+        subs.where(F.col("vec_id") < PQ_K).select(
+            "subspace",
+            F.col("vec_id").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+
+
+def _pq_assigned(base: DataFrame) -> DataFrame:
+    """(vec_id, subspace, code, d): nearest codeword per subvector.
+    argmin via min(struct(d, code)): lexicographic struct-min is
+    exactly the (distance, code-id) tie-broken assignment the oracle
+    ranks, but partial-aggregates map-side — the K-way fan-out
+    collapses before the shuffle instead of sorting inside a
+    (vec, subspace) window."""
+    subs = _pq_subs(base)
+    scored = subs.join(_pq_codebook(subs), "subspace").withColumn(
+        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
+    )
+    return (
+        scored.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("best.code").alias("code"),
+            F.col("best.d").alias("d"),
+        )
+    )
+
+
 @query(
     "embedding_pq_codebook",
     # Codewords are the first PQ_K vectors' subvectors — the same
@@ -1148,39 +1196,8 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast codebook on the subspace key; the census is an
     O({M}x{K})-key partial aggregate. The codebook bootstrap
     (vec_id < {K}) is a filter, not a collect."""
-    base = _qbase(spark, sf_dir)
-    slices = F.array(
-        *[
-            F.slice("qv", i * PQ_SUBDIM + 1, PQ_SUBDIM)
-            for i in range(PQ_M)
-        ]
-    )
-    subs = base.select(
-        "vec_id", F.posexplode(slices).alias("subspace", "sv")
-    ).select("vec_id", F.col("subspace").cast("int").alias("subspace"), "sv")
-    codebook = F.broadcast(
-        subs.where(F.col("vec_id") < PQ_K).select(
-            "subspace",
-            F.col("vec_id").alias("code"),
-            F.col("sv").alias("cv"),
-        )
-    )
-    scored = subs.join(codebook, "subspace").withColumn(
-        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
-    )
-    # argmin via min(struct(d, code)): lexicographic struct-min is
-    # exactly the (distance, code-id) tie-broken assignment the oracle
-    # ranks, but partial-aggregates map-side — the K-way fan-out
-    # collapses before the shuffle instead of sorting inside a
-    # (vec, subspace) window.
-    assigned = (
-        scored.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d", "code")).alias("best"))
-        .select(
-            "subspace",
-            F.col("best.code").alias("code"),
-            F.col("best.d").alias("d"),
-        )
+    assigned = _pq_assigned(_qbase(spark, sf_dir)).select(
+        "subspace", "code", "d"
     )
     return (
         assigned.groupBy("subspace", F.col("code").cast("bigint").alias("code"))
@@ -1196,6 +1213,116 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_pq_codebook.__doc__ = embedding_pq_codebook.__doc__.replace(
     "{M}", str(PQ_M)
 ).replace("{K}", str(PQ_K))
+
+
+@query(
+    "ann_pq_topk",
+    # ADC search composed from the codebook query's own pieces: corpus
+    # codes (same tie-broken argmin), a query-side distance TABLE
+    # (query subvector x every codeword), and the table-lookup sum —
+    # all exact integers, rank tie-broken on neighbor id.
+    oracle=_qbase_sql()
+    + f""", subs AS (
+      SELECT vec_id, CAST(v.sub AS INT) AS subspace,
+             list_slice(qv, v.sub * {PQ_SUBDIM} + 1,
+                        v.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM qbase, (VALUES (0), (1), (2), (3)) v(sub)
+    ), codebook AS (
+      SELECT subspace, vec_id AS code, sv AS cv
+      FROM subs WHERE vec_id < {PQ_K}
+    ), codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT s.vec_id, s.subspace, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.subspace
+                 ORDER BY {_pq_sqdist('s.sv', 'c.cv', th.DUCK)}, c.code
+               ) AS rn
+        FROM subs s JOIN codebook c USING (subspace)
+      ) WHERE rn = 1
+    ), dtable AS (
+      SELECT q.vec_id AS query_id, c.subspace, c.code,
+             {_pq_sqdist('q.sv', 'c.cv', th.DUCK)} AS qd
+      FROM subs q JOIN codebook c USING (subspace)
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ), adc AS (
+      SELECT d.query_id, x.vec_id AS neighbor_id,
+             CAST(SUM(d.qd) AS BIGINT) AS adc_sqdist
+      FROM codes x
+      JOIN dtable d ON d.subspace = x.subspace AND d.code = x.code
+      WHERE x.vec_id <> d.query_id
+      GROUP BY d.query_id, x.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc_sqdist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_sqdist, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_sqdist, rank FROM ranked
+    WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al. 2011's ADC) — the
+    SEARCH side the codebook census prepares for: corpus vectors are
+    encoded once as {M} byte codes, each query precomputes its {M}x{K}
+    distance table against the codewords, and a vector's approximate
+    distance is {M} table lookups summed — no full-dimension math per
+    candidate, which is the whole point of PQ-compressed serving.
+
+    Spark shape at 100 TB: corpus encoding is the codebook query's
+    broadcast-join argmin (one shuffle keyed (vec, subspace)); the
+    distance table is queries x codewords, O(|Q| x {M} x {K}) rows,
+    BROADCAST; ADC is then a broadcast equi-join on (subspace, code)
+    with a map-side partial SUM down to |Q| x corpus candidate rows,
+    and the rank window runs on the small query key space — the
+    corpus never shuffles with itself and never re-reads full vectors
+    during scoring (same brute-force-vs-index contract as
+    ``ann_ivf_persisted_topk``; accuracy vs exact search is
+    ``ann_recall_eval``'s job)."""
+    subs = _pq_subs(_qbase(spark, sf_dir))
+    codebook = _pq_codebook(subs)
+    scored = subs.join(codebook, "subspace").withColumn(
+        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
+    )
+    codes = (
+        scored.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select("vec_id", "subspace", F.col("best.code").alias("code"))
+    )
+    qsubs = subs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("subspace").alias("q_subspace"),
+        F.col("sv").alias("q_sv"),
+    )
+    dtable = F.broadcast(
+        qsubs.join(
+            codebook, F.col("q_subspace") == F.col("subspace")
+        ).select(
+            "query_id",
+            "subspace",
+            "code",
+            F.expr(_pq_sqdist("q_sv", "cv", th.SPARK)).alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(dtable, ["subspace", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qd")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").cast("bigint").alias("adc_sqdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_sqdist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_sqdist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ann_pq_topk.__doc__ = ann_pq_topk.__doc__.replace("{M}", str(PQ_M)).replace(
+    "{K}", str(PQ_K)
+)
 
 
 @query(

@@ -145,3 +145,21 @@ def test_persisted_ivf_probe_plans_dynamic_pruning(spark):
     df = ann_ivf_persisted_topk(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ann_pq_topk_plan_shape(spark):
+    """ADC search must stay index-shaped: the query-side distance
+    table BROADCASTS (no corpus-corpus shuffle join), the codebook
+    scans carry the pushed ``vec_id < PQ_K`` bootstrap filter
+    (row-group pruned at scale), and scoring needs no
+    full-dimension vector math — no dot product over the 64-d array
+    appears after the code-assignment aggregate."""
+    import re
+
+    from end2end_data_pipeline_spark.operators.similarity import ann_pq_topk
+
+    df = ann_pq_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "LessThan(vec_id,8)" in plan, plan[:2000]
