@@ -434,6 +434,92 @@ def webdataset_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audit_members_by_shard(spark, spark.table(table), sf_dir)
 
 
+# --- PNG pixel parity -------------------------------------------------
+
+IMAGE_DOC_LIMIT = 15  # 15 docs -> doc_id % 5 hits every PNG filter 3x
+# Deterministic RGB pattern both engines can generate exactly:
+# channel values of pixel i of doc d are (d*M + i*N) mod 256 with
+# per-channel multipliers; all operands nonnegative before the mod.
+_I_RMUL, _I_GMUL, _I_BMUL = (31, 17, 23)
+_I_RIX, _I_GIX, _I_BIX = (7, 11, 13)
+_I_W = "CAST(8 + (doc_id % 5)*4 AS INTEGER)"
+_I_H = "CAST(6 + (doc_id % 3)*4 AS INTEGER)"
+
+
+def _make_png(doc_id: int) -> bytes:
+    from end2end_data_pipeline_spark.functions.png_min import encode_png
+
+    w = 8 + (doc_id % 5) * 4
+    h = 6 + (doc_id % 3) * 4
+    px = bytearray()
+    for i in range(w * h):
+        px.append((doc_id * _I_RMUL + i * _I_RIX) % 256)
+        px.append((doc_id * _I_GMUL + i * _I_GIX) % 256)
+        px.append((doc_id * _I_BMUL + i * _I_BIX) % 256)
+    # one fixture, every scanline filter: None/Sub/Up/Average/Paeth
+    return encode_png(w, h, bytes(px), mode="RGB", filter_type=doc_id % 5)
+
+
+@query(
+    "image_png_parity",
+    oracle=f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < {IMAGE_DOC_LIMIT}
+    ), px AS (
+      SELECT doc_id,
+             unnest(range(0, ({_I_W}) * ({_I_H}))) AS i
+      FROM ids
+    ), lum AS (
+      SELECT doc_id,
+             (  ((doc_id*{_I_RMUL} + i*{_I_RIX}) % 256) * 299
+              + ((doc_id*{_I_GMUL} + i*{_I_GIX}) % 256) * 587
+              + ((doc_id*{_I_BMUL} + i*{_I_BIX}) % 256) * 114) // 1000 AS l,
+               ((doc_id*{_I_RMUL} + i*{_I_RIX}) % 256)
+             + ((doc_id*{_I_GMUL} + i*{_I_GIX}) % 256)
+             + ((doc_id*{_I_BMUL} + i*{_I_BIX}) % 256) AS s
+      FROM px
+    )
+    SELECT doc_id,
+           'png' AS format,
+           {_I_W} AS width,
+           {_I_H} AS height,
+           CAST(3 AS INTEGER) AS n_channels,
+           CAST(SUM(l) // count(*) AS BIGINT) AS mean_luma,
+           CAST(SUM(l) AS BIGINT) AS sum_gray,
+           CAST(SUM(s) AS BIGINT) AS rgb_checksum
+    FROM lum GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def image_png_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image tier hash-checked like audio and video: deterministic
+    RGB patterns are rendered to real baseline-PNG bytes with the
+    stdlib codec (driver-side, ≤15 docs; ``doc_id % 5`` selects the
+    scanline filter so None/Sub/Up/Average/Paeth all ride the
+    fixture), decoded back by ``extract_png_stats`` (zlib inflate +
+    unfilter + vectorized integer luma inside ``mapInPandas``), while
+    DuckDB regenerates every pixel arithmetically — dimensions, exact
+    floored ITU-R 601-2 luma sums, and the raw channel checksum must
+    all agree, so a hash match certifies the full filter → deflate →
+    chunk → parse → unfilter loop byte-exact. Completes the multimodal
+    real-tier trio (``audio_pcm_parity``, ``video_container_parity``)."""
+    from end2end_data_pipeline_spark.operators.multimodal import (
+        extract_png_stats,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < IMAGE_DOC_LIMIT)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    payloads = spark.createDataFrame(
+        [(d, _make_png(d)) for d in ids], "doc_id long, payload binary"
+    )
+    return extract_png_stats(payloads).orderBy("doc_id")
+
+
 # --- AVI container metadata parity -----------------------------------
 
 VIDEO_DOC_LIMIT = 12

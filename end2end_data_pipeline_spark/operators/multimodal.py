@@ -559,3 +559,75 @@ def extract_video_features(payloads: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> typed container metadata, Arrow-
     batched — same plumbing contract as the image and audio tiers."""
     return payloads.mapInPandas(_extract_video, VIDEO_SCHEMA)
+
+
+# --- exact PNG pixel-stat tier ---------------------------------------
+# The tiered ``decode_features`` prefers PIL when importable, whose
+# convert('L') ROUNDS the ITU-R 601-2 luma while the stdlib codec
+# FLOORS — fine for the stubbed census, wrong for a hash oracle. This
+# extractor pins the pure-stdlib codec (functions/png_min.py) so the
+# numbers are identical on every machine, PIL installed or not.
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("mean_luma", LongType(), False),
+        StructField("sum_gray", LongType(), False),
+        StructField("rgb_checksum", LongType(), False),
+    ]
+)
+
+
+def png_pixel_stats(payload: bytes) -> dict:
+    """Exact integer pixel statistics for a baseline PNG via the
+    stdlib codec: floored per-pixel ITU-R 601-2 luma (summed and
+    mean'd in exact integers) plus the raw channel-sum checksum."""
+    import numpy as np
+
+    w, h, mode, pixels = png_min.decode_png(payload)
+    nch = len(mode)
+    px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+    if mode in ("L", "LA"):
+        gray = px.reshape(-1, nch)[:, 0]
+    else:
+        rgb = px.reshape(-1, nch)
+        gray = (rgb[:, 0] * 299 + rgb[:, 1] * 587 + rgb[:, 2] * 114) // 1000
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "n_channels": nch,
+        "mean_luma": int(gray.sum() // max(1, len(gray))),
+        "sum_gray": int(gray.sum()),
+        "rgb_checksum": int(px.sum()),
+    }
+
+
+def _extract_png_stats(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [png_pixel_stats(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "format": [f["format"] for f in feats],
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "n_channels": [f["n_channels"] for f in feats],
+                "mean_luma": [f["mean_luma"] for f in feats],
+                "sum_gray": [f["sum_gray"] for f in feats],
+                "rgb_checksum": [f["rgb_checksum"] for f in feats],
+            }
+        )
+
+
+def extract_png_stats(payloads: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> exact PNG pixel statistics, Arrow-
+    batched — the hash-oracle-grade image tier (raises on non-PNG
+    bytes rather than stubbing: a parity query wants loud failures)."""
+    return payloads.mapInPandas(_extract_png_stats, PNG_STATS_SCHEMA)

@@ -42,7 +42,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import load_table
 
 # Fixed day-1 slice: every testdata SF spans 2024-01-01 .. 2024-01-30,
@@ -57,6 +57,25 @@ MINUTE_FMT = "yyyy-MM-dd_HH-mm"  # stays a STRING partition value
 _WAREHOUSE: dict[tuple[str, str], str] = {}
 _REPLAY: dict[tuple[str, str], str] = {}
 _REPLAY_IDS = itertools.count()
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the ``events`` table for the replay
+    queries, handling BOTH fixture layouts: a single-file table
+    streams via a glob over ``sf_dir`` (the file source rejects a
+    plain file as its base path), a directory table streams directly
+    (a name glob over ``sf_dir`` would silently discover nothing
+    inside it — caught by the r9 single-row degenerate sweep). Schema
+    pinned from a footer-only batch read; ``ts`` normalized to a
+    timestamp the same way ``load_table`` does."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _day1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,13 +204,7 @@ def minute_counts_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # footer-only batch read: the file stream needs an explicit
         # schema, and deriving it from the file keeps the NTZ cast
         # below correct on both fixture layouts
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-        )
+        stream = _stream_events(spark, sf_dir)
         agg = (
             stream.where(
                 (F.col("ts") >= F.lit(SLICE_START).cast("timestamp"))
@@ -283,13 +296,7 @@ def session_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _REPLAY.get((key[0], sf_abs + "#session"))
     if table is None or not spark.catalog.tableExists(table):
         table = f"session_window_stream_replay_{next(_REPLAY_IDS)}"
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-        )
+        stream = _stream_events(spark, sf_dir)
         agg = (
             stream.where(
                 (F.col("ts") >= F.lit(SLICE_START).cast("timestamp"))
@@ -327,4 +334,75 @@ def session_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    # IDENTICAL oracle to the batch windowed-dedup rollup: the
+    # streaming engine's survivor counts must match the batch
+    # keep-first exactly.
+    "event_dedup_stream_replay",
+    oracle=ORACLE["event_dedup_within_window"],
+)
+def event_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 driver-visible parity: the windowed dedup computed BY THE
+    STREAMING ENGINE — file source, per-row bucket derivation,
+    streaming ``dropDuplicates`` on (user, type, 10-minute bucket),
+    append-mode memory sink, availableNow drain — must reproduce the
+    batch keep-first rollup (``event_dedup_within_window``). Survivor
+    IDENTITY within a key is arrival-order-dependent in a streaming
+    dedup, so the shared oracle hashes the order-invariant facts: per
+    type, total events in vs distinct keys out.
+
+    The replay pins plain ``dropDuplicates`` (state never evicted →
+    deterministic across any micro-batch split of the bounded
+    fixture); the unbounded-production form is
+    ``dropDuplicatesWithinWatermark`` with bounded state, golden-tested
+    in ``streaming/pipeline.py`` — eviction there is a liveness
+    tradeoff the bounded replay does not need."""
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    table = _REPLAY.get((key[0], sf_abs + "#dedup"))
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"event_dedup_stream_replay_{next(_REPLAY_IDS)}"
+        stream = _stream_events(spark, sf_dir)
+        kept = stream.withColumn(
+            "bucket", F.floor(F.unix_timestamp("ts") / 600).cast("bigint")
+        ).dropDuplicates(["user_id", "event_type", "bucket"])
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", key[0], table
+        )
+        q = (
+            kept.select("event_type", "user_id", "bucket")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[(key[0], sf_abs + "#dedup")] = table
+    survivors = (
+        spark.table(table)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_total"))
+    )
+    return (
+        totals.join(survivors, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0))
+                / F.col("n_total").cast("double")
+            ).alias("keep_ratio"),
+        )
+        .orderBy("event_type")
     )
