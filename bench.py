@@ -134,6 +134,11 @@ HEADLINE = [
     # they time a driver-side fixture build plus a kilobyte-scale
     # read, not engine throughput.)
     "order_value_ge2_index",
+    # round-9 additions. (Excluded, same conventions: the OCF/CSV/PNG
+    # parity queries and the stream replays time fixture builds and
+    # sink lifecycles; docs_shard_skew_profile and
+    # warehouse_compaction_audit time one-time layout writes.)
+    "ann_pq_topk",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -406,3 +406,99 @@ def event_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Hour-1 slice for the compaction audit: small enough that the
+# deliberately fragmented fixture stays cheap (≤60 minute partitions),
+# real enough to exercise the per-partition swap protocol end to end.
+COMPACT_SLICE_END = "2024-01-01 01:00:00"
+COMPACT_WRITE_FILES = 3  # files per partition BEFORE compaction
+
+
+def _fragmented_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per session+sf) an hour-1 minute-partitioned
+    warehouse written DELIBERATELY fragmented (repartition(3) inside
+    each minute), then bin-pack it with ``compact_warehouse`` at a
+    target that merges each partition to one file."""
+    from end2end_data_pipeline_spark.sources.compaction import (
+        compact_warehouse,
+    )
+
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    cached = _WAREHOUSE.get((key[0], sf_abs + "#compact"))
+    if cached and os.path.isdir(cached):
+        return cached
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_abs))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_compact", key[0], tag
+    )
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(SLICE_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(COMPACT_SLICE_END).cast("timestamp"))
+    )
+    (
+        ev.withColumn("minute_key", F.date_format("ts", MINUTE_FMT))
+        .repartition(COMPACT_WRITE_FILES)
+        .write.mode("overwrite")
+        .partitionBy("minute_key")
+        .parquet(path)
+    )
+    compact_warehouse(
+        spark, path, target_bytes=1 << 30, partition_col="minute_key"
+    )
+    _WAREHOUSE[(key[0], sf_abs + "#compact")] = path
+    return path
+
+
+@query(
+    "warehouse_compaction_audit",
+    # The compacted warehouse is a pure re-layout: every per-minute
+    # rollup must match raw SQL over events, and the bin-pack target
+    # (1 GiB >> any partition) forces exactly ONE file per partition —
+    # a literal the oracle can assert.
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d_%H-%M') AS minute_key,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-01 01:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def warehouse_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file compactor (``sources/compaction.py`` — Delta/
+    Iceberg-style bin-packing with atomic staging-dir swap) made
+    driver-visible: an hour slice is written THREE files per minute
+    partition, compacted to the 1-file-per-partition bin-pack, then
+    audited — per-minute row counts and exact cent sums must match raw
+    SQL over ``events`` (compaction moved every row, dropped none,
+    corrupted nothing) and ``n_files`` (a DISTRIBUTED
+    ``_metadata.file_path`` distinct-count, no driver directory walk)
+    must be exactly 1 everywhere, proving the bin-pack actually
+    happened. The swap protocol's crash-safety (staging leftovers fail
+    fast, old copy preserved) is unit-tested in
+    ``tests/test_compaction.py``; this query is the value-preservation
+    proof at the registry gate."""
+    path = _fragmented_warehouse(spark, sf_dir)
+    layout_schema = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("minute_key", F.date_format("ts", MINUTE_FMT))
+        .schema
+    )
+    wh = spark.read.schema(layout_schema).parquet(path)
+    return (
+        wh.groupBy("minute_key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+            F.countDistinct(F.col("_metadata.file_path")).cast("bigint")
+            .alias("n_files"),
+        )
+        .orderBy("minute_key")
+    )
