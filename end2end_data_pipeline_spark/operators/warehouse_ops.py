@@ -502,3 +502,76 @@ def warehouse_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("minute_key")
     )
+
+
+@query(
+    "view_purchase_stream_join_replay",
+    # Naive inequality self-join as the oracle, native-precision
+    # timestamp arithmetic on both engines (the join condition is
+    # microsecond-exact; only the reported gap is floored to ms).
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(epoch_ms(p.ts) - epoch_ms(v.ts)), 0) AS BIGINT)
+             AS total_gap_ms,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 15 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def view_purchase_stream_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The watermarked STREAM-STREAM join made driver-visible: views
+    and purchases arrive as two streams over the same events source,
+    join on user within a 15-minute band
+    (``streaming/joins.py:purchases_after_views`` — the exact
+    production operator, not a replica), drain into an append memory
+    sink, and the match rollup must hash-match the naive batch
+    inequality join. Covers the join-state machinery (two buffered
+    sides, band condition) that the tumbling/session/dedup replays
+    don't touch.
+
+    Determinism: the replay passes a watermark far past the fixture's
+    span, so no join state is ever evicted mid-drain and every match
+    is emitted regardless of how the file source splits batches; the
+    production form's tight watermark (bounded state, late data
+    dropped) is golden-tested in ``tests/test_streaming_joins.py``."""
+    from end2end_data_pipeline_spark.streaming.joins import (
+        purchases_after_views,
+    )
+
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    table = _REPLAY.get((key[0], sf_abs + "#vpjoin"))
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"view_purchase_join_replay_{next(_REPLAY_IDS)}"
+        stream = _stream_events(spark, sf_dir)
+        matched = purchases_after_views(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "purchase"),
+            within="15 minutes",
+            watermark="60 days",  # fixture spans 30 days: never evict
+            ts_col="ts",
+        )
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", key[0], table
+        )
+        q = (
+            matched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[(key[0], sf_abs + "#vpjoin")] = table
+    return spark.table(table).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("gap_ms"), F.lit(0)).cast("bigint").alias(
+            "total_gap_ms"
+        ),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
