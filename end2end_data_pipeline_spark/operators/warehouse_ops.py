@@ -575,3 +575,67 @@ def view_purchase_stream_join_replay(
         ),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    # IDENTICAL oracle to the batch gaps-and-islands twin: the custom
+    # stateful operator must fire the same alerts at the same instants.
+    "error_streak_stream_replay",
+    oracle=ORACLE["event_error_streaks"],
+)
+def error_streak_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (§2.8's one sanctioned Python
+    state machine — ``applyInPandasWithState`` streak tracking,
+    ``streaming/stateful.py:error_streak_alerts``) run on the real
+    streaming engine against the driver events table and hash-matched
+    against the batch gaps-and-islands query: every (user, instant,
+    streak=threshold) alert must agree exactly. ``event_id`` rides as
+    the tie-break column so same-timestamp ordering is pinned to the
+    batch window's, not to shuffle arrival order.
+
+    Determinism: the availableNow drain delivers the bounded fixture
+    in one micro-batch, so each user's whole history is sorted once in
+    the worker — the strict-ordering caveat documented on the operator
+    (production pairs a watermark with small triggers, golden-tested
+    in ``tests/test_stateful_streaming.py``)."""
+    from end2end_data_pipeline_spark.streaming.stateful import (
+        error_streak_alerts,
+    )
+
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    table = _REPLAY.get((key[0], sf_abs + "#streaks"))
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"error_streak_replay_{next(_REPLAY_IDS)}"
+        stream = _stream_events(spark, sf_dir).withColumn(
+            "user_id", F.col("user_id").cast("string")
+        )
+        alerts = error_streak_alerts(
+            stream,
+            ts_col="ts",
+            error_predicate="event_type = 'error'",
+            watermark="60 days",  # bounded replay: never close groups early
+            tiebreak_col="event_id",
+        )
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", key[0], table
+        )
+        q = (
+            alerts.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[(key[0], sf_abs + "#streaks")] = table
+    return (
+        spark.table(table)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.unix_millis("alert_ts").alias("alert_ms"),
+            F.col("streak").cast("int").alias("streak"),
+        )
+        .orderBy("user_id", "alert_ms")
+    )

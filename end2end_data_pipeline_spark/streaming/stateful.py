@@ -42,7 +42,9 @@ STATE_SCHEMA = "streak int"
 DEFAULT_THRESHOLD = 3
 
 
-def _track_streaks(threshold: int, ts_col: str, error_col: str):
+def _track_streaks(
+    threshold: int, ts_col: str, error_col: str, tiebreak_col: str | None = None
+):
     def fn(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
@@ -59,7 +61,8 @@ def _track_streaks(threshold: int, ts_col: str, error_col: str):
         chunks = [pdf for pdf in batches if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values(ts_col)
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
             for ts, is_err in zip(pdf[ts_col], pdf[error_col]):
                 if is_err:
                     streak += 1
@@ -79,18 +82,24 @@ def error_streak_alerts(
     ts_col: str = "event_timestamp",
     error_predicate: str = "status = 'ERROR'",
     watermark: str = "2 minutes",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Alert stream: one row per (user, streak) the instant the run of
     consecutive errors reaches ``threshold``. Works on any event shape:
-    ``error_predicate`` is a SQL boolean over the input columns."""
+    ``error_predicate`` is a SQL boolean over the input columns;
+    ``tiebreak_col`` (e.g. an event id) pins the processing order of
+    same-timestamp events so stream and batch agree even on ties."""
     src = events
     if events.isStreaming:
         src = src.withWatermark(ts_col, watermark)
     keyed = src.selectExpr(
-        "user_id", ts_col, f"({error_predicate}) AS is_error"
+        "user_id",
+        ts_col,
+        f"({error_predicate}) AS is_error",
+        *([tiebreak_col] if tiebreak_col else []),
     ).groupBy("user_id")
     return keyed.applyInPandasWithState(
-        _track_streaks(threshold, ts_col, "is_error"),
+        _track_streaks(threshold, ts_col, "is_error", tiebreak_col),
         outputStructType=ALERT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
