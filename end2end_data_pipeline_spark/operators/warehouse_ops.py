@@ -639,3 +639,59 @@ def error_streak_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "alert_ms")
     )
+
+
+@query(
+    # IDENTICAL oracle to the batch groupBy-min twin: the new-entity
+    # detector must announce every user exactly once with the exact
+    # earliest timestamp.
+    "first_seen_stream_replay",
+    oracle=ORACLE["first_seen_users_batch"],
+)
+def first_seen_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful new-entity detector
+    (``streaming/stateful.py:first_seen_users``,
+    ``applyInPandasWithState`` with an announce-once state flag) run on
+    the real streaming engine and hash-matched against the batch
+    groupBy-min basis: one row per user, microsecond-exact earliest
+    event time, no duplicate announcements. The availableNow drain
+    delivers the bounded fixture in one micro-batch, so the operator's
+    AT-FIRST-BATCH contract coincides with the exact minimum (the
+    out-of-order divergence is pinned separately in
+    ``tests/test_stateful_streaming.py``)."""
+    from end2end_data_pipeline_spark.streaming.stateful import (
+        first_seen_users,
+    )
+
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    table = _REPLAY.get((key[0], sf_abs + "#firstseen"))
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"first_seen_replay_{next(_REPLAY_IDS)}"
+        stream = _stream_events(spark, sf_dir).withColumn(
+            "user_id", F.col("user_id").cast("string")
+        )
+        announced = first_seen_users(stream, ts_col="ts", watermark="60 days")
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", key[0], table
+        )
+        q = (
+            announced.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[(key[0], sf_abs + "#firstseen")] = table
+    return (
+        spark.table(table)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_ts"
+            ),
+        )
+        .orderBy("user_id")
+    )
