@@ -139,6 +139,7 @@ HEADLINE = [
     # sink lifecycles; docs_shard_skew_profile and
     # warehouse_compaction_audit time one-time layout writes.)
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -434,6 +434,92 @@ def webdataset_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audit_members_by_shard(spark, spark.table(table), sf_dir)
 
 
+# --- ORC roundtrip ----------------------------------------------------
+
+ORC_DOC_LIMIT = 250
+ORC_PARTS = 3
+ORC_TS_OFFSET_US = 654_321  # micros-since-epoch = doc_id*1e6 + offset
+
+
+def _orc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write doc_id < ORC_DOC_LIMIT through Spark's native ORC sink
+    (distributed, ORC_PARTS files) with a derived timestamp column so
+    ORC's timestamp encoding rides the roundtrip."""
+    cached = _fixture_dir(spark, sf_dir, "orc")
+    if cached:
+        return cached
+    out = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < ORC_DOC_LIMIT)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            "n_chars",
+            F.timestamp_micros(
+                F.col("doc_id") * F.lit(1_000_000) + F.lit(ORC_TS_OFFSET_US)
+            ).alias("ts"),
+        )
+        .repartition(ORC_PARTS, "doc_id")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return _remember(spark, sf_dir, "orc", out)
+
+
+@query(
+    "orc_roundtrip",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(SUM(doc_id * 1000000 + {ORC_TS_OFFSET_US}) AS BIGINT)
+             AS sum_ts_us
+    FROM documents WHERE doc_id < {ORC_DOC_LIMIT}
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth batch format tier (after parquet, the stdlib-codec
+    Avro OCF, and JSONL/CSV text): documents → distributed native ORC
+    write → schema-pinned ORC read-back → per-lang rollup hash-matched
+    against pure SQL, with the byte-exact text re-join and the
+    arithmetic timestamp-micros check of ``avro_ocf_roundtrip`` — a
+    hash match certifies values survive ORC's dictionary/RLE encoding
+    and timestamp representation, not just counts. Schema pinned on
+    read (no inference pass; a drifting writer fails typed)."""
+    fix = _orc_fixture(spark, sf_dir)
+    schema = (
+        "doc_id bigint, lang string, text string, n_chars bigint, "
+        "ts timestamp"
+    )
+    back = spark.read.schema(schema).orc(fix)
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
+    )
+    return (
+        back.join(
+            F.broadcast(src), F.col("doc_id") == F.col("src_doc_id"), "left"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_nchars"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+            F.sum(
+                F.when(F.col("text") == F.col("src_text"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+            F.sum(F.unix_micros("ts")).cast("bigint").alias("sum_ts_us"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- PNG pixel parity -------------------------------------------------
 
 IMAGE_DOC_LIMIT = 15  # 15 docs -> doc_id % 5 hits every PNG filter 3x

@@ -1326,6 +1326,154 @@ ann_pq_topk.__doc__ = ann_pq_topk.__doc__.replace("{M}", str(PQ_M)).replace(
 
 
 @query(
+    "ann_ivfpq_topk",
+    # IVF coarse quantizer + PQ fine codes composed from their own
+    # queries' pieces: candidates limited to each query's IVF_NPROBE
+    # nearest cells, scored by the same ADC table-lookup sum as
+    # ann_pq_topk. PQ here encodes RAW vectors (not residuals) — the
+    # residual refinement is a quantizer variant, not a search-shape
+    # change, and raw codes keep both engines' derivations identical.
+    oracle=_qbase_sql()
+    + _ivf_assign_sql()
+    + f""", subs AS (
+      SELECT a.vec_id, a.cell_id, CAST(v.sub AS INT) AS subspace,
+             list_slice(a.qv, v.sub * {PQ_SUBDIM} + 1,
+                        v.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM assigned a, (VALUES (0), (1), (2), (3)) v(sub)
+    ), codebook AS (
+      SELECT subspace, vec_id AS code, sv AS cv
+      FROM subs WHERE vec_id < {PQ_K}
+    ), codes AS (
+      SELECT vec_id, cell_id, subspace, code FROM (
+        SELECT s.vec_id, s.cell_id, s.subspace, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.subspace
+                 ORDER BY {_pq_sqdist('s.sv', 'c.cv', th.DUCK)}, c.code
+               ) AS rn
+        FROM subs s JOIN codebook c USING (subspace)
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT v.vec_id AS query_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {vec.cosine_q('v.qv', 'c.qv', 'v.norm2', 'c.norm2', th.DUCK)} DESC, c.cell_id) AS rn
+        FROM qbase v CROSS JOIN centroids c
+        WHERE v.vec_id % {QUERY_STRIDE} = 0
+      ) WHERE rn <= {IVF_NPROBE}
+    ), dtable AS (
+      SELECT q.vec_id AS query_id, c.subspace, c.code,
+             {_pq_sqdist('q.sv', 'c.cv', th.DUCK)} AS qd
+      FROM subs q JOIN codebook c USING (subspace)
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ), adc AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             CAST(SUM(d.qd) AS BIGINT) AS adc_sqdist
+      FROM codes x
+      JOIN probes p ON p.cell_id = x.cell_id AND x.vec_id <> p.query_id
+      JOIN dtable d ON d.query_id = p.query_id
+                   AND d.subspace = x.subspace AND d.code = x.code
+      GROUP BY p.query_id, x.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc_sqdist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_sqdist, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_sqdist, rank FROM ranked
+    WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition real vector indexes ship (Jégou et
+    al. 2011; the FAISS `IVFx,PQy` default): the coarse quantizer
+    prunes the corpus to each query's {NPROBE} nearest cells, and the
+    survivors are scored by PQ asymmetric distance — {M} table
+    lookups per candidate, never full-dimension math. Recall loses to
+    exact search twice (cell pruning + code quantization), which is
+    exactly the dial pair (nprobe, codebook size) serving systems
+    tune; `ann_recall_eval` owns the accuracy measurement.
+
+    Spark shape at 100 TB: ONE corpus pass fuses cell assignment (the
+    broadcast O(n x cells) argmax) with PQ encoding (subvector explode
+    + broadcast codebook argmin — one (vec, subspace)-keyed shuffle);
+    the query side (probe list + distance tables) is O(|Q|) work
+    BROADCAST; candidate generation is a broadcast semi-filter to the
+    probed cells, so the scored fan-out is |Q| x (corpus/cells x
+    nprobe) x {M} rows collapsing through a map-side partial SUM; the
+    rank window runs on the query key space. The corpus never joins
+    itself and never re-reads full vectors after encoding."""
+    base = _qbase(spark, sf_dir)
+    assigned = _ivf_assign_frame(base, _ivf_centroids(base))
+    slices = F.array(
+        *[F.slice("qv", i * PQ_SUBDIM + 1, PQ_SUBDIM) for i in range(PQ_M)]
+    )
+    subs = assigned.select(
+        "vec_id", "cell_id", F.posexplode(slices).alias("subspace", "sv")
+    ).select(
+        "vec_id",
+        "cell_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        "sv",
+    )
+    codebook = _pq_codebook(subs)
+    scored = subs.join(codebook, "subspace").withColumn(
+        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
+    )
+    codes = (
+        scored.groupBy("vec_id", "cell_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select(
+            "vec_id", "cell_id", "subspace", F.col("best.code").alias("code")
+        )
+    )
+    probes = F.broadcast(
+        _ivf_probes(spark, sf_dir, IVF_NPROBE).select("query_id", "q_cell")
+    )
+    qsubs = _pq_subs(_qbase(spark, sf_dir)).where(
+        F.col("vec_id") % QUERY_STRIDE == 0
+    )
+    dtable = F.broadcast(
+        qsubs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("subspace").alias("q_subspace"),
+            F.col("sv").alias("q_sv"),
+        )
+        .join(codebook, F.col("q_subspace") == F.col("subspace"))
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            F.expr(_pq_sqdist("q_sv", "cv", th.SPARK)).alias("qd"),
+        )
+    )
+    cand = codes.join(
+        probes,
+        (F.col("cell_id") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    adc = (
+        cand.join(dtable, ["query_id", "subspace", "code"])
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qd")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").cast("bigint").alias("adc_sqdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_sqdist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_sqdist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ann_ivfpq_topk.__doc__ = (
+    ann_ivfpq_topk.__doc__.replace("{M}", str(PQ_M))
+    .replace("{K}", str(PQ_K))
+    .replace("{NPROBE}", str(IVF_NPROBE))
+)
+
+
+@query(
     # IDENTICAL oracle to ann_ivf_cells: the audit must see exactly
     # the census the in-memory assignment produces — a drifted
     # persisted index is the failure this query exists to catch.
