@@ -63,32 +63,35 @@ def test_checked_window_contract():
     assert set(QUERIES) == set(RAW)
     assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
-        # round-8 window composition (VERDICT r7 #2/#3): the eleven
-        # new registrations first, then the stalest r1/r2 greens —
-        # map re-aligned to THIS window per the rotation rule below.
-        "q8_market_share_bucketed": "bucketed layout (exchange-free join)",
-        "q15_top_supplier_bucketed": "bucketed layout (exchange-free agg)",
-        "webdataset_": "tar-shard ingest parity",
-        "jsonl_": "jsonl quarantine ingest parity",
-        "audio_": "audio codec parity",
-        "order_value_ge2_index": "inequality decomposition",
-        "ivf_cell_occupancy_audit": "persisted-index health audit",
-        "webdataset_stream_replay": "streaming ingest parity (shards)",
-        "jsonl_stream_replay": "streaming ingest parity (jsonl)",
-        "video_container_parity": "video container metadata parity",
-        # stalest-regreen families (r1/r2 rows being refreshed)
+        # round-9 window composition: thirteen new registrations
+        # first (tools/rotate_window.py puts every awaiting query at
+        # the head), then the stalest r2/r4/r5 greens — map re-aligned
+        # to THIS window per the rotation rule.
+        "docs_shard_skew_profile": "distributed shard-writer audit",
+        "avro_ocf_roundtrip": "Avro OCF serde parity",
+        "orc_roundtrip": "ORC format parity",
+        "csv_": "csv quarantine ingest parity (batch + stream)",
+        "image_png_parity": "image codec parity",
+        "ann_pq_topk": "PQ asymmetric-distance search",
+        "ann_ivfpq_topk": "IVF-PQ composed search",
+        "warehouse_compaction_audit": "small-file compaction audit",
+        "event_dedup_stream_replay": "streaming dedup replay",
+        "view_purchase_stream_join_replay": "stream-stream join replay",
+        "error_streak_stream_replay": "custom stateful streak replay",
+        "first_seen_stream_replay": "stateful first-seen replay",
+        # stalest-regreen families (r2/r4 rows being refreshed)
         "dedup_": "dedup",
         "event_": "event analytics",
         "multimodal_": "multimodal",
         "ann_": "similarity",
-        "salted_": "skew pattern",
-        "epoch_ms_roundtrip": "epoch roundtrip + minute naming",
-        "param_sql_minute_extract": "parameterized extract",
-        "projection_filter_pushdown": "projection/filter pushdown",
-        "top_orders_": "top-N",
-        "customers_": "set ops / scalar subqueries",
-        "string_munging_props": "scalar functions",
-        "dedup_clusters": "iterative connected components",
+        "doc": "text/corpus analysis",
+        "kmeans_": "clustering",
+        "q1": "TPC-H shapes",
+        "nation_trade_pagerank": "iterative graph",
+        "incr_dedup_": "incremental dedup",
+        "value_tier_range_join": "band join",
+        "orders_grouping_sets": "grouping sets",
+        "lineitem_charge_unpivot": "unpivot",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
