@@ -76,6 +76,11 @@ WAIVERS: dict[str, str] = {
     # broadcast centroid scoring on its QUERY side; the index side is
     # a DPP-pruned equi-join (asserted in tests/test_plan_audit.py).
     "ann_ivf_persisted_topk": "bnlj-over-two-scans",
+    # IVF-PQ inherits the waived O(n x 16) broadcast centroid scoring
+    # (fused cell assignment + query probes); its own joins — codes,
+    # the probe semi-filter, the ADC table lookups — are all broadcast
+    # equi-joins (asserted in tests/test_plan_audit.py).
+    "ann_ivfpq_topk": "bnlj-over-two-scans",
     # 1-row broadcast scalar attach (global aggregate cross-joined back
     # onto the distributed side) — the standard way to apply a global
     # total/max without collecting to the driver; nothing large moves.
