@@ -27,7 +27,6 @@ several registered queries) — the bucket count would be sized at
 from __future__ import annotations
 
 import os
-import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,7 +37,7 @@ from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.bucketing import (
     cobucket_orders_lineitem,
 )
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import load_table, sf_tag
 
 # (applicationId, abs sf_dir) -> (orders_table, lineitem_table)
 _BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
@@ -59,7 +58,7 @@ def bucketed_orders_lineitem(
     cached = _BUCKETED.get(key)
     if cached and all(spark.catalog.tableExists(t) for t in cached):
         return cached
-    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_abs))
+    tag = sf_tag(sf_abs)
     out = os.path.join(
         tempfile.gettempdir(), "spark_graft_bucketed", app_id, tag
     )
@@ -241,7 +240,7 @@ def bucketed_lineitem_by_suppkey(spark: SparkSession, sf_dir: str) -> str:
     cached = _BUCKETED_SUPP.get(key)
     if cached and spark.catalog.tableExists(cached):
         return cached
-    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_abs))
+    tag = sf_tag(sf_abs)
     name = f"bkt_{tag}_lineitem_supp"
     out = os.path.join(
         tempfile.gettempdir(), "spark_graft_bucketed", app_id, tag, name

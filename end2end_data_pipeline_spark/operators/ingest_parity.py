@@ -435,69 +435,38 @@ def webdataset_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audit_members_by_shard(spark, spark.table(table), sf_dir)
 
 
-# --- ORC roundtrip ----------------------------------------------------
+# --- shared pieces for the columnar-format roundtrips (OCF + ORC) ----
+# One implementation of the fixture select, the audited rollup, and
+# the oracle template, parameterized on (limit, ts offset) — the two
+# format tiers must share ONE contract so a fix to either side cannot
+# silently miss the other (r9 code review).
 
-ORC_DOC_LIMIT = 250
-ORC_PARTS = 3
-ORC_TS_OFFSET_US = 654_321  # micros-since-epoch = doc_id*1e6 + offset
 
-
-def _orc_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Write doc_id < ORC_DOC_LIMIT through Spark's native ORC sink
-    (distributed, ORC_PARTS files) with a derived timestamp column so
-    ORC's timestamp encoding rides the roundtrip."""
-    cached = _fixture_dir(spark, sf_dir, "orc")
-    if cached:
-        return cached
-    out = tempfile.mkdtemp(prefix="spark_graft_orc_")
-    (
+def _ts_docs_frame(spark: SparkSession, sf_dir: str, limit: int,
+                   ts_offset_us: int) -> DataFrame:
+    """doc_id < limit with the derived timestamp-micros column that
+    rides each format roundtrip (micros = doc_id*1e6 + offset)."""
+    return (
         load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < ORC_DOC_LIMIT)
+        .where(F.col("doc_id") < limit)
         .select(
             "doc_id",
             "lang",
             "text",
             "n_chars",
             F.timestamp_micros(
-                F.col("doc_id") * F.lit(1_000_000) + F.lit(ORC_TS_OFFSET_US)
+                F.col("doc_id") * F.lit(1_000_000) + F.lit(ts_offset_us)
             ).alias("ts"),
         )
-        .repartition(ORC_PARTS, "doc_id")
-        .write.mode("overwrite")
-        .orc(out)
     )
-    return _remember(spark, sf_dir, "orc", out)
 
 
-@query(
-    "orc_roundtrip",
-    oracle=f"""
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
-           CAST(SUM(length(text)) AS BIGINT) AS chars,
-           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
-           CAST(SUM(doc_id * 1000000 + {ORC_TS_OFFSET_US}) AS BIGINT)
-             AS sum_ts_us
-    FROM documents WHERE doc_id < {ORC_DOC_LIMIT}
-    GROUP BY lang ORDER BY lang
-    """,
-)
-def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fourth batch format tier (after parquet, the stdlib-codec
-    Avro OCF, and JSONL/CSV text): documents → distributed native ORC
-    write → schema-pinned ORC read-back → per-lang rollup hash-matched
-    against pure SQL, with the byte-exact text re-join and the
-    arithmetic timestamp-micros check of ``avro_ocf_roundtrip`` — a
-    hash match certifies values survive ORC's dictionary/RLE encoding
-    and timestamp representation, not just counts. Schema pinned on
-    read (no inference pass; a drifting writer fails typed)."""
-    fix = _orc_fixture(spark, sf_dir)
-    schema = (
-        "doc_id bigint, lang string, text string, n_chars bigint, "
-        "ts timestamp"
-    )
-    back = spark.read.schema(schema).orc(fix)
+def _format_roundtrip_rollup(
+    spark: SparkSession, sf_dir: str, back: DataFrame
+) -> DataFrame:
+    """Per-lang audit over a format's read-back frame: counts, parsed
+    numeric sums, byte-exact text re-join against the source table
+    (broadcast dim), and the arithmetic timestamp check."""
     src = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
     )
@@ -519,6 +488,66 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _format_roundtrip_oracle(limit: int, ts_offset_us: int) -> str:
+    return f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(SUM(doc_id * 1000000 + {ts_offset_us}) AS BIGINT)
+             AS sum_ts_us
+    FROM documents WHERE doc_id < {limit}
+    GROUP BY lang ORDER BY lang
+    """
+
+
+# --- ORC roundtrip ----------------------------------------------------
+
+ORC_DOC_LIMIT = 250
+ORC_PARTS = 3
+ORC_TS_OFFSET_US = 654_321  # micros-since-epoch = doc_id*1e6 + offset
+
+
+def _orc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write doc_id < ORC_DOC_LIMIT through Spark's native ORC sink
+    (distributed, ORC_PARTS files) with a derived timestamp column so
+    ORC's timestamp encoding rides the roundtrip."""
+    cached = _fixture_dir(spark, sf_dir, "orc")
+    if cached:
+        return cached
+    out = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    (
+        _ts_docs_frame(spark, sf_dir, ORC_DOC_LIMIT, ORC_TS_OFFSET_US)
+        .repartition(ORC_PARTS, "doc_id")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return _remember(spark, sf_dir, "orc", out)
+
+
+@query(
+    "orc_roundtrip",
+    oracle=_format_roundtrip_oracle(ORC_DOC_LIMIT, ORC_TS_OFFSET_US),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth batch format tier (after parquet, the stdlib-codec
+    Avro OCF, and JSONL/CSV text): documents → distributed native ORC
+    write → schema-pinned ORC read-back → per-lang rollup hash-matched
+    against pure SQL, with the byte-exact text re-join and the
+    arithmetic timestamp-micros check of ``avro_ocf_roundtrip`` — a
+    hash match certifies values survive ORC's dictionary/RLE encoding
+    and timestamp representation, not just counts. Schema pinned on
+    read (no inference pass; a drifting writer fails typed)."""
+    fix = _orc_fixture(spark, sf_dir)
+    schema = (
+        "doc_id bigint, lang string, text string, n_chars bigint, "
+        "ts timestamp"
+    )
+    back = spark.read.schema(schema).orc(fix)
+    return _format_roundtrip_rollup(spark, sf_dir, back)
 
 
 # --- PNG pixel parity -------------------------------------------------
@@ -783,6 +812,14 @@ def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
         .orderBy("doc_id")
         .collect()
     )
+    # the fixture reads back with multiLine=false, so a quoted field
+    # containing a line break would split across physical lines and
+    # surface as extra quarantined rows — fail loudly at fixture build
+    # on a regenerated corpus instead (same philosophy as the
+    # WebDataset dense-prefix guard)
+    assert all(
+        "\n" not in r["text"] and "\r" not in r["text"] for r in docs
+    ), "documents.text contains line breaks; CSV fixture needs multiLine"
     corrupt = list(CSV_CORRUPT_LINES)
     lines: list[str] = []
     for i, r in enumerate(docs):
@@ -1021,20 +1058,9 @@ def _ocf_fixture(spark: SparkSession, sf_dir: str) -> str:
     cached = _fixture_dir(spark, sf_dir, "ocf")
     if cached:
         return cached
-    df = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < OCF_DOC_LIMIT)
-        .select(
-            "doc_id",
-            "lang",
-            "text",
-            "n_chars",
-            F.timestamp_micros(
-                F.col("doc_id") * F.lit(1_000_000) + F.lit(OCF_TS_OFFSET_US)
-            ).alias("ts"),
-        )
-        .repartition(OCF_PARTS, "doc_id")
-    )
+    df = _ts_docs_frame(
+        spark, sf_dir, OCF_DOC_LIMIT, OCF_TS_OFFSET_US
+    ).repartition(OCF_PARTS, "doc_id")
     out = tempfile.mkdtemp(prefix="spark_graft_ocf_")
     write_avro_ocf(df, out, codec="deflate").collect()
     return _remember(spark, sf_dir, "ocf", out)
@@ -1042,17 +1068,7 @@ def _ocf_fixture(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "avro_ocf_roundtrip",
-    oracle=f"""
-    SELECT lang,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
-           CAST(SUM(length(text)) AS BIGINT) AS chars,
-           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
-           CAST(SUM(doc_id * 1000000 + {OCF_TS_OFFSET_US}) AS BIGINT)
-             AS sum_ts_us
-    FROM documents WHERE doc_id < {OCF_DOC_LIMIT}
-    GROUP BY lang ORDER BY lang
-    """,
+    oracle=_format_roundtrip_oracle(OCF_DOC_LIMIT, OCF_TS_OFFSET_US),
 )
 def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The last serde tier made driver-visible (VERDICT r8 #4):
@@ -1080,25 +1096,5 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang string, n long, sum_nchars long, chars long, "
             "n_roundtrip_ok long, sum_ts_us long",
         )
-    src = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("src_doc_id"), F.col("text").alias("src_text")
-    )
     back = read_avro_ocf(spark, fix)
-    return (
-        back.join(
-            F.broadcast(src), F.col("doc_id") == F.col("src_doc_id"), "left"
-        )
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_chars").cast("bigint").alias("sum_nchars"),
-            F.sum(F.length("text")).cast("bigint").alias("chars"),
-            F.sum(
-                F.when(F.col("text") == F.col("src_text"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_roundtrip_ok"),
-            F.sum(F.unix_micros("ts")).cast("bigint").alias("sum_ts_us"),
-        )
-        .orderBy("lang")
-    )
+    return _format_roundtrip_rollup(spark, sf_dir, back)

@@ -1429,6 +1429,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = F.broadcast(
         _ivf_probes(spark, sf_dir, IVF_NPROBE).select("query_id", "q_cell")
     )
+    # Deliberately a FRESH scan + explode for the query side, not a
+    # filter on `subs`: reusing the frame object would not dedup the
+    # scan (no cache, no shared exchange) but WOULD drag the centroid
+    # cross-join + assignment window into the query branch — strictly
+    # more work for the same 2-scan total (r9 review, declined).
     qsubs = _pq_subs(_qbase(spark, sf_dir)).where(
         F.col("vec_id") % QUERY_STRIDE == 0
     )

@@ -36,14 +36,13 @@ from __future__ import annotations
 
 import itertools
 import os
-import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.registry import ORACLE, query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import load_table, sf_tag
 
 # Fixed day-1 slice: every testdata SF spans 2024-01-01 .. 2024-01-30,
 # so the literal is deterministic across scale factors (TESTDATA.md).
@@ -95,7 +94,7 @@ def day1_minute_warehouse(spark: SparkSession, sf_dir: str) -> str:
     cached = _WAREHOUSE.get(key)
     if cached and os.path.isdir(cached):
         return cached
-    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_abs))
+    tag = sf_tag(sf_abs)
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_warehouse", key[0], tag
     )
@@ -429,7 +428,7 @@ def _fragmented_warehouse(spark: SparkSession, sf_dir: str) -> str:
     cached = _WAREHOUSE.get((key[0], sf_abs + "#compact"))
     if cached and os.path.isdir(cached):
         return cached
-    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_abs))
+    tag = sf_tag(sf_abs)
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_compact", key[0], tag
     )

@@ -22,6 +22,11 @@ from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
+# (applicationId, path, schema json) -> the cached PERMISSIVE read —
+# one InMemoryRelation per distinct input, not per call (the ge2/q15
+# memo pattern, r9 code review; the CSV reader shares the discipline)
+_RAW_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def read_jsonl_docs(
     spark: SparkSession,
@@ -38,16 +43,21 @@ def read_jsonl_docs(
     full = T.StructType(
         [*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
-    raw = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        # Spark requires materializing the corrupt column before
-        # filtering on it (SPARK-21610): referencing it straight off
-        # the scan is disallowed, so land the batch through a cache
-        .cache()
-    )
+    memo_key = (spark.sparkContext.applicationId, path, full.json())
+    raw = _RAW_MEMO.get(memo_key)
+    if raw is None:
+        raw = (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+            # Spark requires materializing the corrupt column before
+            # filtering on it (SPARK-21610): referencing it straight
+            # off the scan is disallowed, so land the batch through a
+            # cache
+            .cache()
+        )
+        _RAW_MEMO[memo_key] = raw
     good = raw.where(F.col(CORRUPT_COL).isNull()).select(
         *[f.name for f in schema.fields]
     )

@@ -32,6 +32,21 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+def sf_tag(sf_abs: str) -> str:
+    """Filesystem-safe tag for per-sf_dir scratch paths: the readable
+    basename PLUS a short digest of the FULL path — two fixture dirs
+    with the same leaf name (tmp_path fixtures, parallel checkouts)
+    must never share a scratch directory (r9 code review: a
+    basename-only tag let one session's builds overwrite another
+    sf_dir's while the memo, keyed on the full path, kept serving the
+    overwritten copy)."""
+    import hashlib
+    import re
+
+    base = re.sub(r"[^0-9A-Za-z]", "_", __import__("os").path.basename(sf_abs))
+    return f"{base}_{hashlib.sha1(sf_abs.encode()).hexdigest()[:8]}"
+
+
 def _normalize_ntz(df: DataFrame) -> DataFrame:
     """Cast any TIMESTAMP_NTZ column to session-local TIMESTAMP.
 
