@@ -140,6 +140,7 @@ HEADLINE = [
     # warehouse_compaction_audit time one-time layout writes.)
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -49,6 +49,14 @@ def dot_q(a_expr: str, b_expr: str, dialect: str) -> str:
     )
 
 
+def sub_q(a_expr: str, b_expr: str, dialect: str) -> str:
+    """Exact elementwise difference of two quantized vectors (the
+    residual a - b that IVF-PQ encodes; integer math, order-free)."""
+    if dialect == SPARK:
+        return f"zip_with({a_expr}, {b_expr}, (x, y) -> x - y)"
+    return f"list_transform({a_expr}, (x, i) -> x - ({b_expr})[i])"
+
+
 def cosine_q(a_expr: str, b_expr: str, na_expr: str, nb_expr: str, dialect: str) -> str:
     """Cosine from exact integer dot + precomputed integer self-dots."""
     d = dot_q(a_expr, b_expr, dialect)

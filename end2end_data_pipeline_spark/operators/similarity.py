@@ -1503,3 +1503,173 @@ def ivf_cell_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+@query(
+    "ann_ivfpq_residual_topk",
+    # The RESIDUAL refinement of ann_ivfpq_topk — what FAISS's
+    # IVFx,PQy actually encodes: each vector's PQ codes quantize
+    # (vector − its cell centroid), which concentrates the code
+    # distribution near zero and is why residual PQ beats raw-vector
+    # PQ at equal code budget. Residuals are exact integer
+    # differences of quantized components, so the whole derivation
+    # stays hash-stable.
+    oracle=_qbase_sql()
+    + _ivf_assign_sql()
+    + f""", resid AS (
+      SELECT a.vec_id, a.cell_id,
+             {vec.sub_q('a.qv', 'c.qv', th.DUCK)} AS rv
+      FROM assigned a JOIN centroids c ON c.cell_id = a.cell_id
+    ), rsubs AS (
+      SELECT vec_id, cell_id, CAST(v.sub AS INT) AS subspace,
+             list_slice(rv, v.sub * {PQ_SUBDIM} + 1,
+                        v.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM resid, (VALUES (0), (1), (2), (3)) v(sub)
+    ), codebook AS (
+      SELECT subspace, vec_id AS code, sv AS cv
+      FROM rsubs WHERE vec_id < {PQ_K}
+    ), codes AS (
+      SELECT vec_id, cell_id, subspace, code FROM (
+        SELECT s.vec_id, s.cell_id, s.subspace, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.subspace
+                 ORDER BY {_pq_sqdist('s.sv', 'c.cv', th.DUCK)}, c.code
+               ) AS rn
+        FROM rsubs s JOIN codebook c USING (subspace)
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT v.vec_id AS query_id, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {vec.cosine_q('v.qv', 'c.qv', 'v.norm2', 'c.norm2', th.DUCK)} DESC, c.cell_id) AS rn
+        FROM qbase v CROSS JOIN centroids c
+        WHERE v.vec_id % {QUERY_STRIDE} = 0
+      ) WHERE rn <= {IVF_NPROBE}
+    ), qres AS (
+      SELECT p.query_id, p.cell_id,
+             {vec.sub_q('q.qv', 'c.qv', th.DUCK)} AS rv
+      FROM probes p
+      JOIN qbase q ON q.vec_id = p.query_id
+      JOIN centroids c ON c.cell_id = p.cell_id
+    ), qsubs AS (
+      SELECT query_id, cell_id, CAST(v.sub AS INT) AS subspace,
+             list_slice(rv, v.sub * {PQ_SUBDIM} + 1,
+                        v.sub * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM qres, (VALUES (0), (1), (2), (3)) v(sub)
+    ), dtable AS (
+      SELECT q.query_id, q.cell_id, c.subspace, c.code,
+             {_pq_sqdist('q.sv', 'c.cv', th.DUCK)} AS qd
+      FROM qsubs q JOIN codebook c USING (subspace)
+    ), adc AS (
+      SELECT d.query_id, x.vec_id AS neighbor_id,
+             CAST(SUM(d.qd) AS BIGINT) AS adc_sqdist
+      FROM codes x
+      JOIN dtable d ON d.cell_id = x.cell_id
+                   AND d.subspace = x.subspace AND d.code = x.code
+      WHERE x.vec_id <> d.query_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc_sqdist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_sqdist, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_sqdist, rank FROM ranked
+    WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the production encoding (FAISS `IVFx,PQy`
+    quantizes vector − centroid, not the raw vector): residuals
+    cluster near zero, so the same code budget spends its resolution
+    where the data actually is; the query side builds one distance
+    table PER PROBED CELL against its own residual. Raw-vector twin:
+    ``ann_ivfpq_topk`` (same search shape, different quantizer —
+    exactly the variant pair a serving team A/Bs with
+    ``ann_recall_eval``).
+
+    Spark shape: identical shuffle inventory to the raw twin — the
+    residual subtraction is a broadcast centroid join + ``zip_with``
+    (exact integer math, no extra pass), the per-(query, cell)
+    distance tables are still O(|Q| x nprobe x {M} x {K}) broadcast
+    rows, and the ADC join on (cell, subspace, code) fuses the probe
+    semi-filter with the table lookup."""
+    base = _qbase(spark, sf_dir)
+    cents = _ivf_centroids(base)
+    assigned = _ivf_assign_frame(base, cents)
+    resid = assigned.join(F.broadcast(cents), "cell_id").withColumn(
+        "rv", F.expr(vec.sub_q("qv", "c_qv", th.SPARK))
+    )
+    slices = F.array(
+        *[F.slice("rv", i * PQ_SUBDIM + 1, PQ_SUBDIM) for i in range(PQ_M)]
+    )
+    rsubs = resid.select(
+        "vec_id", "cell_id", F.posexplode(slices).alias("subspace", "sv")
+    ).select(
+        "vec_id",
+        "cell_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        "sv",
+    )
+    codebook = _pq_codebook(rsubs)
+    scored = rsubs.join(codebook, "subspace").withColumn(
+        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
+    )
+    codes = (
+        scored.groupBy("vec_id", "cell_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select(
+            "vec_id", "cell_id", "subspace", F.col("best.code").alias("code")
+        )
+    )
+    qres = (
+        _ivf_probes(spark, sf_dir, IVF_NPROBE)
+        .join(F.broadcast(cents), F.col("q_cell") == F.col("cell_id"))
+        .withColumn("q_rv", F.expr(vec.sub_q("q_qv", "c_qv", th.SPARK)))
+    )
+    qslices = F.array(
+        *[F.slice("q_rv", i * PQ_SUBDIM + 1, PQ_SUBDIM) for i in range(PQ_M)]
+    )
+    qsubs = qres.select(
+        "query_id", "q_cell", F.posexplode(qslices).alias("q_subspace", "q_sv")
+    ).select(
+        "query_id",
+        "q_cell",
+        F.col("q_subspace").cast("int").alias("q_subspace"),
+        "q_sv",
+    )
+    dtable = F.broadcast(
+        qsubs.join(codebook, F.col("q_subspace") == F.col("subspace")).select(
+            "query_id",
+            "q_cell",
+            F.col("subspace").alias("d_subspace"),
+            F.col("code").alias("d_code"),
+            F.expr(_pq_sqdist("q_sv", "cv", th.SPARK)).alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(
+            dtable,
+            (F.col("cell_id") == F.col("q_cell"))
+            & (F.col("subspace") == F.col("d_subspace"))
+            & (F.col("code") == F.col("d_code"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qd")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").cast("bigint").alias("adc_sqdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_sqdist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_sqdist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ann_ivfpq_residual_topk.__doc__ = (
+    ann_ivfpq_residual_topk.__doc__.replace("{M}", str(PQ_M)).replace(
+        "{K}", str(PQ_K)
+    )
+)

@@ -81,6 +81,11 @@ WAIVERS: dict[str, str] = {
     # the probe semi-filter, the ADC table lookups — are all broadcast
     # equi-joins (asserted in tests/test_plan_audit.py).
     "ann_ivfpq_topk": "bnlj-over-two-scans",
+    # the residual twin: same centroid scoring, plus the ADC join
+    # carries the vec_id != query_id non-equi guard beside its three
+    # equi keys — still a broadcast join against the O(|Q| x nprobe x
+    # M x K) distance table.
+    "ann_ivfpq_residual_topk": "bnlj-over-two-scans",
     # 1-row broadcast scalar attach (global aggregate cross-joined back
     # onto the distributed side) — the standard way to apply a global
     # total/max without collecting to the driver; nothing large moves.
