@@ -141,6 +141,8 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
+    "docs_merge_upsert_profile",
+    "bpe_merge_candidates",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

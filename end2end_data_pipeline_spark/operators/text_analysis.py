@@ -636,3 +636,72 @@ def docs_bigram_diversity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "diversity_band")
     )
+
+
+BPE_TOP_MERGES = 20
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w
+    ), pairs AS (
+      SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+      FROM vocab, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    ), agg AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY pair
+    ), ranked AS (
+      SELECT pair, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+      FROM agg
+    )
+    SELECT pair, n_occurrences, rank FROM ranked
+    WHERE rank <= {BPE_TOP_MERGES} ORDER BY rank
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016): the corpus-frequency-weighted count of adjacent character
+    pairs within words, ranked — the top pair is the first merge a
+    BPE vocabulary would learn. Training data pipelines run exactly
+    this shape (pair-count → merge → repeat) to fit tokenizers to a
+    corpus; this query makes the expensive step — the corpus-wide
+    weighted pair census — a registry operator.
+
+    Scale: the CORPUS contributes one word-frequency rollup
+    (split+explode, partial-aggregated); pair expansion then runs
+    over the VOCABULARY (O(|vocab| x avg word length) rows), which is
+    corpus-size-independent — the same reason real BPE trainers
+    operate on word-frequency tables, not raw text. The final rank
+    window orders O(alphabet²) pair totals — audit-sized."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    # guard length>=2 BEFORE the sequence explode: Spark's
+    # sequence(1, 0) auto-steps DOWN and would emit junk positions
+    # for single-character words
+    pairs = (
+        vocab.where(F.length("w") >= 2)
+        .select(
+            "w",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "pair")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BPE_TOP_MERGES)
+        .orderBy("rank")
+    )

@@ -694,3 +694,108 @@ def first_seen_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def merge_upsert(
+    snapshot: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Delta-style MERGE INTO, engine-level: ``changes`` carries an
+    ``op`` column (``'upsert'`` = insert-or-replace full row,
+    ``'delete'`` = remove by key) beside the snapshot's columns. The
+    new snapshot is (snapshot ANTI-JOIN changed-keys) UNION upsert
+    rows — one key-set anti-join plus an append, the standard CDC
+    apply shape. The changed-key side is BROADCAST: a changeset is
+    ~daily-delta-sized while the snapshot is the corpus, so at 100 TB
+    the snapshot never shuffles (rewriting only affected partitions is
+    the file-level refinement a table format adds on top; the logical
+    plan is this one either way)."""
+    payload = [c for c in changes.columns if c != "op"]
+    changed_keys = F.broadcast(changes.select(*key_cols).distinct())
+    kept = snapshot.join(changed_keys, key_cols, "left_anti")
+    upserts = changes.where(F.col("op") == "upsert").select(*payload)
+    return kept.unionByName(upserts)
+
+
+MERGE_INS_OFFSET = 10_000_000
+
+
+@query(
+    "docs_merge_upsert_profile",
+    # The oracle re-derives the post-merge state ARITHMETICALLY (the
+    # changeset below is a pure function of doc_id), so a hash match
+    # proves the generic merge operator applied exactly the right
+    # rows: deletes removed, upserts replaced, inserts appended, and
+    # nothing else touched.
+    oracle=f"""
+    WITH merged AS (
+      SELECT lang,
+             CASE WHEN doc_id % 7 = 3 THEN n_chars + 6
+                  ELSE n_chars END AS n_chars,
+             CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS is_rev
+      FROM documents WHERE doc_id % 11 <> 5
+      UNION ALL
+      SELECT lang, n_chars, 0 FROM documents WHERE doc_id % 13 = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+           CAST(SUM(is_rev) AS BIGINT) AS n_revised
+    FROM merged GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_merge_upsert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply through the generic ``merge_upsert`` operator: a
+    deterministic changeset derived from the corpus itself — updates
+    (doc_id ≡ 3 mod 7: text gains a ``' [rev]'`` suffix, n_chars +6),
+    deletes (≡ 5 mod 11, taking precedence over updates), inserts
+    (clones of ≡ 1 mod 13 rekeyed past {MERGE_INS_OFFSET}) — is merged
+    into the documents snapshot, and the post-merge per-lang profile
+    (counts, n_chars sums, revised-row count via the suffix) must
+    match the oracle's arithmetic re-derivation. This is the missing
+    piece between the SCD-2 interval build (``user_value_intervals``)
+    and the small-file compactor: the row-level upsert a warehouse
+    applies between layout passes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    upd = docs.where(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 11 != 5)
+    ).select(
+        F.lit("upsert").alias("op"),
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [rev]")).alias("text"),
+        "lang",
+        (F.col("n_chars") + 6).alias("n_chars"),
+    )
+    ins = docs.where(F.col("doc_id") % 13 == 1).select(
+        F.lit("upsert").alias("op"),
+        (F.col("doc_id") + MERGE_INS_OFFSET).alias("doc_id"),
+        "text",
+        "lang",
+        "n_chars",
+    )
+    dels = docs.where(F.col("doc_id") % 11 == 5).select(
+        F.lit("delete").alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        "lang",
+        F.lit(None).cast("bigint").alias("n_chars"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    merged = merge_upsert(docs, changes, ["doc_id"])
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_nchars"),
+            F.sum(F.col("text").endswith(" [rev]").cast("int"))
+            .cast("bigint")
+            .alias("n_revised"),
+        )
+        .orderBy("lang")
+    )
+
+
+docs_merge_upsert_profile.__doc__ = docs_merge_upsert_profile.__doc__.replace(
+    "{MERGE_INS_OFFSET}", str(MERGE_INS_OFFSET)
+)
