@@ -105,3 +105,21 @@ def test_bench_diff_on_committed_records():
         pytest.skip("r6 record lacks per-query timings")
     d = diff(r6, full)
     assert not d["plan_regression"], d["fingerprint_changes"]
+
+
+def test_rotate_window_block_rewrite_roundtrips(tmp_path):
+    """The rotation tool's regex must find and rewrite the
+    CHECKED_FIRST block of the REAL entry file (a format drift that
+    breaks the match would otherwise surface as a silent no-op)."""
+    from tools.rotate_window import BLOCK_RE, render_block
+
+    with open("__spark_entry__.py") as f:
+        src = f.read()
+    m = BLOCK_RE.search(src)
+    assert m is not None, "CHECKED_FIRST block not matched"
+    # rewriting with a synthetic window then back restores the source
+    fake = [f"q{i:02d}" for i in range(50)]
+    rewritten = BLOCK_RE.sub(render_block(fake), src, count=1)
+    assert '"q07",' in rewritten
+    restored = BLOCK_RE.sub(m.group(0), rewritten, count=1)
+    assert restored == src
