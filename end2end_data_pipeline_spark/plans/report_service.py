@@ -34,6 +34,37 @@ from typing import Any, Callable
 NO_REPORT_STORED = "No report stored."
 
 
+def dashboard_state(payload: dict[str, Any]) -> dict[str, Any]:
+    """The render-ready chart model the reference dashboard draws —
+    every derived value of ``dashboard/dashboard_ui.py:60-140``'s
+    matplotlib render (grouped success/error bars per event type,
+    title-cased labels, the annotation numbers, the summary stats)
+    as plain JSON, so any front end can draw the same picture. The
+    pixel rendering itself is presentation (SURVEY §1.4/§3) and needs
+    matplotlib; everything up to it is data and lives here."""
+    report = payload.get("report", payload)
+    by_type = report.get("by_event_type", {})
+    labels, successes, errors = [], [], []
+    for key, value in by_type.items():  # UI iterates dict order as-is
+        labels.append(key.replace("_", " ").title())
+        successes.append(int(value.get("SUCCESS", 0)))
+        errors.append(int(value.get("ERROR", 0)))
+    total = int(report.get("total_events", 0))
+    err = int(report.get("total_errors", 0))
+    return {
+        "labels": labels,
+        "series": [
+            {"name": "Success", "values": successes},
+            {"name": "Error", "values": errors},
+        ],
+        "total_events": total,
+        "total_errors": err,
+        "error_rate": (err / total) if total else 0.0,
+        "file_name": report.get("file_name"),
+        "process_time": report.get("process_time"),
+    }
+
+
 class ReportPushError(RuntimeError):
     """Non-2xx or unreachable dashboard endpoint (the analog of
     ``requests.raise_for_status`` in the reference push task)."""
@@ -108,6 +139,12 @@ class ReportStoreServer:
                         200,
                         {"status": "healthy", "reports_count": len(storage)},
                     )
+                if self.path == "/dashboard":
+                    # the UI's chart as data: what the reference's
+                    # matplotlib render derives from the latest report
+                    if not storage:
+                        return self._send(404, {"detail": NO_REPORT_STORED})
+                    return self._send(200, dashboard_state(storage[0]))
                 if self.path != "/report":
                     return self._send(404, {"detail": "Not Found"})
                 if not storage:

@@ -64,3 +64,62 @@ def test_push_rejects_malformed_and_unreachable():
     # server now down: transport error surfaces as ReportPushError
     with pytest.raises(ReportPushError):
         push_report(srv.url, DATA_REPORT, timeout=0.5)
+
+
+def test_dashboard_state_matches_reference_render_model():
+    """The /dashboard chart model must derive exactly what the
+    reference UI's matplotlib render derives from a report
+    (dashboard_ui.py:60-140): grouped success/error series in dict
+    order, title-cased labels, summary stats."""
+    from end2end_data_pipeline_spark.plans.report_service import (
+        dashboard_state,
+    )
+
+    payload = {
+        "report": {
+            "total_events": 5805,
+            "total_errors": 1398,
+            "by_event_type": {
+                "ADD_TO_CART": {"SUCCESS": 876, "ERROR": 292},
+                "VIEW_PRODUCT": {"SUCCESS": 868, "ERROR": 275},
+            },
+            "process_time": 22.16,
+            "file_name": "2025-08-04_19-04.json",
+        }
+    }
+    state = dashboard_state(payload)
+    assert state["labels"] == ["Add To Cart", "View Product"]
+    assert state["series"][0] == {"name": "Success", "values": [876, 868]}
+    assert state["series"][1] == {"name": "Error", "values": [292, 275]}
+    assert state["total_events"] == 5805
+    assert state["error_rate"] == 1398 / 5805
+    assert state["file_name"] == "2025-08-04_19-04.json"
+
+
+def test_dashboard_endpoint_serves_chart_model_or_404():
+    import json
+    import urllib.request
+
+    from end2end_data_pipeline_spark.plans.report_service import (
+        ReportStoreServer,
+        push_report,
+    )
+
+    with ReportStoreServer() as srv:
+        dash_url = srv.url.replace("/report", "/dashboard")
+        try:
+            urllib.request.urlopen(dash_url)
+            raise AssertionError("expected 404 before any report")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 404
+        push_report(
+            srv.url,
+            {"report": {"total_events": 10, "total_errors": 1,
+                        "by_event_type": {"SEARCH": {"SUCCESS": 9,
+                                                     "ERROR": 1}}}},
+        )
+        with urllib.request.urlopen(dash_url) as resp:
+            state = json.loads(resp.read())
+        assert state["labels"] == ["Search"]
+        assert state["series"][1]["values"] == [1]
+        assert state["error_rate"] == 0.1
