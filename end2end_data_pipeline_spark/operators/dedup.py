@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
+from end2end_data_pipeline_spark.sources.tables import (
+    fan_out,
+    load_table,
+    session_cached,
+)
 
 SHINGLE_N = 3
 N_MINHASH = 8
@@ -280,7 +284,9 @@ def dedup_minhash_pairs(
     larger than ``bucket_cap`` are dropped before the self-join (the
     hot-bucket guard; the oversize-bucket list is tiny so the filter
     is a broadcast anti-join)."""
-    sigs = _signatures(spark, sf_dir).cache()
+    sigs = session_cached(
+        spark, f"minhash_sigs:{sf_dir}", _signatures(spark, sf_dir)
+    )
     bands = bands_for(sigs)
     oversize = (
         bands.groupBy("band_id", "band_key")
@@ -402,7 +408,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair within hamming 3 must share at least one of 4 byte-chunks),
     then exact hamming filter. 16-bit chunks: hamming <= 3 over 64
     bits guarantees one equal chunk."""
-    sigs = _simhash_signatures(spark, sf_dir).cache()
+    sigs = session_cached(
+        spark, f"simhash_sigs:{sf_dir}", _simhash_signatures(spark, sf_dir)
+    )
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -492,7 +500,11 @@ def dedup_ngram_jaccard_pairs(
     going quadratic at 100 TB. The hot-shingle list is tiny by
     construction, so the filter is a broadcast anti-join."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")).cache()
+    sh = session_cached(
+        spark,
+        f"shingle_sets:{sf_dir}",
+        docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")),
+    )
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     hot = (
         inv.groupBy("shingle")
@@ -529,7 +541,9 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs as an undirected edge list (the
     dedup_minhash_pairs candidate+verify pipeline, minus output
     shaping)."""
-    sigs = _signatures(spark, sf_dir).cache()
+    sigs = session_cached(
+        spark, f"minhash_sigs:{sf_dir}", _signatures(spark, sf_dir)
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -776,7 +790,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified only on joined shingle sets. Same quadratic guard, same
     broadcast anti-join."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")).cache()
+    sh = session_cached(
+        spark,
+        f"shingle_sets:{sf_dir}",
+        docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")),
+    )
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     hot = (
         inv.groupBy("shingle")

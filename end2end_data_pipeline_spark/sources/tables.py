@@ -32,6 +32,27 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+# (applicationId, tag) -> a session-cached DataFrame. Operators whose
+# hot intermediate is corpus-scale (minhash/simhash signatures,
+# shingle sets) route their .cache() through this memo so repeated
+# invocations — full-registry sweeps, bench repeat=N — reuse ONE
+# InMemoryRelation per session+input instead of accumulating a fresh
+# one per call (the ge2/q15 memo pattern generalized; r9 review).
+_FRAME_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def session_cached(spark: SparkSession, tag: str, frame: DataFrame) -> DataFrame:
+    """Memoized ``frame.cache()`` keyed on (applicationId, tag) —
+    build the (lazy) frame unconditionally, cache it once per session."""
+    key = (spark.sparkContext.applicationId, tag)
+    hit = _FRAME_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = frame.cache()
+    _FRAME_MEMO[key] = out
+    return out
+
+
 def sf_tag(sf_abs: str) -> str:
     """Filesystem-safe tag for per-sf_dir scratch paths: the readable
     basename PLUS a short digest of the FULL path — two fixture dirs
