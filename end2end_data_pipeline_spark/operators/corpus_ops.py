@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
+from end2end_data_pipeline_spark.sources.tables import fan_out, load_table, session_cached
 
 # --- sequence packing ------------------------------------------------
 
@@ -179,14 +179,21 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization Catalyst's projection collapse re-inlines the
     # whole token-hash pass into every downstream reference (the
     # dedup.py lesson; measured ~80x slower here)
-    train = _contam_shingles_spark(spark, sf_dir, eval_side=False).cache()
+    train = session_cached(
+        spark,
+        f"contam_train_shingles:{sf_dir}",
+        _contam_shingles_spark(spark, sf_dir, eval_side=False),
+    )
     # the eval side must ALSO materialize before its explode: a
     # Generate over the raw shingle expression re-inlines the token-
     # hash array into every element_at reference (~8x the md5 work,
     # measured as the whole query's bottleneck)
     eval_sh = (
-        _contam_shingles_spark(spark, sf_dir, eval_side=True)
-        .cache()
+        session_cached(
+            spark,
+            f"contam_eval_shingles:{sf_dir}",
+            _contam_shingles_spark(spark, sf_dir, eval_side=True),
+        )
         .select(F.explode("shh").alias("sh"))
         .distinct()
     )
@@ -363,7 +370,9 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed left join — never all-pairs, no per-doc state."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
-    sh = (
+    sh = session_cached(
+        spark,
+        f"novelty_shingles:{sf_dir}",
         docs.where(F.expr(f"size({toks}) >= {CONTAM_N}"))
         .select(
             "doc_id", F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr")
@@ -371,10 +380,9 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(th.shingle_combine("th_arr", CONTAM_N, th.SPARK)).alias("shh"),
-        )
-        # cache: consumed twice (explode + final join); see
+        ),
+        # cached + memoized: consumed twice (explode + final join); see
         # eval_contamination for why materialization is load-bearing
-        .cache()
     )
     exploded = sh.select("doc_id", F.explode("shh").alias("s"))
     firsts = exploded.groupBy("s").agg(F.min("doc_id").alias("first_doc"))

@@ -633,13 +633,14 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup pair graph via
     iterative min-label propagation (see ``dedup_clusters``)."""
     edges = _lsh_edges(spark, sf_dir)
-    bidir = (
+    bidir = session_cached(
+        spark,
+        f"cc_bidir_edges:{sf_dir}",
         edges.union(
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .toDF("src", "dst")
-        .repartition(CC_PARTITIONS, "src")
-        .cache()
+        .repartition(CC_PARTITIONS, "src"),
     )
     labels = (
         bidir.select(F.col("src").alias("node")).distinct()

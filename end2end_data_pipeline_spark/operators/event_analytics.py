@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import load_table, session_cached
 
 # Error classification threshold on props.k (uniform 0..99 → ~25% errors).
 ERROR_K_THRESHOLD = 25
@@ -1125,9 +1125,11 @@ def user_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: feeds the spine, the band join, AND the dau rollup — the
     # docstring's "only pass over raw events" holds because this
     # distinct frame materializes once
-    active = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct().cache()
+    active = session_cached(
+        spark,
+        f"user_day_distinct:{sf_dir}",
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct(),
+    )
     spine = F.broadcast(active.select("day").distinct().alias("s"))
     a = active.alias("a")
     wau = (
@@ -1236,7 +1238,11 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type counts, AND the user total (every user has >= 1 type,
     # so count_distinct over it equals the raw-table count) — cache it
     # so the fact is scanned once
-    ut = ev.select("user_id", "event_type").distinct().cache()
+    ut = session_cached(
+        spark,
+        f"user_type_distinct:{sf_dir}",
+        ev.select("user_id", "event_type").distinct(),
+    )
     n_users = ut.agg(F.count_distinct("user_id").alias("n"))
     type_counts = ut.groupBy("event_type").agg(F.count("*").alias("n_type"))
     a = ut.alias("a")

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.functions import vectors as vec
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
+from end2end_data_pipeline_spark.sources.tables import fan_out, load_table, session_cached
 
 K = 8
 ITERS = 4
@@ -69,14 +69,14 @@ def _assign(base: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
 def _fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run ITERS Lloyd's rounds; return the final assignment frame
     (vec_id, label, cluster, dist2)."""
-    base = (
-        fan_out(spark, load_table(spark, sf_dir, "embeddings"))
-        .select(
+    base = session_cached(
+        spark,
+        f"kmeans_qbase:{sf_dir}",
+        fan_out(spark, load_table(spark, sf_dir, "embeddings")).select(
             "vec_id",
             "label",
             F.expr(vec.quantize("embedding", th.SPARK)).alias("qv"),
-        )
-        .cache()
+        ),
     )
     centroids = {
         int(r["vec_id"]): [int(x) for x in r["qv"]]
