@@ -407,6 +407,93 @@ def event_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sliding_window_stream_replay",
+    # Same two-staggered-tumbling-grids construction the batch
+    # ``event_sliding_window_counts`` oracle uses, restricted to the
+    # day-1 replay slice: every event lands in exactly window/slide = 2
+    # overlapping windows.
+    oracle="""
+    WITH slice AS (
+      SELECT ts, event_type FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-02 00:00:00'
+    ), grid AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS ws,
+             event_type
+      FROM slice
+      UNION ALL
+      SELECT to_timestamp(CAST(floor((epoch(ts) - 300) / 600) * 600 + 300
+                               AS BIGINT)),
+             event_type
+      FROM slice
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM grid
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 sliding-window parity: overlapping 10-minute windows
+    sliding every 5, computed BY THE STREAMING ENGINE — file source,
+    ``window(ts, '10 minutes', '5 minutes')`` event-time aggregation,
+    complete-mode memory sink, availableNow drain. Completes the
+    window-type replay matrix (tumbling ``minute_counts_stream_replay``,
+    session ``session_window_stream_replay``, now sliding) against the
+    same batch oracle construction as ``event_sliding_window_counts``.
+
+    Scale: the slide expansion multiplies state by window/slide (a
+    planner-visible constant, 2 here); streaming state is O(open
+    windows x types). Complete mode is the bounded-replay form — the
+    unbounded-production form adds ``withWatermark`` + append mode so
+    closed windows evict (``streaming/pipeline.py``, golden-tested)."""
+    sf_abs = os.path.abspath(sf_dir)
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_abs + "#sliding")
+    table = _REPLAY.get(memo_key)
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"sliding_window_stream_replay_{next(_REPLAY_IDS)}"
+        stream = _stream_events(spark, sf_dir)
+        agg = (
+            stream.where(
+                (F.col("ts") >= F.lit(SLICE_START).cast("timestamp"))
+                & (F.col("ts") < F.lit(SLICE_END).cast("timestamp"))
+            )
+            .groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", app, table
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[memo_key] = table
+    return (
+        spark.table(table)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 # Hour-1 slice for the compaction audit: small enough that the
 # deliberately fragmented fixture stays cheap (≤60 minute partitions),
 # real enough to exercise the per-partition swap protocol end to end.
