@@ -143,6 +143,7 @@ HEADLINE = [
     "ann_ivfpq_residual_topk",
     "docs_merge_upsert_profile",
     "bpe_merge_candidates",
+    "vocab_heavy_hitters",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -705,3 +705,121 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= BPE_TOP_MERGES)
         .orderBy("rank")
     )
+
+
+# Misra-Gries counter budget: any token with global share > 1/MG_COUNTERS
+# is GUARANTEED to survive at least one partition's summary (pigeonhole:
+# a globally phi-heavy token is locally phi-heavy somewhere, and MG(k)
+# never evicts an item whose local count exceeds n_p/k).
+MG_COUNTERS = 256
+
+
+def _mg_candidates(frames):
+    """Per-partition Misra-Gries summary over the token stream.
+
+    Emits one row per surviving counter (token, n=0) plus a single
+    sentinel row (token=NULL, n=partition token count) so the global
+    total comes out of the SAME scan. Decrement-all is O(k) but fires
+    at most n/k times per partition - amortized O(1) per token.
+    """
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    n_part = 0
+    for pdf in frames:
+        for tok in pdf["token"]:
+            n_part += 1
+            if tok in counters:
+                counters[tok] += 1
+            elif len(counters) < MG_COUNTERS:
+                counters[tok] = 1
+            else:
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+    yield pd.DataFrame(
+        {
+            "token": list(counters) + [None],
+            "n": [0] * len(counters) + [n_part],
+        }
+    )
+
+
+@query(
+    "vocab_heavy_hitters",
+    # The oracle is the naive exact form: full token counts filtered to
+    # share > 1/MG_COUNTERS. The engine side reaches the SAME exact
+    # answer without ever shuffling the vocabulary (MG candidates are a
+    # proven superset; the exact-verify filter discards false positives).
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), t AS (
+      SELECT token, count(*) AS n FROM tok WHERE token <> ''
+      GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM t
+    )
+    SELECT token, CAST(n AS BIGINT) AS n, total_tokens,
+           n / CAST(total_tokens AS DOUBLE) AS share
+    FROM t, tot
+    WHERE n * {MG_COUNTERS} > total_tokens
+    ORDER BY n DESC, token
+    """,
+)
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequency heavy hitters (share > 1/256) without a
+    vocabulary shuffle: pass 1 runs Misra-Gries per partition (Arrow
+    ``mapInPandas``, O(MG_COUNTERS) state) emitting candidate tokens +
+    per-partition totals; pass 2 exact-counts ONLY the broadcast
+    candidate set. Output is exact and partitioning-independent: MG
+    guarantees candidates are a superset of every true heavy hitter,
+    and the final filter uses exact counts.
+
+    Scale: a direct groupBy(token) shuffles one row per distinct token
+    per partition - at web scale the vocabulary tail (URLs, hashes,
+    typos) dominates that shuffle. Here the shuffle carries at most
+    MG_COUNTERS x n_partitions candidate rows; everything else stays
+    map-side. Two scans total, the known lower bound for exact
+    heavy hitters (candidate + verify)."""
+    import os
+
+    from end2end_data_pipeline_spark.sources.tables import session_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    # the summary feeds two branches (candidates + totals); session-cache
+    # the O(MG_COUNTERS x n_partitions) frame so the MG scan runs once
+    summary = session_cached(
+        spark,
+        f"mg_summary:{os.path.abspath(sf_dir)}",
+        tok.mapInPandas(_mg_candidates, "token string, n long"),
+    )
+    candidates = (
+        summary.where(F.col("token").isNotNull()).select("token").distinct()
+    )
+    totals = summary.where(F.col("token").isNull()).agg(
+        F.sum("n").cast("bigint").alias("total_tokens")
+    )
+    exact = (
+        tok.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .where(F.col("n") * MG_COUNTERS > F.col("total_tokens"))
+        .select(
+            "token",
+            "n",
+            "total_tokens",
+            (F.col("n") / F.col("total_tokens").cast("double")).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+    )

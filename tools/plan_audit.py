@@ -103,6 +103,10 @@ WAIVERS: dict[str, str] = {
     # corpus-horizon attach: the 1-row max(ts) aggregate cross-joined
     # onto the O(users) last-seen rollup.
     "user_inactivity_bands": "bnlj-over-two-scans",
+    # heavy-hitter threshold attach: the 1-row total-token aggregate
+    # (read from the cached O(MG_COUNTERS x partitions) MG summary)
+    # cross-joined onto the candidate-only exact counts.
+    "vocab_heavy_hitters": "bnlj-over-two-scans",
     # nearest-centroid scoring: corpus scanned once against the
     # O(|labels|) broadcast centroid-sum table — the same intentional
     # O(n x K) shape as the waived IVF quantizer.
