@@ -144,6 +144,7 @@ HEADLINE = [
     "docs_merge_upsert_profile",
     "bpe_merge_candidates",
     "vocab_heavy_hitters",
+    "part_copurchase_triangles",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
