@@ -145,6 +145,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "vocab_heavy_hitters",
     "part_copurchase_triangles",
+    "dedup_prefixfilter_pairs",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -72,3 +72,25 @@ def test_minhash_bucket_cap_gates_hot_buckets(spark, hot_dir):
     assert len(uncapped) == 20 * 19 // 2
     capped = dedup_minhash_pairs(spark, hot_dir, bucket_cap=10).collect()
     assert capped == []
+
+
+def test_prefix_filter_exact_and_complete(spark, hot_dir):
+    """Prefix filtering is EXACT at the threshold: it must reproduce
+    the uncapped ground truth everywhere — including on the hot corpus
+    where the df-cap surrenders recall (hot shingles sort LAST in the
+    rarest-first prefix order but identical 30-shingle sets still
+    collide inside their 16-element prefixes)."""
+    from end2end_data_pipeline_spark.operators.dedup import (
+        dedup_prefixfilter_pairs,
+    )
+
+    pref = {
+        (r.doc_a, r.doc_b) for r in dedup_prefixfilter_pairs(spark, SF).collect()
+    }
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard_pairs(spark, SF, df_cap=1 << 40).collect()
+    }
+    assert pref == truth and len(pref) > 0
+    hot = dedup_prefixfilter_pairs(spark, hot_dir).collect()
+    assert len(hot) == 20 * 19 // 2
