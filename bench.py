@@ -146,6 +146,7 @@ HEADLINE = [
     "vocab_heavy_hitters",
     "part_copurchase_triangles",
     "dedup_prefixfilter_pairs",
+    "lineitem_zorder_zonemap",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

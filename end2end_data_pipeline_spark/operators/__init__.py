@@ -11,6 +11,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     incremental,
     ingest_parity,
     kmeans,
+    layout,
     multimodal,
     quality,
     relational,

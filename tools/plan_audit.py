@@ -103,6 +103,9 @@ WAIVERS: dict[str, str] = {
     # corpus-horizon attach: the 1-row max(ts) aggregate cross-joined
     # onto the O(users) last-seen rollup.
     "user_inactivity_bands": "bnlj-over-two-scans",
+    # bucket-bounds attach: the 1-row min/max aggregate cross-joined
+    # back onto the fact scan for exact integer bucketing.
+    "lineitem_zorder_zonemap": "bnlj-over-two-scans",
     # heavy-hitter threshold attach: the 1-row total-token aggregate
     # (read from the cached O(MG_COUNTERS x partitions) MG summary)
     # cross-joined onto the candidate-only exact counts.
