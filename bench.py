@@ -147,6 +147,7 @@ HEADLINE = [
     "part_copurchase_triangles",
     "dedup_prefixfilter_pairs",
     "lineitem_zorder_zonemap",
+    "lineitem_corr_matrix",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -1662,3 +1662,109 @@ def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Exact-integer projections of lineitem's numeric columns: whole
+# currency units for price (cents would push SUM(price^2) past int64
+# by ~sf1; whole units hold Sum(price^2) < 2^63 through ~sf100), whole
+# units for quantity, percent points for discount/tax. The identical
+# ROUND/CAST expression runs on both engines.
+CORR_COLS = {
+    "qty": "CAST(round(l_quantity) AS BIGINT)",
+    "price": "CAST(round(l_extendedprice) AS BIGINT)",
+    "disc": "CAST(round(l_discount * 100) AS BIGINT)",
+    "tax": "CAST(round(l_tax * 100) AS BIGINT)",
+}
+CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(CORR_COLS)
+    for b in list(CORR_COLS)[i + 1 :]
+]
+
+
+def _corr_sums() -> list[str]:
+    """Aggregate expressions (portable SQL) for every Pearson component:
+    per-column sum + sum-of-squares, per-pair sum-of-products."""
+    out = []
+    for c, expr in CORR_COLS.items():
+        out.append(f"CAST(SUM({expr}) AS BIGINT) AS s_{c}")
+        out.append(f"CAST(SUM(({expr}) * ({expr})) AS BIGINT) AS ss_{c}")
+    for a, b in CORR_PAIRS:
+        out.append(f"CAST(SUM(({CORR_COLS[a]}) * ({CORR_COLS[b]})) AS BIGINT) AS sp_{a}_{b}")
+    return out
+
+
+def _corr_r(a: str, b: str) -> str:
+    """Pearson r for a pair, as ONE fixed-shape double expression over
+    the exact integer sums. n*sxy would overflow int64 here (sxy is
+    ~1e15 at sf0.1), so every sum casts to DOUBLE first — each cast is
+    a single correctly-rounded op and the tree is identical on both
+    engines, so r hashes bit-for-bit."""
+    n = "CAST(n AS DOUBLE)"
+    sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+    saa, sbb = f"CAST(ss_{a} AS DOUBLE)", f"CAST(ss_{b} AS DOUBLE)"
+    sab = f"CAST(sp_{a}_{b} AS DOUBLE)"
+    den = (
+        f"(sqrt({n} * {saa} - {sa} * {sa})"
+        f" * sqrt({n} * {sbb} - {sb} * {sb}))"
+    )
+    # zero-variance guard: r is undefined when either column is
+    # constant — Spark's ANSI mode raises on the 0 divisor where
+    # DuckDB yields NULL, so both take the explicit NULL branch
+    return (
+        f"CASE WHEN {den} = 0 THEN NULL "
+        f"ELSE ({n} * {sab} - {sa} * {sb}) / {den} END"
+    )
+
+
+@query(
+    "lineitem_corr_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT count(*) AS n, {", ".join(_corr_sums())} FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+        f"{_corr_r(a, b)} AS pearson_r FROM s"
+        for a, b in CORR_PAIRS
+    )}
+    ORDER BY col_a, col_b
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns (quantity, price, discount, tax) — the column-profiling
+    step that catches derived/redundant columns and sanity-checks
+    value generation before a model ever sees the table. All Pearson
+    components are exact integer sums (quantized units chosen so
+    sum-of-squares stays inside int64 through ~sf100); each r is one
+    fixed-shape double expression over them.
+
+    Scale: ONE map-side-combined pass computes all {n_sums} sums for
+    all {n_pairs} pairs simultaneously (no per-pair scans); the arms
+    are an O(1) unpivot of the single aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count("*").alias("n"),
+        *[F.expr(e) for e in _corr_sums()],
+    )
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.expr(_corr_r(a, b)).alias("pearson_r"),
+            )
+            for a, b in CORR_PAIRS
+        ]
+    )
+    return (
+        s.select("n", F.explode(arms).alias("t"))
+        .select("t.col_a", "t.col_b", "n", "t.pearson_r")
+        .orderBy("col_a", "col_b")
+    )
+
+
+lineitem_corr_matrix.__doc__ = lineitem_corr_matrix.__doc__.replace(
+    "{n_sums}", str(len(CORR_COLS) * 2 + len(CORR_PAIRS))
+).replace("{n_pairs}", str(len(CORR_PAIRS)))
