@@ -494,6 +494,81 @@ def sliding_window_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "enrich_stream_static_replay",
+    # The testdata's user_id domain embeds in c_custkey at every SF,
+    # but the oracle makes no density assumption: both sides are the
+    # same inner join, so an unmatched user drops identically.
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND e.ts <  TIMESTAMP '2024-01-02 00:00:00'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def enrich_stream_static_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment parity: the event stream joined to the
+    STATIC customer dimension (broadcast per micro-batch — the
+    standard fact-stream x dim-table enrichment) then aggregated by
+    (segment, type), computed BY THE STREAMING ENGINE and hash-matched
+    against the batch join. Completes the streaming-join matrix:
+    stream-stream (``view_purchase_stream_join_replay``) and now
+    stream-static.
+
+    Scale: the dim side is a plain batch DataFrame — Spark re-plans it
+    into each micro-batch as a broadcast hash join, so the stream side
+    never shuffles for the join; state is only the O(segments x types)
+    aggregation. A dim too big to broadcast would bucket both sides
+    instead (``operators/bucketed.py`` pattern)."""
+    sf_abs = os.path.abspath(sf_dir)
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_abs + "#enrich")
+    table = _REPLAY.get(memo_key)
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"enrich_stream_static_replay_{next(_REPLAY_IDS)}"
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        stream = _stream_events(spark, sf_dir)
+        agg = (
+            stream.where(
+                (F.col("ts") >= F.lit(SLICE_START).cast("timestamp"))
+                & (F.col("ts") < F.lit(SLICE_END).cast("timestamp"))
+            )
+            .join(F.broadcast(dim), "user_id")
+            .groupBy("mktsegment", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+        )
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", app, table
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[memo_key] = table
+    return (
+        spark.table(table)
+        .select("mktsegment", "event_type", "n_events", "value_cents")
+        .orderBy("mktsegment", "event_type")
+    )
+
+
 # Hour-1 slice for the compaction audit: small enough that the
 # deliberately fragmented fixture stays cheap (≤60 minute partitions),
 # real enough to exercise the per-partition swap protocol end to end.
