@@ -148,6 +148,7 @@ HEADLINE = [
     "dedup_prefixfilter_pairs",
     "lineitem_zorder_zonemap",
     "lineitem_corr_matrix",
+    "orders_daily_ols_trend",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

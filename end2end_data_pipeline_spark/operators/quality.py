@@ -1768,3 +1768,82 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 lineitem_corr_matrix.__doc__ = lineitem_corr_matrix.__doc__.replace(
     "{n_sums}", str(len(CORR_COLS) * 2 + len(CORR_PAIRS))
 ).replace("{n_pairs}", str(len(CORR_PAIRS)))
+
+
+OLS_EPOCH = "1990-01-01"  # x-shift invariant for the slope; any date
+
+
+@query(
+    "orders_daily_ols_trend",
+    # Every OLS component is an exact integer sum over the O(days x
+    # priorities) rollup (x = day index, y = daily revenue cents), so
+    # the n*Sxy - Sx*Sy form stays inside int64 (n is #days, not
+    # #orders) and slope/intercept are fixed-shape double expressions.
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             datediff('day', DATE '{OLS_EPOCH}', CAST(o_orderdate AS DATE))
+                 AS x,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT priority, count(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT priority, n AS n_days, sx, sy, sxy, sxx,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END
+               AS slope_cents_per_day
+    FROM s ORDER BY priority
+    """,
+)
+def orders_daily_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue trend per order priority: ordinary-least-squares slope
+    of daily revenue over the day index — the 'is this segment growing
+    and how fast' number a forecast starts from, complementing the
+    difference-based ``orders_mom_growth``. The slope is x-shift
+    invariant, so the epoch needs no data-dependent bounds.
+
+    Scale: one map-side-combined pass builds the O(days x priorities)
+    daily rollup; the OLS sums reduce it to O(priorities) rows. All
+    regression inputs are exact integers (day index, revenue cents) —
+    n is the DAY count, so n*sxy stays far inside int64 — and the
+    slope is one guarded division (constant-x degenerates to NULL on
+    both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(f"datediff(o_orderdate, DATE '{OLS_EPOCH}')")
+        .cast("bigint")
+        .alias("x"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    s = daily.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double")
+    )
+    return s.select(
+        "priority",
+        F.col("n").alias("n_days"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        slope.alias("slope_cents_per_day"),
+    ).orderBy("priority")
