@@ -550,6 +550,65 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip_rollup(spark, sf_dir, back)
 
 
+# --- XML roundtrip ----------------------------------------------------
+
+XML_DOC_LIMIT = 250
+XML_PARTS = 3
+XML_TS_OFFSET_US = 777_001
+XML_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def _xml_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write doc_id < XML_DOC_LIMIT through Spark 4's NATIVE XML sink
+    (the spark-xml package folded into core) — distributed, XML_PARTS
+    files, one <doc> row element per document."""
+    cached = _fixture_dir(spark, sf_dir, "xml")
+    if cached:
+        return cached
+    out = tempfile.mkdtemp(prefix="spark_graft_xml_")
+    (
+        _ts_docs_frame(spark, sf_dir, XML_DOC_LIMIT, XML_TS_OFFSET_US)
+        .repartition(XML_PARTS, "doc_id")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "doc")
+        # default XML timestamp rendering is millis — pin micros on
+        # both sides or the arithmetic sum_ts_us check fails by
+        # exactly the truncated digits
+        .option("timestampFormat", XML_TS_FORMAT)
+        .save(out)
+    )
+    return _remember(spark, sf_dir, "xml", out)
+
+
+@query(
+    "xml_roundtrip",
+    oracle=_format_roundtrip_oracle(XML_DOC_LIMIT, XML_TS_OFFSET_US),
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth batch format tier: documents → distributed native XML
+    write (Spark 4's in-core XML source) → schema-pinned XML read-back
+    → the shared per-lang rollup. The byte-exact text re-join makes
+    the hash certify entity escaping round-trips (&amp;/&lt; encode on
+    write, decode on read) and the arithmetic timestamp check pins the
+    ISO-8601 micros rendering — values, not just counts. Schema pinned
+    on read: XML inference is a full extra pass and infers drifting
+    types on a 100 TB corpus."""
+    fix = _xml_fixture(spark, sf_dir)
+    schema = (
+        "doc_id bigint, lang string, text string, n_chars bigint, "
+        "ts timestamp"
+    )
+    back = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "doc")
+        .option("timestampFormat", XML_TS_FORMAT)
+        .load(fix)
+    )
+    return _format_roundtrip_rollup(spark, sf_dir, back)
+
+
 # --- PNG pixel parity -------------------------------------------------
 
 IMAGE_DOC_LIMIT = 15  # 15 docs -> doc_id % 5 hits every PNG filter 3x
