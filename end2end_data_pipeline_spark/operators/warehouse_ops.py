@@ -236,6 +236,69 @@ def minute_counts_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "state_store_audit",
+    # IDENTICAL oracle to the tumbling replay: the truth read from the
+    # engine's INTERNAL state files must match the batch SQL exactly.
+    oracle=ORACLE["minute_counts_stream_replay"],
+)
+def state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark 4 ``statestore`` batch source):
+    run the day-1 tumbling minute aggregation on the streaming engine,
+    then read the aggregation operator's STATE FILES out of the
+    checkpoint as a batch DataFrame and hash-match them against the
+    batch oracle — the ops surface for answering 'what is my streaming
+    job holding in state right now' (state debugging, size audits,
+    state migration) without touching the sink.
+
+    Scale: the state source reads the per-partition state files
+    distributed (one task per state partition) — exactly how the
+    engine itself loads them; no driver-side checkpoint walk. The
+    audit certifies sink-vs-state consistency: a lost state partition
+    or a misrouted key shows up as a hash mismatch here even if the
+    sink looks plausible."""
+    sf_abs = os.path.abspath(sf_dir)
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_abs + "#stateaudit")
+    ckpt = _REPLAY.get(memo_key)
+    if ckpt is None or not os.path.isdir(ckpt):
+        table = f"state_store_audit_{next(_REPLAY_IDS)}"
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", app, table
+        )
+        stream = _stream_events(spark, sf_dir)
+        agg = (
+            stream.where(
+                (F.col("ts") >= F.lit(SLICE_START).cast("timestamp"))
+                & (F.col("ts") < F.lit(SLICE_END).cast("timestamp"))
+            )
+            .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[memo_key] = ckpt
+    state = spark.read.format("statestore").load(ckpt)
+    # the state key normalizes the grouping columns to (window,
+    # event_type) regardless of plan-side aliases
+    return state.select(
+        F.date_format(F.col("key.window.start"), MINUTE_FMT).alias(
+            "event_minute"
+        ),
+        F.col("key.event_type").alias("event_type"),
+        # the value struct exposes the physical aggregation buffer
+        # (named for the aggregate function), not plan-side aliases
+        F.col("value.count").alias("n"),
+    ).orderBy("event_minute", "event_type")
+
+
 SESSION_REPLAY_GAP = "30 minutes"
 
 
