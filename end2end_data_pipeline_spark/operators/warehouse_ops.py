@@ -632,6 +632,115 @@ def enrich_stream_static_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "upsert_sink_stream_replay",
+    # Latest-per-user is an argmax: merging per-batch argmaxes is
+    # commutative/associative, so the final table is deterministic
+    # under ANY micro-batch split of the bounded source.
+    oracle="""
+    WITH slice AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-02 00:00:00'
+    ), ranked AS (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM slice
+    )
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def upsert_sink_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink (``foreachBatch`` + conditional MERGE):
+    each micro-batch's latest-per-user rows merge into a versioned
+    parquet snapshot — the snapshot row survives unless the change is
+    NEWER (the ``MERGE WHEN MATCHED AND s.ts < c.ts`` shape, realized
+    as an argmax over snapshot ∪ batch). The materialized-view-from-
+    a-change-feed pattern every CDC warehouse runs; this replay makes
+    the golden-tested foreachBatch path driver-visible.
+
+    Exactly-once: versions are keyed by batch id (a replayed batch
+    overwrites its own deterministic directory, then re-points the
+    _CURRENT pointer — both idempotent), matching the checkpoint
+    contract. ``maxFilesPerTrigger=1`` forces a real multi-batch run
+    on directory-layout fixtures. Scale: each batch shuffles only
+    itself plus the O(users) snapshot; the argmax-merge never rereads
+    history."""
+    sf_abs = os.path.abspath(sf_dir)
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_abs + "#upsertsink")
+    base = _REPLAY.get(memo_key)
+    if base is None or not os.path.isdir(base):
+        tag = f"upsert_sink_{next(_REPLAY_IDS)}"
+        base = os.path.join(
+            tempfile.gettempdir(), "spark_graft_upsert_sink", app, tag
+        )
+        os.makedirs(base, exist_ok=True)
+        pointer = os.path.join(base, "_CURRENT")
+
+        def _latest(df: DataFrame) -> DataFrame:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+
+        def _emit(batch_df: DataFrame, batch_id: int) -> None:
+            cols = ["user_id", "event_id", "event_type", "ts"]
+            merged = _latest(batch_df.select(*cols))
+            if os.path.isfile(pointer):
+                with open(pointer) as fh:
+                    cur = fh.read().strip()
+                snap = spark.read.parquet(os.path.join(base, cur))
+                merged = _latest(snap.unionByName(merged))
+            vdir = f"v{batch_id}"
+            merged.write.mode("overwrite").parquet(os.path.join(base, vdir))
+            tmp = pointer + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(vdir)
+            os.replace(tmp, pointer)  # atomic re-point
+
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", app, tag
+        )
+        stream = _stream_events(spark, sf_dir).where(
+            (F.col("ts") >= F.lit(SLICE_START).cast("timestamp"))
+            & (F.col("ts") < F.lit(SLICE_END).cast("timestamp"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(_emit)
+            .option("checkpointLocation", ckpt)
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _REPLAY[memo_key] = base
+    pointer = os.path.join(base, "_CURRENT")
+    if not os.path.isfile(pointer):  # empty source -> no batch ran
+        return spark.createDataFrame(
+            [], "user_id long, event_id long, event_type string, ts string"
+        )
+    with open(pointer) as fh:
+        cur = fh.read().strip()
+    final = spark.read.parquet(os.path.join(base, cur))
+    return final.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    ).orderBy("user_id")
+
+
 # Hour-1 slice for the compaction audit: small enough that the
 # deliberately fragmented fixture stays cheap (≤60 minute partitions),
 # real enough to exercise the per-partition swap protocol end to end.
