@@ -149,6 +149,7 @@ HEADLINE = [
     "lineitem_zorder_zonemap",
     "lineitem_corr_matrix",
     "orders_daily_ols_trend",
+    "props_variant_profile",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
