@@ -13,6 +13,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     kmeans,
     layout,
     multimodal,
+    pysource_parity,
     quality,
     relational,
     relational_ext,
