@@ -26,7 +26,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.registry import ORACLE, query
 
 SYNTH_N_ROWS = 10_000
 SYNTH_N_PARTS = 8
@@ -59,6 +59,7 @@ def _make_datasource():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     class _RangePartition(InputPartition):
@@ -82,6 +83,30 @@ def _make_datasource():
             for i in range(partition.start, partition.end):
                 yield synth_row(i)
 
+    class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked stream form of the same feed. ``availableNow``
+        drains exactly what one ``read()`` hands back, so the bounded
+        feed returns its remaining range in a single call; an unbounded
+        deployment would return a chunk per trigger instead."""
+
+        def __init__(self, options):
+            self.n_rows = int(options.get("n_rows", SYNTH_N_ROWS))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            # materialized list, not a generator: the simple-reader
+            # protocol PICKLES the prefetched rows for replay
+            s = int(start["i"])
+            rows = [synth_row(i) for i in range(s, self.n_rows)]
+            return (rows, {"i": self.n_rows})
+
+        def readBetweenOffsets(self, start, end):
+            return [
+                synth_row(i) for i in range(int(start["i"]), int(end["i"]))
+            ]
+
     class SynthEventsDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -95,6 +120,9 @@ def _make_datasource():
 
         def reader(self, schema):
             return SynthEventsReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SynthEventsStreamReader(self.options)
 
     return SynthEventsDataSource
 
@@ -168,3 +196,73 @@ def python_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 python_datasource_parity.__doc__ = python_datasource_parity.__doc__.replace(
     "{SYNTH_N_PARTS}", str(SYNTH_N_PARTS)
 )
+
+
+_STREAM_TABLES: dict[str, str] = {}  # applicationId -> memory-sink table
+_STREAM_IDS = iter(range(10**6))
+
+
+@query(
+    "python_datasource_stream_parity",
+    # IDENTICAL oracle to the batch parity: the stream drain of the
+    # same custom source must aggregate to the same rows.
+    oracle=ORACLE["python_datasource_parity"],
+)
+def python_datasource_stream_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING face of the custom Python DataSource: the same
+    synthetic feed consumed via ``readStream.format('synthevents')`` —
+    offset-tracked SimpleDataSourceStreamReader, checkpointed,
+    availableNow drain into a complete-mode rollup — must hash-match
+    the batch oracle's arithmetic regeneration. Together with
+    ``python_datasource_parity`` this covers both halves of the
+    Spark 4 Python source API (plan/partition batch scan + offset
+    commit streaming scan)."""
+    import os
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    if app not in _REGISTERED:
+        spark.dataSource.register(_make_datasource())
+        _REGISTERED.add(app)
+    table = _STREAM_TABLES.get(app)
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"pysource_stream_{next(_STREAM_IDS)}"
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", app, table
+        )
+        feed = (
+            spark.readStream.format("synthevents")
+            .option("n_rows", SYNTH_N_ROWS)
+            .load()
+        )
+        # streaming forbids distinct aggregates: keep per-(type, user)
+        # state in the stream (the standard two-level rewrite) and let
+        # the final batch read over the sink do the distinct rollup
+        agg = feed.groupBy("event_type", "user_id").agg(
+            F.count("*").alias("n"),
+            F.sum("value_cents").cast("bigint").alias("cents"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_TABLES[app] = table
+    return (
+        spark.table(table)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
