@@ -150,6 +150,7 @@ HEADLINE = [
     "lineitem_corr_matrix",
     "orders_daily_ols_trend",
     "props_variant_profile",
+    "nation_cosupply_bfs_recursive",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -1238,3 +1238,61 @@ def order_value_ge2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(within)
         .orderBy("component")
     )
+
+
+BFS_SEED_NATION = 0
+BFS_MAX_HOPS = 3
+
+# ONE SQL text runs verbatim on BOTH engines (Spark 4's recursive CTE
+# and DuckDB's agree on WITH RECURSIVE + UNION ALL semantics): BFS hop
+# distance from nation 0 over the co-supply graph (two nations are
+# adjacent when suppliers from both appear in the same order). The
+# per-level DISTINCT plus the depth guard bounds the recursion at
+# O(|nations| x BFS_MAX_HOPS) rows — no path enumeration.
+_BFS_SQL = f"""
+    WITH RECURSIVE supnation AS (
+      SELECT DISTINCT l.l_orderkey, s.s_nationkey
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), edges AS (
+      SELECT DISTINCT a.s_nationkey AS src, b.s_nationkey AS dst
+      FROM supnation a JOIN supnation b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.s_nationkey <> b.s_nationkey
+    ), hops(nation, dist) AS (
+      SELECT CAST({BFS_SEED_NATION} AS BIGINT), 0
+      UNION ALL
+      SELECT DISTINCT e.dst, h.dist + 1
+      FROM hops h JOIN edges e ON e.src = h.nation
+      WHERE h.dist < {BFS_MAX_HOPS}
+    )
+    SELECT nation, CAST(MIN(dist) AS INTEGER) AS hops
+    FROM hops GROUP BY nation ORDER BY nation
+"""
+
+
+@query("nation_cosupply_bfs_recursive", oracle=_BFS_SQL)
+def nation_cosupply_bfs_recursive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recursive CTE (new SQL surface in Spark 4): breadth-first hop
+    distance from nation {SEED} over the co-supply graph, the same
+    WITH RECURSIVE text executing on both engines. Complements the
+    DataFrame-loop iterative graph family (``dedup_clusters``
+    fixpoint, ``nation_trade_pagerank``) with the declarative
+    recursion form — the planner, not the driver, runs the loop.
+
+    Scale: each recursion level is one distributed join of the O(25)
+    frontier against the edge list; the per-level DISTINCT plus the
+    {HOPS}-hop guard caps total recursion rows at O(|nations| x
+    hops). The edge derivation is the expensive part (order-keyed
+    self-join, same shape as ``part_copurchase_lift``) and runs once
+    before the recursion."""
+    register_views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_BFS_SQL)
+
+
+nation_cosupply_bfs_recursive.__doc__ = (
+    nation_cosupply_bfs_recursive.__doc__.replace(
+        "{SEED}", str(BFS_SEED_NATION)
+    ).replace("{HOPS}", str(BFS_MAX_HOPS))
+)
