@@ -151,6 +151,7 @@ HEADLINE = [
     "orders_daily_ols_trend",
     "props_variant_profile",
     "nation_cosupply_bfs_recursive",
+    "nation_top2_customers_lateral",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

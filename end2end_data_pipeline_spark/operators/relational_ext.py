@@ -1296,3 +1296,36 @@ nation_cosupply_bfs_recursive.__doc__ = (
         "{SEED}", str(BFS_SEED_NATION)
     ).replace("{HOPS}", str(BFS_MAX_HOPS))
 )
+
+
+# ONE SQL text for both engines: correlated LATERAL subquery with a
+# per-group ORDER BY ... LIMIT — the "top-k per group" form the
+# planner turns into a partitioned top-k instead of a full sort.
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+"""
+
+
+@query("nation_top2_customers_lateral", oracle=_LATERAL_SQL)
+def nation_top2_customers_lateral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-surface twin of the window
+    row_number top-k in ``top_orders_per_customer``): the two
+    highest-balance customers per nation, the same text executing on
+    both engines. LATERAL is the form analysts reach for when the
+    per-group logic is richer than one window can express (joins,
+    limits, aggregates inside the correlated body).
+
+    Scale: Spark decorrelates the lateral into a ranked join — no
+    per-row re-execution; the rank prunes to k rows per group before
+    the final sort. Raw column values pass through untouched, so no
+    float arithmetic crosses the hash boundary."""
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)

@@ -63,13 +63,14 @@ def test_checked_window_contract():
     assert set(QUERIES) == set(RAW)
     assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
-        # round-9 window composition: thirteen new registrations
-        # first (tools/rotate_window.py puts every awaiting query at
-        # the head), then the stalest r2/r4/r5 greens — map re-aligned
-        # to THIS window per the rotation rule.
+        # round-9 second-window composition: ALL 32 awaiting r9
+        # registrations first (tools/rotate_window.py puts every
+        # awaiting query at the head), then the stalest greens — map
+        # re-aligned to THIS window per the rotation rule.
         "docs_shard_skew_profile": "distributed shard-writer audit",
         "avro_ocf_roundtrip": "Avro OCF serde parity",
         "orc_roundtrip": "ORC format parity",
+        "xml_roundtrip": "XML format parity",
         "csv_": "csv quarantine ingest parity (batch + stream)",
         "image_png_parity": "image codec parity",
         "ann_pq_topk": "PQ asymmetric-distance search",
@@ -79,19 +80,32 @@ def test_checked_window_contract():
         "view_purchase_stream_join_replay": "stream-stream join replay",
         "error_streak_stream_replay": "custom stateful streak replay",
         "first_seen_stream_replay": "stateful first-seen replay",
-        # stalest-regreen families (r2/r4 rows being refreshed)
+        "sliding_window_stream_replay": "sliding-window replay",
+        "enrich_stream_static_replay": "stream-static join replay",
+        "upsert_sink_stream_replay": "foreachBatch upsert sink",
+        "state_store_audit": "state-store introspection",
+        "vocab_heavy_hitters": "Misra-Gries heavy hitters",
+        "part_copurchase_triangles": "oriented triangle counting",
+        "dedup_prefixfilter_pairs": "prefix-filter near-dup join",
+        "lineitem_zorder_zonemap": "z-order zone-map audit",
+        "lineitem_corr_matrix": "correlation profiling",
+        "orders_daily_ols_trend": "OLS trend",
+        "props_variant_profile": "VARIANT semi-structured tier",
+        "python_datasource_parity": "custom Python source (batch)",
+        "python_datasource_stream_parity": "custom Python source (stream)",
+        "nation_cosupply_bfs_recursive": "recursive CTE",
+        "nation_top2_customers_lateral": "LATERAL subquery",
+        # stalest-regreen families
         "dedup_": "dedup",
         "event_": "event analytics",
         "multimodal_": "multimodal",
         "ann_": "similarity",
         "doc": "text/corpus analysis",
-        "kmeans_": "clustering",
         "q1": "TPC-H shapes",
-        "nation_trade_pagerank": "iterative graph",
-        "incr_dedup_": "incremental dedup",
         "value_tier_range_join": "band join",
-        "orders_grouping_sets": "grouping sets",
-        "lineitem_charge_unpivot": "unpivot",
+        "lang_id_confusion": "language id",
+        "shingle_novelty_curve": "novelty curve",
+        "source_mix_rebalance": "corpus prep",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
