@@ -152,6 +152,9 @@ HEADLINE = [
     "props_variant_profile",
     "nation_cosupply_bfs_recursive",
     "nation_top2_customers_lateral",
+    "snapshot_reconcile_audit",
+    "bloom_prefilter_audit",
+    "order_allocation_proration",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

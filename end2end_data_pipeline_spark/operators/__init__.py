@@ -15,6 +15,7 @@ from end2end_data_pipeline_spark.operators import (  # noqa: F401
     multimodal,
     pysource_parity,
     quality,
+    reconcile,
     relational,
     relational_ext,
     sampling,

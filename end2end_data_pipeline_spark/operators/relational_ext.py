@@ -1329,3 +1329,71 @@ def nation_top2_customers_lateral(
     float arithmetic crosses the hash boundary."""
     register_views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# --- largest-remainder proration -------------------------------------
+
+PRORATE_EVERY = 211  # deterministic order subset keeping output small
+
+
+def _proration_sql(dialect: str) -> str:
+    """Integer proration in one SQL text per dialect (only the integer-
+    division spelling differs). All arithmetic is BIGINT: the widest
+    product is total_cents (≤ ~5.5e7 — TPC-H prices do not grow with
+    SF) × line weight (≤ ~1.1e7) ≈ 6e14 ≪ 2^63."""
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey AS k, l_linenumber AS ln,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS w
+      FROM lineitem WHERE l_orderkey % {PRORATE_EVERY} = 0),
+    o AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice*100) AS BIGINT) AS total
+      FROM orders WHERE o_orderkey % {PRORATE_EVERY} = 0),
+    j AS (
+      SELECT li.k, li.ln, li.w, o.total,
+             SUM(li.w) OVER (PARTITION BY li.k) AS wsum
+      FROM li JOIN o ON li.k = o.k),
+    base AS (
+      SELECT k, ln, w, total,
+             (total * w) {idiv} NULLIF(wsum, 0) AS base_cents,
+             (total * w) % NULLIF(wsum, 0) AS rem
+      FROM j),
+    ranked AS (
+      SELECT k, ln, w, total, base_cents,
+             SUM(base_cents) OVER (PARTITION BY k) AS base_sum,
+             ROW_NUMBER() OVER (
+               PARTITION BY k ORDER BY rem DESC, ln) AS rk
+      FROM base)
+    SELECT k AS l_orderkey, ln AS l_linenumber, w AS w_cents,
+           total AS total_cents,
+           CAST(base_cents + CASE WHEN rk <= total - base_sum
+                THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+    FROM ranked ORDER BY l_orderkey, l_linenumber
+    """
+
+
+@query("order_allocation_proration", oracle=_proration_sql("duck"))
+def order_allocation_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) proration: allocate each order's
+    total (in cents) across its lineitems proportional to extended
+    price, exactly — floor shares first, then one extra cent to the
+    lines with the largest fractional remainders (ties broken by line
+    number) until the order total is met to the cent. The allocation
+    kernel every revenue/cost attribution pipeline needs; floating-
+    point proration leaks cents, this never does —
+    ``tests/test_reconcile.py`` asserts per-order conservation.
+
+    Scale: one key-partitioned join + two windows over the SAME
+    partition key (orderkey), so Catalyst reuses a single shuffle for
+    the join and both windows; arithmetic stays in whole-stage codegen.
+    The %-{EVERY} subset is fixture sizing only — the plan is
+    subset-free."""
+    register_views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(_proration_sql("spark"))
+
+
+order_allocation_proration.__doc__ = order_allocation_proration.__doc__.replace(
+    "{EVERY}", str(PRORATE_EVERY)
+)

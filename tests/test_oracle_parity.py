@@ -95,6 +95,9 @@ def test_checked_window_contract():
         "python_datasource_stream_parity": "custom Python source (stream)",
         "nation_cosupply_bfs_recursive": "recursive CTE",
         "nation_top2_customers_lateral": "LATERAL subquery",
+        "snapshot_reconcile_audit": "digest-diff snapshot reconcile",
+        "bloom_prefilter_audit": "bloom semi-join prefilter",
+        "order_allocation_proration": "largest-remainder allocation",
         # stalest-regreen families
         "dedup_": "dedup",
         "event_": "event analytics",
@@ -102,10 +105,8 @@ def test_checked_window_contract():
         "ann_": "similarity",
         "doc": "text/corpus analysis",
         "q1": "TPC-H shapes",
-        "value_tier_range_join": "band join",
         "lang_id_confusion": "language id",
         "shingle_novelty_curve": "novelty curve",
-        "source_mix_rebalance": "corpus prep",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family

@@ -118,6 +118,10 @@ WAIVERS: dict[str, str] = {
     # of two O(|event_types|) broadcast distinct lists (plus the 1-row
     # V attach) — matrix size is independent of corpus size.
     "sessions_markov_transitions": "bnlj-over-two-scans",
+    # set-bit census attach: the 1-row count over the session-cached
+    # O(BLOOM_M)-row set-bit relation cross-joined onto the 1-row
+    # confusion tally — a 1 x 1 join.
+    "bloom_prefilter_audit": "bnlj-over-two-scans",
 }
 
 
