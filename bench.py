@@ -155,6 +155,9 @@ HEADLINE = [
     "snapshot_reconcile_audit",
     "bloom_prefilter_audit",
     "order_allocation_proration",
+    "udtf_token_runs",
+    "scd2_customer_tier_history",
+    "region_nation_revenue_share",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -24,7 +24,7 @@ from end2end_data_pipeline_spark.operators.similarity import (
     _qbase_sql,
 )
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import load_table, register_views
 
 
 @query(
@@ -1847,3 +1847,71 @@ def orders_daily_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxx",
         slope.alias("slope_cents_per_day"),
     ).orderBy("priority")
+
+
+# --- SCD Type-2 dimension build ---------------------------------------
+
+SCD2_SUBSET = 11  # fixture sizing: every 11th customer; plan subset-free
+SCD2_OPEN_END = "9999-12"  # sentinel for the open (current) interval
+
+
+def _scd2_sql(dialect: str) -> str:
+    """Shared SCD2 build, dialect-parameterized (month formatting and
+    integer division)."""
+    if dialect == "spark":
+        month, idiv = "date_format(o_orderdate, 'yyyy-MM')", "div"
+    else:
+        month, idiv = "strftime(o_orderdate, '%Y-%m')", "//"
+    return f"""
+    WITH monthly AS (
+      SELECT o_custkey, {month} AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders WHERE o_custkey % {SCD2_SUBSET} = 0
+      GROUP BY o_custkey, {month}),
+    tiered AS (
+      SELECT o_custkey, month,
+             CAST(LEAST({N_TIERS - 1}, cents {idiv} {TIER_WIDTH_CENTS})
+               AS INT) AS tier
+      FROM monthly),
+    changes AS (
+      SELECT o_custkey, month, tier,
+             lag(tier) OVER (PARTITION BY o_custkey ORDER BY month)
+               AS prev_tier
+      FROM tiered),
+    starts AS (
+      SELECT o_custkey, month AS eff_from, tier FROM changes
+      WHERE prev_tier IS NULL OR tier != prev_tier),
+    spans AS (
+      SELECT o_custkey, tier, eff_from,
+             lead(eff_from) OVER (
+               PARTITION BY o_custkey ORDER BY eff_from) AS eff_to_raw
+      FROM starts)
+    SELECT o_custkey, tier, eff_from,
+           coalesce(eff_to_raw, '{SCD2_OPEN_END}') AS eff_to,
+           CASE WHEN eff_to_raw IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM spans ORDER BY o_custkey, eff_from
+    """
+
+
+@query("scd2_customer_tier_history", oracle=_scd2_sql("duck"))
+def scd2_customer_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: compress each
+    customer's monthly spend-tier series into validity intervals
+    [eff_from, eff_to) — a new row only where the tier CHANGES, the
+    open interval flagged ``is_current``. This is the dimension-table
+    complement of ``customer_spend_tier_transitions`` (which counts
+    the moves; this one materializes the history a point-in-time join
+    needs). Gap months collapse into the standing interval, matching
+    the transitions query's documented active-month semantics.
+
+    Scale: one partial-agg rollup keyed (customer, month), then two
+    windows over the SAME customer partition — one shuffle total;
+    change-point compression shrinks output to O(#changes), the whole
+    point of SCD2 at warehouse scale.
+
+    Reference analog: the warehouse the reference lands events into
+    keeps only current rows (``kafka/clickhouse_connector_configuration
+    .json``); SCD2 is the standard upgrade when history must be
+    queryable as-of any date."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_scd2_sql("spark"))

@@ -1397,3 +1397,51 @@ def order_allocation_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
 order_allocation_proration.__doc__ = order_allocation_proration.__doc__.replace(
     "{EVERY}", str(PRORATE_EVERY)
 )
+
+
+# --- share-of-parent hierarchical rollup ------------------------------
+
+def _share_sql(dialect: str) -> str:
+    """Identical text both engines except DuckDB's HUGEINT sums are
+    pinned back to BIGINT (Spark's SUM(BIGINT) is already BIGINT;
+    totals stay < 2^63 even at SF 1000 — ~1.5e9 orders × ~5e7 cents
+    ≈ 7.5e16)."""
+    big = "BIGINT" if dialect == "duck" else "BIGINT"
+    return f"""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+               AS {big}) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation, cents,
+           CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+             AS region_cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+             AS share_of_region,
+           CAST(CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+               AS DOUBLE)
+             / CAST(SUM(cents) OVER () AS BIGINT)
+             AS region_share_of_global
+    FROM rev ORDER BY region, nation
+    """
+
+
+@query("region_nation_revenue_share", oracle=_share_sql("duck"))
+def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent hierarchical rollup: each nation's exact-cents
+    share of its region's revenue and each region's share of global —
+    the percent-of-parent drilldown every BI layer renders over a
+    geo hierarchy. Ratios divide exact integer sums, so the doubles
+    are bit-identical across engines regardless of aggregation order.
+
+    Scale: the fact table reduces FIRST (partial-agg on the join keys
+    after two broadcast dim hops — nation/region are fixed-cardinality
+    broadcasts, customer prunes to the key column); both window passes
+    run over the O(|nations|) rollup, never over facts."""
+    register_views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(_share_sql("spark"))

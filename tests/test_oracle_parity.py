@@ -98,15 +98,16 @@ def test_checked_window_contract():
         "snapshot_reconcile_audit": "digest-diff snapshot reconcile",
         "bloom_prefilter_audit": "bloom semi-join prefilter",
         "order_allocation_proration": "largest-remainder allocation",
+        "udtf_token_runs": "Arrow Python UDTF",
+        "scd2_customer_tier_history": "SCD Type-2 dimension build",
+        "region_nation_revenue_share": "share-of-parent rollup",
         # stalest-regreen families
         "dedup_": "dedup",
         "event_": "event analytics",
         "multimodal_": "multimodal",
         "ann_": "similarity",
         "doc": "text/corpus analysis",
-        "q1": "TPC-H shapes",
         "lang_id_confusion": "language id",
-        "shingle_novelty_curve": "novelty curve",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
