@@ -158,6 +158,9 @@ HEADLINE = [
     "udtf_token_runs",
     "scd2_customer_tier_history",
     "region_nation_revenue_share",
+    "scd2_point_in_time_join",
+    "customer_spend_rank_bands",
+    "orders_daily_ewma16",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -1915,3 +1915,131 @@ def scd2_customer_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     queryable as-of any date."""
     register_views(spark, sf_dir, "orders")
     return spark.sql(_scd2_sql("spark"))
+
+
+def _scd2_pit_sql(dialect: str) -> str:
+    month = (
+        "date_format(o_orderdate, 'yyyy-MM')"
+        if dialect == "spark"
+        else "strftime(o_orderdate, '%Y-%m')"
+    )
+    return f"""
+    WITH hist AS ({_scd2_sql(dialect)}),
+    om AS (
+      SELECT o_orderkey, o_custkey, {month} AS month
+      FROM orders WHERE o_custkey % {SCD2_SUBSET} = 0)
+    SELECT om.o_orderkey, om.o_custkey, om.month, h.tier
+    FROM om JOIN hist h ON om.o_custkey = h.o_custkey
+      AND om.month >= h.eff_from AND om.month < h.eff_to
+    ORDER BY om.o_orderkey
+    """
+
+
+@query("scd2_point_in_time_join", oracle=_scd2_pit_sql("duck"))
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption side of ``scd2_customer_tier_history``: join
+    each order to the tier that was in force in its month — the
+    point-in-time (as-of) lookup SCD2 exists to serve. The lexical
+    ``yyyy-MM`` encoding makes the interval predicate a plain string
+    range; the open interval's ``9999-12`` sentinel needs no special
+    case. Every order month lands in EXACTLY one interval (intervals
+    tile from the first active month — ``tests/test_r9_close_ops.py``
+    asserts the row-count identity).
+
+    Scale: equi-join on the customer key carries the range predicate
+    as a join filter — no band-join fanout; the dimension side is the
+    O(#changes)-row SCD2 output, broadcastable at any realistic
+    change rate."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_scd2_pit_sql("spark"))
+
+
+_RANK_BANDS_SQL = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile,
+             percent_rank() OVER (ORDER BY cents, o_custkey) AS pr,
+             cume_dist() OVER (ORDER BY cents, o_custkey) AS cd
+      FROM spend)
+    SELECT decile, count(*) AS n_customers,
+           min(cents) AS cents_min, max(cents) AS cents_max,
+           min(pr) AS pr_min, max(cd) AS cd_max
+    FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
+@query("customer_spend_rank_bands", oracle=_RANK_BANDS_SQL)
+def customer_spend_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank surface in one pass: ``ntile`` deciles,
+    ``percent_rank`` and ``cume_dist`` over lifetime spend, rolled up
+    per decile. The rank doubles are exact rationals ((rank-1)/(n-1),
+    rank/n) over a DETERMINISTIC total order (cents, custkey) — bit-
+    identical across engines, per the no-float-aggregation rule.
+
+    Scale: one customer-keyed partial agg, then a single global-order
+    window. A global ORDER BY window is the one shape that genuinely
+    serializes; at 100 TB you'd band it by range partitioning first
+    (the ``key_skew_profile`` pattern) — here the windowed relation is
+    already O(customers), reduced before the sort."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_RANK_BANDS_SQL)
+
+
+EWMA_SPAN = 16  # ROWS window; power-of-two weights keep BIGINT exact
+
+
+def _ewma_sql(dialect: str) -> str:
+    day = (
+        "date_format(o_orderdate, 'yyyy-MM-dd')"
+        if dialect == "spark"
+        else "strftime(o_orderdate, '%Y-%m-%d')"
+    )
+    num = " + ".join(
+        f"coalesce(lag(cnt,{k}) OVER w, 0) * {2 ** (EWMA_SPAN - 1 - k)}"
+        for k in range(EWMA_SPAN)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(cnt,{k}) OVER w IS NOT NULL"
+        f" THEN {2 ** (EWMA_SPAN - 1 - k)} ELSE 0 END)"
+        for k in range(EWMA_SPAN)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT {day} AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY {day})
+    SELECT day, cnt,
+           CAST({num} AS BIGINT) AS ewma_num,
+           CAST({den} AS BIGINT) AS ewma_den,
+           CAST({num} AS DOUBLE) / ({den}) AS ewma
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+    ORDER BY day
+    """
+
+
+@query("orders_daily_ewma16", oracle=_ewma_sql("duck"))
+def orders_daily_ewma16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order volume,
+    EXACT: {SPAN} explicit lag terms with power-of-two weights
+    (half-life = 1 step) summed in BIGINT, the ratio emitted alongside
+    its integer numerator/denominator so the hash oracle checks the
+    arithmetic, not a float accumulation order. Short-history days
+    renormalize over the weights actually present. The trend
+    complement of ``orders_daily_ols_trend`` (global fit) and
+    ``events_cusum_drift`` (changepoint): a local smoother.
+
+    Scale: one date-keyed partial agg, then a single ordered window
+    over O(#days) rows — the window never sees facts. Weights ≤ 2^15
+    on day counts keep the numerator < 2^63 up to ~2.8e14 orders/day."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_ewma_sql("spark"))
+
+
+orders_daily_ewma16.__doc__ = orders_daily_ewma16.__doc__.replace(
+    "{SPAN}", str(EWMA_SPAN)
+)

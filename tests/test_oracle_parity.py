@@ -101,13 +101,17 @@ def test_checked_window_contract():
         "udtf_token_runs": "Arrow Python UDTF",
         "scd2_customer_tier_history": "SCD Type-2 dimension build",
         "region_nation_revenue_share": "share-of-parent rollup",
-        # stalest-regreen families
+        "scd2_point_in_time_join": "SCD2 as-of consumption join",
+        "customer_spend_rank_bands": "ntile/percent_rank/cume_dist",
+        "orders_daily_ewma16": "exact EWMA smoother",
+        # stalest-regreen families (image_png_parity carries the
+        # multimodal-codec family since the decode/resize anchors aged
+        # out for younger never-checked registrations)
         "dedup_": "dedup",
         "event_": "event analytics",
-        "multimodal_": "multimodal",
+        "image_png_parity": "multimodal codec",
         "ann_": "similarity",
         "doc": "text/corpus analysis",
-        "lang_id_confusion": "language id",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family

@@ -63,3 +63,28 @@ def test_revenue_shares_sum_to_one(spark):
     for region, tot in per_region.items():
         assert abs(tot - 1.0) < 1e-9, (region, tot)
     assert abs(sum(region_global.values()) - 1.0) < 1e-9
+
+
+def test_scd2_pit_join_covers_every_subset_order(spark):
+    """Interval tiling means each subset order matches EXACTLY one
+    validity interval — the join neither drops nor duplicates."""
+    from end2end_data_pipeline_spark.operators.quality import SCD2_SUBSET
+
+    joined = entrymod.queries()["scd2_point_in_time_join"](spark, SF)
+    n_orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .where(f"o_custkey % {SCD2_SUBSET} = 0")
+        .count()
+    )
+    assert joined.count() == n_orders > 0
+    assert joined.select("o_orderkey").distinct().count() == n_orders
+
+
+def test_ewma_renormalizes_partial_history(spark):
+    rows = entrymod.queries()["orders_daily_ewma16"](spark, SF).collect()
+    assert rows
+    full_den = sum(2 ** k for k in range(16))  # 65535 once history fills
+    assert rows[0]["ewma_den"] == 2 ** 15  # first day: only its own weight
+    assert rows[-1]["ewma_den"] == full_den
+    for r in rows:
+        assert abs(r["ewma"] - r["ewma_num"] / r["ewma_den"]) < 1e-12
