@@ -2034,8 +2034,8 @@ def orders_daily_ewma16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_cusum_drift`` (changepoint): a local smoother.
 
     Scale: one date-keyed partial agg, then a single ordered window
-    over O(#days) rows — the window never sees facts. Weights ≤ 2^15
-    on day counts keep the numerator < 2^63 up to ~2.8e14 orders/day."""
+    over O(#days) rows — the window never sees facts. The full weight sum is
+    2^16-1, so the numerator stays < 2^63 up to ~1.4e14 orders/day."""
     register_views(spark, sf_dir, "orders")
     return spark.sql(_ewma_sql("spark"))
 

@@ -41,6 +41,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
     load_table,
@@ -141,16 +142,20 @@ BLOOM_K = 4
 MEMBER_CENTS = 49_600_000  # any single order ≥ 496k ⇒ ~7.5% of customers
 
 
-def _duck_bloom_sql() -> str:
-    def h(salt: int, col: str) -> str:
-        return (
-            f"(('0x' || substr(md5(concat('{salt}:', CAST({col} AS VARCHAR))),"
-            f"1,15))::BIGINT) % {BLOOM_M}"
-        )
+def _positions_exprs(col: str, dialect: str) -> list[str]:
+    """k salted portable-hash bit positions — the shared
+    ``functions/texthash.py`` builder, so the two dialects cannot
+    drift (its whole point; r9 review)."""
+    cast = "STRING" if dialect == th.SPARK else "VARCHAR"
+    return [
+        f"{th.salted_md5h(j, f'CAST({col} AS {cast})', dialect)} % {BLOOM_M}"
+        for j in range(1, BLOOM_K + 1)
+    ]
 
+
+def _duck_bloom_sql() -> str:
     def positions(col: str) -> str:
-        exprs = ", ".join(h(j, col) for j in range(1, BLOOM_K + 1))
-        return f"unnest([{exprs}])"
+        return f"unnest([{', '.join(_positions_exprs(col, th.DUCK))}])"
 
     return f"""
     WITH members AS (
@@ -186,19 +191,10 @@ def _duck_bloom_sql() -> str:
 
 
 def _spark_positions(col: str) -> F.Column:
-    """k salted portable-hash bit positions of a key column —
-    JVM-side md5/conv built-ins, identical bits to the DuckDB form."""
+    """The Spark face of ``_positions_exprs`` — JVM-side md5/conv
+    built-ins, identical bits to the DuckDB form by construction."""
     return F.explode(
-        F.array(
-            *[
-                F.expr(
-                    f"CAST(conv(substr(md5(concat('{j}:',"
-                    f" CAST({col} AS STRING))),1,15),16,10) AS BIGINT)"
-                    f" % {BLOOM_M}"
-                )
-                for j in range(1, BLOOM_K + 1)
-            ]
-        )
+        F.array(*[F.expr(e) for e in _positions_exprs(col, th.SPARK)])
     )
 
 

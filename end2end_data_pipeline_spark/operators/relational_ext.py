@@ -1401,17 +1401,15 @@ order_allocation_proration.__doc__ = order_allocation_proration.__doc__.replace(
 
 # --- share-of-parent hierarchical rollup ------------------------------
 
-def _share_sql(dialect: str) -> str:
-    """Identical text both engines except DuckDB's HUGEINT sums are
-    pinned back to BIGINT (Spark's SUM(BIGINT) is already BIGINT;
-    totals stay < 2^63 even at SF 1000 — ~1.5e9 orders × ~5e7 cents
-    ≈ 7.5e16)."""
-    big = "BIGINT" if dialect == "duck" else "BIGINT"
-    return f"""
+# ONE SQL text for both engines; every SUM is pinned to BIGINT, which
+# is a no-op for Spark and folds DuckDB's HUGEINT widening back down
+# (totals stay < 2^63 even at SF 1000 — ~1.5e9 orders × ~5e7 cents
+# ≈ 7.5e16).
+_SHARE_SQL = """
     WITH rev AS (
       SELECT r.r_name AS region, n.n_name AS nation,
              CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
-               AS {big}) AS cents
+               AS BIGINT) AS cents
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1431,7 +1429,7 @@ def _share_sql(dialect: str) -> str:
     """
 
 
-@query("region_nation_revenue_share", oracle=_share_sql("duck"))
+@query("region_nation_revenue_share", oracle=_SHARE_SQL)
 def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-parent hierarchical rollup: each nation's exact-cents
     share of its region's revenue and each region's share of global —
@@ -1444,4 +1442,4 @@ def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts, customer prunes to the key column); both window passes
     run over the O(|nations|) rollup, never over facts."""
     register_views(spark, sf_dir, "orders", "customer", "nation", "region")
-    return spark.sql(_share_sql("spark"))
+    return spark.sql(_SHARE_SQL)

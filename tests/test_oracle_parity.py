@@ -104,12 +104,11 @@ def test_checked_window_contract():
         "scd2_point_in_time_join": "SCD2 as-of consumption join",
         "customer_spend_rank_bands": "ntile/percent_rank/cume_dist",
         "orders_daily_ewma16": "exact EWMA smoother",
-        # stalest-regreen families (image_png_parity carries the
-        # multimodal-codec family since the decode/resize anchors aged
-        # out for younger never-checked registrations)
+        # stalest-regreen families (the image_png_parity entry above
+        # carries the multimodal-codec family since the decode/resize
+        # anchors aged out for younger never-checked registrations)
         "dedup_": "dedup",
         "event_": "event analytics",
-        "image_png_parity": "multimodal codec",
         "ann_": "similarity",
         "doc": "text/corpus analysis",
     }
