@@ -106,6 +106,10 @@ WAIVERS: dict[str, str] = {
     # bucket-bounds attach: the 1-row min/max aggregate cross-joined
     # back onto the fact scan for exact integer bucketing.
     "lineitem_zorder_zonemap": "bnlj-over-two-scans",
+    # day-zero anchor attach: the 1-row min(day) aggregate cross-joined
+    # back onto the fact scan so day indexes are corpus-relative and
+    # engine-portable; the per-user bitmap reduce never re-shuffles.
+    "user_activity_bitmap": "bnlj-over-two-scans",
     # heavy-hitter threshold attach: the 1-row total-token aggregate
     # (read from the cached O(MG_COUNTERS x partitions) MG summary)
     # cross-joined onto the candidate-only exact counts.
