@@ -161,6 +161,19 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "customer_spend_rank_bands",
     "orders_daily_ewma16",
+    # round-9 reporting/serving tier (orders_keyset_pagination is
+    # included deliberately: its 5 sequential page jobs ARE the
+    # serving pattern under test, so its wall time is the protocol's
+    # real cost, not a fixture build)
+    "session_concurrency_timeline",
+    "user_activity_bitmap",
+    "user_count_cms_audit",
+    "part_price_size_skyline",
+    "orders_keyset_pagination",
+    "nation_customer_listagg",
+    "segment_nation_chisq",
+    "customer_order_gap_median",
+    "docs_conjunctive_search",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -104,9 +104,21 @@ def test_checked_window_contract():
         "scd2_point_in_time_join": "SCD2 as-of consumption join",
         "customer_spend_rank_bands": "ntile/percent_rank/cume_dist",
         "orders_daily_ewma16": "exact EWMA smoother",
-        # stalest-regreen families (the image_png_parity entry above
-        # carries the multimodal-codec family since the decode/resize
-        # anchors aged out for younger never-checked registrations)
+        # round-9 third window: the reporting/serving tier fills the
+        # last 9 slots (all 50 now await their first driver green —
+        # a green run closes the union at 249/249)
+        "session_concurrency_timeline": "sweep-line concurrency",
+        "user_activity_bitmap": "day-activity bitmap index",
+        "user_count_cms_audit": "count-min sketch audit",
+        "part_price_size_skyline": "2-D Pareto skyline",
+        "orders_keyset_pagination": "keyset pagination parity",
+        "nation_customer_listagg": "deterministic LISTAGG",
+        "segment_nation_chisq": "chi-square contingency",
+        "customer_order_gap_median": "exact median order gap",
+        "docs_conjunctive_search": "conjunctive posting search",
+        # cross-cutting families still represented in this window
+        # (the image_png_parity entry above carries the
+        # multimodal-codec family)
         "dedup_": "dedup",
         "event_": "event analytics",
         "ann_": "similarity",
