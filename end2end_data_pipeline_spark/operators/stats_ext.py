@@ -1,0 +1,765 @@
+"""Nonparametric / distribution-comparison statistics tier — the
+trend, association, and two-sample tests a data-quality or drift
+monitor runs over the warehouse: Mann-Kendall trend, Kendall tau,
+a banded two-sample Kolmogorov-Smirnov distance, Mann-Whitney U /
+ROC-AUC, the Wald-Wolfowitz runs test, and a count-min-sketch
+self-join cardinality estimate (the optimizer's classic sketch use).
+
+Reference analog: the reference's single anomaly metric is an error
+RATE threshold (``airflow/dags/spark.py:38-44``); these are the
+distribution-level screens the same monitoring layer needs once the
+data volume makes "eyeball the counts" impossible.
+
+Exactness contract (the oracle-hash rules): every statistic is either
+an exact integer (pair counts, S, runs, medians in cents) or ONE
+cast-first double expression over exact integers, so Spark and DuckDB
+agree bit-for-bit. No ln(), no float accumulation, no sqrt — z-scores
+and p-values are the caller's last-mile step over the exact
+ingredients returned here.
+
+Scale notes (100 TB posture):
+- every query reduces on a partitioned key FIRST (week, band, day,
+  quantity value, partkey); pairwise work then runs over
+  calendar-bounded or domain-bounded spines (<= ~370 weeks, ~2.5 k
+  days, 50 quantity values, CMS cells), never over raw rows;
+- the week-pair generators build pairs INSIDE one aggregated array
+  (collect_list over a calendar-bounded group) instead of a
+  self-join, so the fact table is scanned once, not twice;
+- accumulators that square row counts (Mann-Whitney, CMS inner
+  product) run in DECIMAL(38,0) / HUGEINT — exact to 10^38, the ge2
+  fix — and only cross the output boundary as cast-first doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from end2end_data_pipeline_spark.functions.texthash import (
+    DUCK,
+    SPARK,
+    salted_md5h,
+)
+from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.sources.tables import load_table
+
+# Epoch anchoring the weekly / daily indexes: the corpus' first order
+# date (TPC-H ships 1992-01-01..1998-08-02), so indexes are small,
+# positive, and engine-portable integers.
+EPOCH = "1992-01-01"
+
+_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+def _pairs_expr(arr: str, pair: str) -> str:
+    """Spark SQL: all i<j pairs of ``arr`` mapped through ``pair``, a
+    lambda body over structs ``x`` (earlier) and ``y`` (later). The
+    array is calendar-bounded (weeks), so the quadratic stays O(370^2)
+    per group regardless of fact volume."""
+    return (
+        f"flatten(transform({arr}, (x, i) -> "
+        f"transform(slice({arr}, i + 2, size({arr}) - i - 1), "
+        f"y -> {pair})))"
+    )
+
+
+# --- Mann-Kendall trend test ------------------------------------------
+
+_MK_ORACLE = f"""
+    WITH weekly AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) // 7
+               AS week_idx,
+             SUM({_CENTS}) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.priority,
+             CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                  WHEN b.rev_cents < a.rev_cents THEN -1 ELSE 0 END AS s
+      FROM weekly a JOIN weekly b
+        ON a.priority = b.priority AND a.week_idx < b.week_idx
+    ), nw AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_weeks
+      FROM weekly GROUP BY 1
+    )
+    SELECT p.priority, nw.n_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(s) AS BIGINT) AS s_stat,
+           CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+           CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+           CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+           CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trend_score
+    FROM pairs p JOIN nw ON p.priority = nw.priority
+    GROUP BY p.priority, nw.n_weeks
+    ORDER BY p.priority
+    """
+
+
+@query("orders_weekly_mann_kendall", oracle=_MK_ORACLE)
+def orders_weekly_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945; Kendall 1975) on weekly
+    revenue per order priority: S = sum over week pairs i<j of
+    sign(rev_j - rev_i), with the concordant/discordant/tie split —
+    the standard monotone-trend screen that needs no distributional
+    assumption and no float accumulation. ``trend_score`` is S over
+    the pair count (tau-a), one exact-integer division.
+
+    The oracle states the semantics as the quadratic self-join; the
+    Spark side builds the SAME pairs inside one collect_list'd
+    calendar-bounded array (<= ~370 weeks/priority — bounded by the
+    date domain, not fact volume), so orders is scanned ONCE and no
+    join ever materializes the pair table.
+
+    Scale: one fact shuffle (the week x priority rollup, map-side
+    combined); the pair stage is O(priorities x weeks^2) = O(5 x
+    370^2) scalar ops inside a single task. At any SF the array size
+    is the calendar, never the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(f"datediff(o_orderdate, DATE'{EPOCH}') div 7").alias("week_idx"),
+    ).agg(F.expr(f"SUM({_CENTS})").alias("rev_cents"))
+    arr = weekly.groupBy("priority").agg(
+        F.sort_array(F.collect_list(F.struct("week_idx", "rev_cents"))).alias(
+            "wk"
+        )
+    )
+    pairs = _pairs_expr(
+        "wk",
+        "CASE WHEN y.rev_cents > x.rev_cents THEN 1 "
+        "WHEN y.rev_cents < x.rev_cents THEN -1 ELSE 0 END",
+    )
+    return (
+        arr.select(
+            "priority",
+            F.expr("CAST(size(wk) AS BIGINT)").alias("n_weeks"),
+            F.expr(pairs).alias("p"),
+        )
+        .select(
+            "priority",
+            "n_weeks",
+            F.expr("CAST(size(p) AS BIGINT)").alias("n_pairs"),
+            F.expr(
+                "CAST(aggregate(p, 0L, (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("s_stat"),
+            F.expr("CAST(size(filter(p, v -> v = 1)) AS BIGINT)").alias(
+                "n_plus"
+            ),
+            F.expr("CAST(size(filter(p, v -> v = -1)) AS BIGINT)").alias(
+                "n_minus"
+            ),
+            F.expr("CAST(size(filter(p, v -> v = 0)) AS BIGINT)").alias(
+                "n_ties"
+            ),
+        )
+        .filter(F.col("n_pairs") > 0)
+        .withColumn(
+            "trend_score",
+            F.col("s_stat").cast("double") / F.col("n_pairs").cast("double"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- Kendall tau between two weekly series ----------------------------
+
+_TAU_ORACLE = f"""
+    WITH weekly AS (
+      SELECT date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) // 7
+               AS week_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM({_CENTS}) AS rev_cents
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN b.n_orders > a.n_orders THEN 1
+                  WHEN b.n_orders < a.n_orders THEN -1 ELSE 0 END AS dx,
+             CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                  WHEN b.rev_cents < a.rev_cents THEN -1 ELSE 0 END AS dy
+      FROM weekly a JOIN weekly b ON a.week_idx < b.week_idx
+    )
+    SELECT CAST((SELECT COUNT(*) FROM weekly) AS BIGINT) AS n_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(SUM(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+           CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties_x,
+           CAST(SUM(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties_y,
+           CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties_both,
+           CAST(SUM(dx * dy) AS BIGINT) AS tau_num,
+           CAST(SUM(dx * dy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tau_a
+    FROM pairs HAVING COUNT(*) > 0
+    """
+
+
+@query("orders_weekly_kendall_tau", oracle=_TAU_ORACLE)
+def orders_weekly_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation between two weekly series — order
+    COUNT vs revenue — as the exact concordant/discordant/tie census
+    over all week pairs. ``tau_num`` = concordant - discordant (the
+    numerator both tau-a and tau-b share; note sum(dx*dy) counts
+    exactly that, since tied pairs contribute 0); ``tau_a`` divides it
+    by the pair count. The sqrt-normalized tau-b is the caller's
+    last-mile step over the exact tie counts returned here.
+
+    Same single-scan array-pair construction as
+    ``orders_weekly_mann_kendall``: the weekly rollup is the only
+    fact shuffle, and the O(weeks^2) pair census runs inside one
+    task over a calendar-bounded array."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.expr(f"datediff(o_orderdate, DATE'{EPOCH}') div 7").alias("week_idx")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.expr(f"SUM({_CENTS})").alias("rev_cents"),
+    )
+    pair = (
+        "named_struct("
+        "'dx', CASE WHEN y.n_orders > x.n_orders THEN 1 "
+        "WHEN y.n_orders < x.n_orders THEN -1 ELSE 0 END, "
+        "'dy', CASE WHEN y.rev_cents > x.rev_cents THEN 1 "
+        "WHEN y.rev_cents < x.rev_cents THEN -1 ELSE 0 END)"
+    )
+    arr = weekly.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("week_idx", "n_orders", "rev_cents"))
+        ).alias("wk")
+    )
+    return (
+        arr.select(
+            F.expr("CAST(size(wk) AS BIGINT)").alias("n_weeks"),
+            F.expr(_pairs_expr("wk", pair)).alias("p"),
+        )
+        .select(
+            "n_weeks",
+            F.expr("CAST(size(p) AS BIGINT)").alias("n_pairs"),
+            F.expr(
+                "CAST(size(filter(p, v -> v.dx * v.dy = 1)) AS BIGINT)"
+            ).alias("concordant"),
+            F.expr(
+                "CAST(size(filter(p, v -> v.dx * v.dy = -1)) AS BIGINT)"
+            ).alias("discordant"),
+            F.expr(
+                "CAST(size(filter(p, v -> v.dx = 0 AND v.dy <> 0)) AS BIGINT)"
+            ).alias("ties_x"),
+            F.expr(
+                "CAST(size(filter(p, v -> v.dx <> 0 AND v.dy = 0)) AS BIGINT)"
+            ).alias("ties_y"),
+            F.expr(
+                "CAST(size(filter(p, v -> v.dx = 0 AND v.dy = 0)) AS BIGINT)"
+            ).alias("ties_both"),
+            F.expr(
+                "CAST(aggregate(p, 0L, (acc, v) -> acc + v.dx * v.dy)"
+                " AS BIGINT)"
+            ).alias("tau_num"),
+        )
+        .filter(F.col("n_pairs") > 0)
+        .withColumn(
+            "tau_a",
+            F.col("tau_num").cast("double") / F.col("n_pairs").cast("double"),
+        )
+    )
+
+
+# --- banded two-sample Kolmogorov-Smirnov -----------------------------
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+KS_BAND_CENTS = 500_000  # $5,000 price bands
+
+_KS_ORACLE = f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, {_CENTS} // {KS_BAND_CENTS} AS band
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+    ), per_band AS (
+      SELECT band,
+             CAST(SUM(CASE WHEN seg = '{KS_SEG_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN seg = '{KS_SEG_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b
+      FROM j GROUP BY 1
+    ), cdf AS (
+      SELECT band, n_a, n_b,
+             CAST(SUM(n_a) OVER (ORDER BY band
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             CAST(SUM(n_b) OVER (ORDER BY band
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+             CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b
+      FROM per_band
+    ), gaps AS (
+      SELECT band, n_a, n_b, cum_a, cum_b,
+             CAST(cum_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+               - CAST(cum_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS cdf_gap
+      FROM cdf WHERE tot_a > 0 AND tot_b > 0
+    )
+    SELECT band, CAST(band * {KS_BAND_CENTS} AS BIGINT) AS band_lo_cents,
+           n_a, n_b, cum_a, cum_b, cdf_gap,
+           MAX(ABS(cdf_gap)) OVER () AS ks_d
+    FROM gaps ORDER BY band
+    """
+
+
+@query("segment_price_ks_distance", oracle=_KS_ORACLE)
+def segment_price_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded two-sample Kolmogorov-Smirnov distance between the
+    order-value distributions of two customer segments — the drift
+    screen run when a segment's spend profile may have shifted. Values
+    are discretized into fixed $5,000 bands FIRST (the statistic is
+    exact on the banded distribution and the spine is bounded by the
+    price domain, ~120 bands, not by row count); per band the exact
+    empirical-CDF gap is one cast-first double over exact BIGINT
+    cumulative counts (each division correctly rounded, so both
+    engines agree bit-for-bit — no integer cross-products, hence no
+    overflow at any SF). ``ks_d`` = max |gap| is constant across rows.
+
+    Scale: customer projects two columns and filters to two segments
+    before the join; the banded rollup is the only fact shuffle; the
+    unpartitioned CDF windows run over the bounded band spine."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(f"{_CENTS} div {KS_BAND_CENTS}").alias("band"),
+    )
+    per_band = j.groupBy("band").agg(
+        F.sum(F.when(F.col("seg") == KS_SEG_A, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("seg") == KS_SEG_B, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    w_cum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = per_band.select(
+        "band",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w_cum).cast("long").alias("cum_a"),
+        F.sum("n_b").over(w_cum).cast("long").alias("cum_b"),
+        F.sum("n_a").over(w_all).cast("long").alias("tot_a"),
+        F.sum("n_b").over(w_all).cast("long").alias("tot_b"),
+    )
+    gaps = cdf.filter((F.col("tot_a") > 0) & (F.col("tot_b") > 0)).select(
+        "band",
+        "n_a",
+        "n_b",
+        "cum_a",
+        "cum_b",
+        (
+            F.col("cum_a").cast("double") / F.col("tot_a").cast("double")
+            - F.col("cum_b").cast("double") / F.col("tot_b").cast("double")
+        ).alias("cdf_gap"),
+    )
+    return gaps.select(
+        "band",
+        (F.col("band") * KS_BAND_CENTS).cast("long").alias("band_lo_cents"),
+        "n_a",
+        "n_b",
+        "cum_a",
+        "cum_b",
+        "cdf_gap",
+        F.max(F.abs(F.col("cdf_gap"))).over(w_all).alias("ks_d"),
+    ).orderBy("band")
+
+
+# --- Mann-Whitney U / ROC-AUC over a dense value domain ---------------
+
+MWU_FLAGS = ("A", "N", "R")  # l_returnflag domain (TPC-H fixed)
+
+_MWU_ORACLE = """
+    WITH counts AS (
+      SELECT CAST(l_quantity AS INTEGER) AS qty,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_r
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT qty, c_a, c_n, c_r,
+             COALESCE(SUM(c_a) OVER w, 0) AS lt_a,
+             COALESCE(SUM(c_n) OVER w, 0) AS lt_n,
+             COALESCE(SUM(c_r) OVER w, 0) AS lt_r
+      FROM counts
+      WINDOW w AS (ORDER BY qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), u AS (
+      SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_n) AS BIGINT) AS n_n,
+             CAST(SUM(c_r) AS BIGINT) AS n_r,
+             SUM(CAST(c_a AS HUGEINT) * (2 * lt_n + c_n)) AS u_an,
+             SUM(CAST(c_a AS HUGEINT) * (2 * lt_r + c_r)) AS u_ar,
+             SUM(CAST(c_n AS HUGEINT) * (2 * lt_r + c_r)) AS u_nr
+      FROM cum
+    )
+    SELECT * FROM (
+      SELECT 'A' AS flag_a, 'N' AS flag_b, n_a, n_n AS n_b,
+             CAST(u_an AS DOUBLE) AS u1_x2,
+             CAST(u_an AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * CAST(n_a AS DOUBLE)
+                  * CAST(n_n AS DOUBLE)) AS auc
+      FROM u WHERE n_a > 0 AND n_n > 0
+      UNION ALL
+      SELECT 'A', 'R', n_a, n_r,
+             CAST(u_ar AS DOUBLE),
+             CAST(u_ar AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * CAST(n_a AS DOUBLE)
+                  * CAST(n_r AS DOUBLE))
+      FROM u WHERE n_a > 0 AND n_r > 0
+      UNION ALL
+      SELECT 'N', 'R', n_n, n_r,
+             CAST(u_nr AS DOUBLE),
+             CAST(u_nr AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * CAST(n_n AS DOUBLE)
+                  * CAST(n_r AS DOUBLE))
+      FROM u WHERE n_n > 0 AND n_r > 0
+    ) ORDER BY flag_a, flag_b
+    """
+
+
+@query("returnflag_quantity_mwu", oracle=_MWU_ORACLE)
+def returnflag_quantity_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between each pair of return-flag populations on
+    the quantity distribution, computed exactly from per-VALUE counts
+    (l_quantity's dense 1..50 domain) — never from per-row ranks, so
+    no global sort of facts ever happens. ``u1_x2`` is 2*U1 (doubled
+    to keep the half-credit for ties integral); ``auc`` = U1/(n_a*n_b)
+    is the common-language effect size / ROC-AUC, one cast-first
+    double over the exact accumulators.
+
+    Exactness: U accumulates c_a*(2*cum_lt_b + c_b) in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — the ge2 pattern, exact past any real
+    SF (2*n_a*n_b overflows int64 around 2e9 rows/flag ~ sf1000) —
+    and crosses the boundary only as a double.
+
+    Scale: ONE fact shuffle (the 50-row value census, map-side
+    combined); windows and pair sums run over the 50-row domain
+    spine in a single task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_quantity").cast("int").alias("qty")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == f, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{f.lower()}")
+            for f in MWU_FLAGS
+        ]
+    )
+    w_lt = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "qty",
+        *[F.col(f"c_{f.lower()}") for f in MWU_FLAGS],
+        *[
+            F.coalesce(F.sum(f"c_{f.lower()}").over(w_lt), F.lit(0))
+            .cast("long")
+            .alias(f"lt_{f.lower()}")
+            for f in MWU_FLAGS
+        ],
+    )
+    u = cum.agg(
+        *[
+            F.sum(f"c_{f.lower()}").cast("long").alias(f"n_{f.lower()}")
+            for f in MWU_FLAGS
+        ],
+        *[
+            F.sum(
+                F.expr(
+                    f"CAST(c_{a} AS DECIMAL(19,0)) * (2 * lt_{b} + c_{b})"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"u_{a}{b}")
+            for a, b in (("a", "n"), ("a", "r"), ("n", "r"))
+        ],
+    )
+    # explode the 3 pair rows out of the ONE aggregated row — a UNION
+    # of per-pair selects re-derives the whole census per branch
+    # (3 lineitem scans; the scan-count probe caught it)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(fa.upper()).alias("flag_a"),
+                F.lit(fb.upper()).alias("flag_b"),
+                F.col(f"n_{fa}").alias("n_a"),
+                F.col(f"n_{fb}").alias("n_b"),
+                F.col(f"u_{fa}{fb}").cast("double").alias("u1_x2"),
+            )
+            for fa, fb in (("a", "n"), ("a", "r"), ("n", "r"))
+        ]
+    )
+    return (
+        u.select(F.explode(pair_structs).alias("r"))
+        .select("r.*")
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .withColumn(
+            "auc",
+            F.col("u1_x2")
+            / (
+                F.lit(2.0)
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            ),
+        )
+        .orderBy("flag_a", "flag_b")
+    )
+
+
+# --- Wald-Wolfowitz runs test on daily revenue ------------------------
+
+_RUNS_ORACLE = f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE))
+               AS day_idx,
+             SUM({_CENTS}) AS rev_cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT day_idx, rev_cents,
+             ROW_NUMBER() OVER (ORDER BY rev_cents, day_idx) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ), med AS (
+      SELECT day_idx, rev_cents, n,
+             MAX(CASE WHEN rn <= (n + 1) // 2 THEN rev_cents END) OVER ()
+               AS median_cents
+      FROM ranked
+    ), signs AS (
+      SELECT day_idx, n, median_cents,
+             CASE WHEN rev_cents > median_cents THEN 1 ELSE 0 END AS above
+      FROM med
+    ), runs AS (
+      SELECT n, median_cents, above,
+             CASE WHEN LAG(above) OVER (ORDER BY day_idx) IS NULL
+                       OR LAG(above) OVER (ORDER BY day_idx) <> above
+                  THEN 1 ELSE 0 END AS run_start
+      FROM signs
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(MAX(median_cents) AS BIGINT) AS median_cents,
+           CAST(SUM(above) AS BIGINT) AS n_above,
+           CAST(MAX(n) - SUM(above) AS BIGINT) AS n_below,
+           CAST(SUM(run_start) AS BIGINT) AS n_runs,
+           CAST(1 AS DOUBLE)
+             + (CAST(2 AS DOUBLE) * CAST(SUM(above) AS DOUBLE)
+                * CAST(MAX(n) - SUM(above) AS DOUBLE))
+               / CAST(MAX(n) AS DOUBLE) AS expected_runs
+    FROM runs HAVING MAX(n) > 0
+    """
+
+
+@query("orders_daily_runs_test", oracle=_RUNS_ORACLE)
+def orders_daily_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its median: the
+    randomness screen that catches regime shifts and oscillation a
+    mean-level monitor misses (too FEW runs = persistent drift, too
+    MANY = alternation). The median is the exact lower median in
+    cents (deterministic tie-break on day), ``n_runs`` counts maximal
+    same-side stretches of strictly-above vs at-or-below days, and
+    ``expected_runs`` = 1 + 2ab/n is the null expectation as one
+    cast-first double (the variance/z is the caller's sqrt step).
+
+    Scale: the daily rollup is the only fact shuffle; every window
+    after it runs over the calendar-bounded O(2.5k-day) spine in a
+    single task."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(f"datediff(o_orderdate, DATE'{EPOCH}')").alias("day_idx")
+    ).agg(F.expr(f"SUM({_CENTS})").alias("rev_cents"))
+    w_rank = Window.orderBy("rev_cents", "day_idx")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = daily.select(
+        "day_idx",
+        "rev_cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    med = ranked.select(
+        "day_idx",
+        "rev_cents",
+        "n",
+        F.max(
+            F.when(
+                F.col("rn") <= F.expr("(n + 1) div 2"), F.col("rev_cents")
+            )
+        )
+        .over(w_all)
+        .alias("median_cents"),
+    )
+    signs = med.select(
+        "day_idx",
+        "n",
+        "median_cents",
+        F.when(F.col("rev_cents") > F.col("median_cents"), 1)
+        .otherwise(0)
+        .alias("above"),
+    )
+    lag_above = F.lag("above").over(Window.orderBy("day_idx"))
+    runs = signs.select(
+        "n",
+        "median_cents",
+        "above",
+        F.when(
+            lag_above.isNull() | (lag_above != F.col("above")), 1
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    out = runs.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("median_cents").cast("long").alias("median_cents"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.max("n") - F.sum("above")).cast("long").alias("n_below"),
+        F.sum("run_start").cast("long").alias("n_runs"),
+    )
+    return out.filter(F.col("n_days") > 0).withColumn(
+        "expected_runs",
+        F.lit(1.0)
+        + (
+            F.lit(2.0)
+            * F.col("n_above").cast("double")
+            * F.col("n_below").cast("double")
+        )
+        / F.col("n_days").cast("double"),
+    )
+
+
+# --- CMS self-join cardinality estimate -------------------------------
+
+SJ_CMS_WIDTH = 256
+SJ_CMS_DEPTH = 4
+
+
+def _sj_exact_typed(dialect: str) -> str:
+    # d fits int64 everywhere; the SQUARES need 128-bit headroom
+    return (
+        "CAST(d AS DECIMAL(19,0)) * d"
+        if dialect == SPARK
+        else "CAST(d AS HUGEINT) * d"
+    )
+
+
+def _sj_mass_sq(dialect: str) -> str:
+    return (
+        "CAST(mass AS DECIMAL(19,0)) * mass"
+        if dialect == SPARK
+        else "CAST(mass AS HUGEINT) * mass"
+    )
+
+
+@query(
+    "partkey_selfjoin_cms_estimate",
+    oracle=f"""
+    WITH deg AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS pk,
+             CAST(COUNT(*) AS BIGINT) AS d
+      FROM lineitem GROUP BY 1
+    ), expanded AS (
+      {" UNION ALL ".join(
+        f"SELECT {i} AS depth, "
+        f"({salted_md5h(i, 'pk', DUCK)}) % {SJ_CMS_WIDTH} AS cell, d "
+        f"FROM deg"
+        for i in range(SJ_CMS_DEPTH)
+      )}
+    ), cells AS (
+      SELECT depth, cell, CAST(SUM(d) AS BIGINT) AS mass,
+             SUM({_sj_exact_typed(DUCK)}) AS ss
+      FROM expanded GROUP BY 1, 2
+    ), per_depth AS (
+      SELECT depth, SUM({_sj_mass_sq(DUCK)}) AS est, SUM(ss) AS exact_p
+      FROM cells GROUP BY 1
+    )
+    SELECT CAST({SJ_CMS_WIDTH} AS INTEGER) AS cms_width,
+           CAST({SJ_CMS_DEPTH} AS INTEGER) AS cms_depth,
+           CAST(MAX(exact_p) AS DOUBLE) AS exact_pairs,
+           CAST(MIN(est) AS DOUBLE) AS cms_estimate,
+           CAST(MIN(est) AS DOUBLE) / CAST(MAX(exact_p) AS DOUBLE)
+             AS overcount_ratio
+    FROM per_depth HAVING COUNT(*) > 0
+    """,
+)
+def partkey_selfjoin_cms_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-join cardinality estimation with a count-min sketch — the
+    optimizer's classic sketch application (Alon-Matias-Szegedy F2 /
+    Cormode-Muthukrishnan inner product): |lineitem JOIN lineitem ON
+    l_partkey| equals sum(deg^2); the CMS estimate is min over rows of
+    sum over cells of mass^2, never below the exact answer. The audit
+    lays the two side by side, ``overcount_ratio >= 1`` always.
+
+    Both the exact sum of squares and the estimate are built FROM the
+    exact per-key degree rollup (associative, identical to sketching
+    raw rows); cells carry ss = sum(d^2) alongside mass, so the exact
+    answer falls out of the SAME single pipeline — one fact scan, no
+    second pass. Every per-depth ss sum telescopes to the identical
+    sum(deg^2), so max = min = the exact count. Squares accumulate in
+    DECIMAL(38,0)/HUGEINT (exact past any SF; mass^2 alone overflows
+    int64 around sf500) and cross the output boundary as cast-first
+    doubles.
+
+    Scale: the degree rollup is the only fact shuffle; the exploded
+    (depth, cell) table is 4 rows per DISTINCT part key, reduced
+    map-side to the 4x256 cell grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = li.groupBy(
+        F.col("l_partkey").cast("string").alias("pk")
+    ).agg(F.count("*").cast("long").alias("d"))
+    cells_in = deg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        (
+                            F.expr(salted_md5h(i, "pk", SPARK))
+                            % SJ_CMS_WIDTH
+                        ).alias("cell"),
+                    )
+                    for i in range(SJ_CMS_DEPTH)
+                ]
+            )
+        ).alias("dc"),
+        "d",
+    ).select("dc.depth", "dc.cell", "d")
+    cells = cells_in.groupBy("depth", "cell").agg(
+        F.sum("d").cast("long").alias("mass"),
+        F.sum(F.expr(_sj_exact_typed(SPARK))).cast("decimal(38,0)").alias(
+            "ss"
+        ),
+    )
+    per_depth = cells.groupBy("depth").agg(
+        F.sum(F.expr(_sj_mass_sq(SPARK))).cast("decimal(38,0)").alias("est"),
+        F.sum("ss").cast("decimal(38,0)").alias("exact_p"),
+    )
+    out = per_depth.agg(
+        F.count("*").alias("n_rows"),
+        F.max("exact_p").cast("double").alias("exact_pairs"),
+        F.min("est").cast("double").alias("cms_estimate"),
+    )
+    return out.filter(F.col("n_rows") > 0).select(
+        F.lit(SJ_CMS_WIDTH).cast("int").alias("cms_width"),
+        F.lit(SJ_CMS_DEPTH).cast("int").alias("cms_depth"),
+        "exact_pairs",
+        "cms_estimate",
+        (F.col("cms_estimate") / F.col("exact_pairs")).alias(
+            "overcount_ratio"
+        ),
+    )
