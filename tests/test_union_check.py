@@ -11,21 +11,35 @@ from tools import union_check
 
 def test_no_forgotten_queries():
     registry = list(entrymod.queries())
-    missing = union_check.forgotten(registry, list(entrymod.CHECKED_FIRST))
+    missing = union_check.forgotten(
+        registry,
+        list(entrymod.CHECKED_FIRST),
+        list(entrymod.WINDOW_OVERFLOW),
+    )
     assert not missing, (
-        "queries with no driver-green row and no current-window slot "
-        f"(rotate into CHECKED_FIRST): {missing}"
+        "queries with no driver-green row, no current-window slot, and "
+        "no next-round overflow slot (run tools/rotate_window.py "
+        f"--write): {missing}"
     )
 
 
 def test_union_math_matches_committed_files():
-    """Window closure arithmetic: green union + current window must
-    cover the whole registry (the r7 design point — a green r7 run
-    closes the union to 178/178)."""
+    """Window closure arithmetic: green union + current window + the
+    declared next-round overflow queue must cover the whole registry
+    (the r7 design point, extended in r9 when the registry first
+    outgrew one round's 50-slot check budget)."""
     registry = set(entrymod.queries())
     union = set(union_check.green_union()) & registry
     window = set(entrymod.CHECKED_FIRST)
-    assert union | window == registry
+    overflow = set(entrymod.WINDOW_OVERFLOW)
+    assert union | window | overflow == registry
+    # the overflow queue is only for genuinely over-budget rows: never
+    # overlapping the window, never already green, and empty whenever
+    # the awaiting set fits the window
+    assert not (overflow & window)
+    assert not (overflow & union)
+    awaiting = registry - union
+    assert len(overflow) == max(0, len(awaiting) - 50)
     # and the committed files are internally sane: no green row for a
     # name that was never registered (catches registry renames that
     # would silently orphan history)
@@ -46,24 +60,50 @@ def test_green_row_definition_strict():
     assert not union_check._is_green({**row_ok, "err": "boom"})
 
 
-def test_propose_window_covers_all_awaiting():
-    """The drafted next window always contains every query still
-    awaiting a green row, fills the rest with the stalest greens, and
-    never exceeds the window size."""
-    from tools.union_check import green_union, propose_window
+def test_propose_schedule_covers_all_awaiting():
+    """The drafted next schedule always places every query still
+    awaiting a green row — in the window while slots last, in the
+    overflow queue past the budget — fills spare window slots with
+    the stalest greens, and never exceeds the window size."""
+    from tools.union_check import green_union, propose_schedule
 
     import __spark_entry__ as entrymod
 
-    window = propose_window(50)
+    sched = propose_schedule(50)
+    window, overflow = sched["window"], sched["overflow"]
     assert len(window) == 50 and len(set(window)) == 50
     union = green_union()
     registry = set(entrymod.queries())
     awaiting = {q for q in registry if q not in union}
-    assert awaiting <= set(window)
+    assert awaiting <= set(window) | set(overflow)
+    assert not (set(window) & set(overflow))
+    assert len(overflow) == max(0, len(awaiting) - 50)
+    # awaiting members of the COMMITTED window keep their slots (the
+    # rehearsed plan doesn't churn); only the excess queues
+    assert awaiting & set(entrymod.CHECKED_FIRST) <= set(window)
     # anchors are the least-recently-greened queries
     anchors = [q for q in window if q in union]
     rounds = [union[q] for q in anchors]
     assert rounds == sorted(rounds)
+
+
+def test_rotate_window_overflow_block_roundtrips():
+    """The rotation tool's second regex must find and rewrite the
+    WINDOW_OVERFLOW block of the REAL entry file, in both its empty
+    and populated renderings."""
+    from tools.rotate_window import OVERFLOW_RE, render_overflow
+
+    with open("__spark_entry__.py") as f:
+        src = f.read()
+    m = OVERFLOW_RE.search(src)
+    assert m is not None, "WINDOW_OVERFLOW block not matched"
+    empty = OVERFLOW_RE.sub(render_overflow([]), src, count=1)
+    assert "WINDOW_OVERFLOW: list[str] = []" in empty
+    assert OVERFLOW_RE.search(empty) is not None
+    refill = OVERFLOW_RE.sub(render_overflow(["qa", "qb"]), empty, count=1)
+    assert '    "qb",\n' in refill
+    restored = OVERFLOW_RE.sub(m.group(0), refill, count=1)
+    assert restored == src
 
 
 def test_bench_diff_flags_fingerprint_changes():

@@ -25,6 +25,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENTRY = os.path.join(REPO, "__spark_entry__.py")
 
 BLOCK_RE = re.compile(r"CHECKED_FIRST = \[\n(?:    \"[^\"]+\",\n)*\]")
+OVERFLOW_RE = re.compile(
+    r"WINDOW_OVERFLOW: list\[str\] = \[(?:\]|\n(?:    \"[^\"]+\",\n)*\])"
+)
 
 
 def render_block(window: list[str]) -> str:
@@ -32,15 +35,28 @@ def render_block(window: list[str]) -> str:
     return f"CHECKED_FIRST = [\n{body}]"
 
 
-def rotate(write: bool = False) -> list[str]:
-    from tools.union_check import propose_window
+def render_overflow(overflow: list[str]) -> str:
+    if not overflow:
+        return "WINDOW_OVERFLOW: list[str] = []"
+    body = "".join(f'    "{q}",\n' for q in overflow)
+    return f"WINDOW_OVERFLOW: list[str] = [\n{body}]"
 
-    window = propose_window(50)
+
+def rotate(write: bool = False) -> list[str]:
+    from tools.union_check import propose_schedule
+
+    sched = propose_schedule(50)
+    window, overflow = sched["window"], sched["overflow"]
     with open(ENTRY) as f:
         src = f.read()
     if not BLOCK_RE.search(src):
         raise RuntimeError("CHECKED_FIRST block not found in __spark_entry__.py")
+    if not OVERFLOW_RE.search(src):
+        raise RuntimeError(
+            "WINDOW_OVERFLOW block not found in __spark_entry__.py"
+        )
     new_src = BLOCK_RE.sub(render_block(window), src, count=1)
+    new_src = OVERFLOW_RE.sub(render_overflow(overflow), new_src, count=1)
     if write:
         with open(ENTRY, "w") as f:
             f.write(new_src)
@@ -54,12 +70,17 @@ def rotate(write: bool = False) -> list[str]:
         text = gen_catalog.render()
         with open(os.path.join(REPO, "CATALOG.md"), "w") as f:
             f.write(text)
-        print(f"rotated window (50) + wrote CATALOG.md ({text.count(chr(10))} lines)")
+        print(
+            f"rotated window (50, overflow {len(overflow)}) "
+            f"+ wrote CATALOG.md ({text.count(chr(10))} lines)"
+        )
     else:
         changed = new_src != src
         print("window would " + ("CHANGE" if changed else "stay identical"))
         for q in window:
             print(f"  {q}")
+        for q in overflow:
+            print(f"  # overflow (next round): {q}")
     return window
 
 

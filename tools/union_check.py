@@ -60,13 +60,19 @@ def green_union(repo_root: str = REPO_ROOT) -> dict[str, str]:
 
 
 def forgotten(
-    registry: list[str], window: list[str], repo_root: str = REPO_ROOT
+    registry: list[str],
+    window: list[str],
+    overflow: list[str] = (),
+    repo_root: str = REPO_ROOT,
 ) -> list[str]:
     """Registered queries with NO driver-green row in any committed
-    round AND no slot in the current window — the r1 slip class."""
+    round AND no slot in the current window AND no place in the
+    declared next-round overflow queue — the r1 slip class. The
+    overflow queue (``__spark_entry__.WINDOW_OVERFLOW``) counts as
+    scheduled because the next rotation consumes it FIRST."""
     union = green_union(repo_root)
-    window_set = set(window)
-    return [q for q in registry if q not in union and q not in window_set]
+    scheduled = set(window) | set(overflow)
+    return [q for q in registry if q not in union and q not in scheduled]
 
 
 def report(repo_root: str = REPO_ROOT) -> dict:
@@ -74,6 +80,7 @@ def report(repo_root: str = REPO_ROOT) -> dict:
 
     registry = list(entrymod.queries())
     window = list(entrymod.CHECKED_FIRST)
+    overflow = list(getattr(entrymod, "WINDOW_OVERFLOW", []))
     union = green_union(repo_root)
     unchecked = [q for q in registry if q not in union]
     return {
@@ -82,39 +89,62 @@ def report(repo_root: str = REPO_ROOT) -> dict:
         "rounds": [os.path.basename(p) for p in correctness_files(repo_root)],
         "not_yet_green": unchecked,
         "in_current_window": [q for q in unchecked if q in set(window)],
-        "forgotten": forgotten(registry, window, repo_root),
+        "queued_next_round": [q for q in unchecked if q in set(overflow)],
+        "forgotten": forgotten(registry, window, overflow, repo_root),
     }
 
 
-def propose_window(size: int = 50, repo_root: str = REPO_ROOT) -> list[str]:
-    """Mechanical draft of the NEXT round's CHECKED_FIRST: every query
-    still awaiting a green row first (slip-proof by construction), then
-    anchor slots filled with the LEAST-recently-regreened green queries
-    (max-min staleness keeps every family's green row fresh over time).
-    A human still reorders for family balance; the tool guarantees no
-    awaiting query can be left out while spare slots exist."""
+def propose_schedule(
+    size: int = 50, repo_root: str = REPO_ROOT
+) -> dict[str, list[str]]:
+    """Mechanical draft of the NEXT round's check schedule.
+
+    ``window``: every query still awaiting a green row first
+    (slip-proof by construction), then anchor slots filled with the
+    LEAST-recently-regreened green queries (max-min staleness keeps
+    every family's green row fresh over time).
+
+    ``overflow``: when MORE queries await a green row than the window
+    holds (the registry outgrew one round's driver check budget),
+    the excess is returned as an explicit queue instead of an error.
+    Awaiting members of the CURRENT window keep their slots (the
+    committed, rehearsed plan doesn't churn mid-round); newcomers
+    queue behind them in registration order and lead the NEXT
+    rotation — so an over-budget query is never silently stranded,
+    it is visibly scheduled one round out
+    (``__spark_entry__.WINDOW_OVERFLOW``, enforced by
+    ``tests/test_union_check.py``)."""
     import __spark_entry__ as entrymod
 
     registry = list(entrymod.queries())
     union = green_union(repo_root)
+    current = set(entrymod.CHECKED_FIRST)
     awaiting = [q for q in registry if q not in union]
-    if len(awaiting) > size:
-        raise ValueError(
-            f"{len(awaiting)} queries await a green row but the window "
-            f"holds {size}; split across rounds (awaiting list first)"
-        )
+    awaiting = [q for q in awaiting if q in current] + [
+        q for q in awaiting if q not in current
+    ]
     stale_order = sorted(
         (q for q in registry if q in union), key=lambda q: (union[q], q)
     )
-    return awaiting + stale_order[: size - len(awaiting)]
+    window = awaiting[:size] + stale_order[: max(0, size - len(awaiting))]
+    return {"window": window, "overflow": awaiting[size:]}
+
+
+def propose_window(size: int = 50, repo_root: str = REPO_ROOT) -> list[str]:
+    """The ``window`` half of ``propose_schedule`` (kept for callers
+    that only fill slots; the overflow queue is the other half)."""
+    return propose_schedule(size, repo_root)["window"]
 
 
 def main() -> int:
     import sys
 
     if "--propose-window" in sys.argv:
-        for q in propose_window():
+        sched = propose_schedule()
+        for q in sched["window"]:
             print(q)
+        for q in sched["overflow"]:
+            print(f"# overflow (next round): {q}")
         return 0
     r = report()
     print(
@@ -124,7 +154,12 @@ def main() -> int:
     if r["not_yet_green"]:
         print(f"awaiting a green row ({len(r['not_yet_green'])}):")
         for q in r["not_yet_green"]:
-            tag = "WINDOWED" if q in set(r["in_current_window"]) else "FORGOTTEN"
+            if q in set(r["in_current_window"]):
+                tag = "WINDOWED"
+            elif q in set(r["queued_next_round"]):
+                tag = "QUEUED-NEXT-ROUND"
+            else:
+                tag = "FORGOTTEN"
             print(f"  [{tag}] {q}")
     if r["forgotten"]:
         print(
