@@ -174,6 +174,13 @@ HEADLINE = [
     "segment_nation_chisq",
     "customer_order_gap_median",
     "docs_conjunctive_search",
+    # round-9 nonparametric-statistics tier
+    "orders_weekly_mann_kendall",
+    "orders_weekly_kendall_tau",
+    "segment_price_ks_distance",
+    "returnflag_quantity_mwu",
+    "orders_daily_runs_test",
+    "partkey_selfjoin_cms_estimate",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
