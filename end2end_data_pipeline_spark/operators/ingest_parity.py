@@ -1157,3 +1157,98 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     back = read_avro_ocf(spark, fix)
     return _format_roundtrip_rollup(spark, sf_dir, back)
+
+
+# --- parquet schema evolution (mergeSchema) ---------------------------
+
+SEVO_DOC_LIMIT = 80   # docs in the fixture (dense-prefix contract)
+SEVO_BATCH = 40       # docs per writer generation
+
+
+def _schema_evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two writer generations into ONE parquet directory: generation 1
+    writes (doc_id, text_len); generation 2 adds a ``lang`` column —
+    the additive schema evolution every long-lived ingest pipeline
+    eventually performs. Pure distributed writes, no collect."""
+    cached = _fixture_dir(spark, sf_dir, "sevo")
+    if cached:
+        return cached
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < SEVO_DOC_LIMIT)
+        .select("doc_id", F.length("text").alias("text_len"), "lang")
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_sevo_")
+    (
+        docs.where(F.col("doc_id") < SEVO_BATCH)
+        .select("doc_id", "text_len")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(out)
+    )
+    (
+        docs.where(F.col("doc_id") >= SEVO_BATCH)
+        .select("doc_id", "text_len", "lang")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(out)
+    )
+    return _remember(spark, sf_dir, "sevo", out)
+
+
+@query(
+    "parquet_schema_evolution_parity",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, length(text) AS text_len,
+             CASE WHEN doc_id >= {SEVO_BATCH} THEN lang END AS lang
+      FROM documents WHERE doc_id < {SEVO_DOC_LIMIT}
+    )
+    SELECT COALESCE(lang, '<pre-evolution>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(text_len) AS BIGINT) AS total_text_len,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM src GROUP BY 1 ORDER BY 1
+    """,
+)
+def parquet_schema_evolution_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive parquet schema evolution made driver-visible: a table
+    written by two writer generations (the second adds a ``lang``
+    column) is read back as ONE frame via ``mergeSchema``, old-file
+    rows surfacing NULL for the late column, and the per-lang rollup
+    must hash-match SQL over the source — proving the merged read
+    drops no rows, invents no values, and null-fills exactly the
+    pre-evolution files. The inverse risk (a reader pinned to the OLD
+    schema silently hiding the new column) is what the explicit
+    mergeSchema contract here guards against.
+
+    Scale: schema merging reads file FOOTERS only (one small RPC per
+    file, distributed); the data scan afterwards is a normal pruned
+    columnar read. Production tables evolve schemas in place exactly
+    like this fixture — additive columns, never type rewrites, so
+    old files stay readable forever."""
+    fx = _schema_evolution_fixture(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(fx)
+    if "lang" not in merged.columns:
+        # a fully pre-evolution corpus (every doc below SEVO_BATCH):
+        # no file carries the late column, so the merged schema
+        # legitimately lacks it
+        merged = merged.withColumn("lang", F.lit(None).cast("string"))
+    return (
+        merged.select(
+            "doc_id",
+            "text_len",
+            F.coalesce("lang", F.lit("<pre-evolution>")).alias("lang"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("text_len").cast("bigint").alias("total_text_len"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )

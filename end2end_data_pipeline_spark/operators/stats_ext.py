@@ -763,3 +763,87 @@ def partkey_selfjoin_cms_estimate(
             "overcount_ratio"
         ),
     )
+
+
+# --- record-drawdown days on daily revenue ----------------------------
+
+_DRAWDOWN_ORACLE = f"""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM({_CENTS}) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ), peaks AS (
+      SELECT day, rev_cents,
+             MAX(rev_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS run_peak_cents
+      FROM daily
+    ), dd AS (
+      SELECT day, rev_cents, run_peak_cents,
+             run_peak_cents - rev_cents AS drawdown_cents
+      FROM peaks
+    ), rec AS (
+      SELECT day, rev_cents, run_peak_cents, drawdown_cents,
+             COALESCE(MAX(drawdown_cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior_max
+      FROM dd
+    )
+    SELECT day, rev_cents, run_peak_cents, drawdown_cents,
+           CAST(drawdown_cents AS DOUBLE)
+             / CAST(run_peak_cents AS DOUBLE) AS drawdown_share
+    FROM rec
+    WHERE drawdown_cents > 0 AND drawdown_cents > prior_max
+    ORDER BY day
+    """
+
+
+@query("orders_daily_drawdown_records", oracle=_DRAWDOWN_ORACLE)
+def orders_daily_drawdown_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-drawdown days: each day on which daily revenue sets a NEW
+    deepest drop below its historical peak (running max), with the
+    peak it fell from and the exact-integer depth — the
+    demand-collapse detector a level-threshold monitor misses (a
+    'bad' absolute day after a high peak is worse news than the same
+    number in week one). Emitting only RECORD days keeps the output a
+    short episode log instead of a full series dump; the share is one
+    cast-first double over exact cents.
+
+    Scale: daily rollup is the only fact shuffle; the running-peak
+    and prior-record windows run over the calendar-bounded
+    O(2.5k-day) spine in a single task."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.expr(f"SUM({_CENTS})").alias("rev_cents"))
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prior = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    peaks = daily.withColumn(
+        "run_peak_cents", F.max("rev_cents").over(w_run)
+    ).withColumn(
+        "drawdown_cents", F.col("run_peak_cents") - F.col("rev_cents")
+    )
+    rec = peaks.withColumn(
+        "prior_max",
+        F.coalesce(F.max("drawdown_cents").over(w_prior), F.lit(0)),
+    )
+    return (
+        rec.filter(
+            (F.col("drawdown_cents") > 0)
+            & (F.col("drawdown_cents") > F.col("prior_max"))
+        )
+        .select(
+            "day",
+            "rev_cents",
+            "run_peak_cents",
+            "drawdown_cents",
+            (
+                F.col("drawdown_cents").cast("double")
+                / F.col("run_peak_cents").cast("double")
+            ).alias("drawdown_share"),
+        )
+        .orderBy("day")
+    )

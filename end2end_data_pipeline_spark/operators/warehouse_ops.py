@@ -910,6 +910,193 @@ def view_purchase_stream_join_replay(
     )
 
 
+# Outer-join flush sentinels: rows typed to PASS the view/purchase
+# filters (a watermark node only sees its own filtered stream, so an
+# untyped heartbeat would never advance either watermark), far-future
+# so they bound no real data, negative-keyed so the rollup excludes
+# them. TWO files because eviction runs one batch BEHIND the watermark
+# advance: the batch processing sentinel k evicts with the watermark
+# batch k-1 established.
+OUTER_SENTINEL_TS = ("2099-01-01 00:00:00", "2099-01-02 00:00:00")
+
+
+def _outer_join_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per session+sf) the outer-join replay feed:
+    the events table as ONE data file plus two typed sentinel files
+    with strictly increasing mtimes, so ``maxFilesPerTrigger=1``
+    yields exactly three micro-batches — all real data in batch 1 (no
+    event-time disorder can cross a batch boundary, so the tight
+    production watermark drops nothing), then two watermark-advancing
+    batches that flush every unmatched view out of join state."""
+    import glob as globmod
+    import shutil
+    import time
+
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs + "#outerfeed")
+    cached = _WAREHOUSE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_outer_feed", key[0], sf_tag(sf_abs)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    now = time.time()
+    for f in globmod.glob(os.path.join(path, "part-*.parquet")):
+        os.utime(f, (now - 100, now - 100))
+    for i, ts in enumerate(OUTER_SENTINEL_TS):
+        sentinel = spark.createDataFrame(
+            [
+                (-(2 * i + 1), ts, -1, "view", None, None),
+                (-(2 * i + 2), ts, -2, "purchase", None, None),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        staging = tempfile.mkdtemp(prefix="outer_sentinel_")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(staging)
+        [src] = globmod.glob(os.path.join(staging, "part-*.parquet"))
+        dst = os.path.join(path, f"zz-sentinel-{i}.parquet")
+        shutil.copy(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        mtime = now - 50 + 40 * i
+        os.utime(dst, (mtime, mtime))
+    _WAREHOUSE[key] = path
+    return path
+
+
+@query(
+    "abandoned_views_stream_replay",
+    # Batch LEFT JOIN as the oracle: same multiplicity contract as the
+    # streaming outer join — one row per (view, matching purchase),
+    # one NULL row per never-matched view.
+    oracle="""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts FROM events
+      WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT v.view_id, v.user_id, p.purchase_id
+      FROM v LEFT JOIN p ON v.user_id = p.user_id
+        AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 15 MINUTE
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(purchase_id) AS BIGINT) AS n_matched_pairs,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_abandoned_views,
+           CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+             THEN view_id END) AS BIGINT) AS n_converted_views,
+           CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             / CAST(COUNT(DISTINCT view_id) AS DOUBLE) AS abandoned_share
+    FROM j HAVING COUNT(DISTINCT view_id) > 0
+    """,
+)
+def abandoned_views_stream_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The watermarked stream-stream LEFT OUTER join made
+    driver-visible: the abandonment feed
+    (``streaming/joins.py:views_without_purchase`` — the exact
+    production operator) emits every view matched to a following
+    purchase within 15 minutes when one exists, and a NULL row once
+    the watermark PROVES none can still arrive. Null emission is the
+    part no batch replay can fake: an unmatched view leaves join
+    state only when event time passes view_ts + 15 min + the
+    watermark delay, so the replay feed appends two far-future
+    sentinel batches (``_outer_join_feed``) that advance the
+    watermark past all real data and flush every verdict out —
+    the same event-time-closure trick a production pipeline's
+    heartbeat topic performs for a quiet source.
+
+    Unlike the inner replay (60-day never-evict watermark), this one
+    runs the TIGHT production watermark (1 minute): all real data
+    arrives in micro-batch 1 (single data file), so nothing is ever
+    late, and the sentinel batches exercise the real eviction path.
+    The rollup excludes the negative-keyed sentinels and must
+    hash-match the batch LEFT JOIN, null rows included.
+
+    Scale: join state holds O(watermark + 15 min) of events per side,
+    not the stream; the memory-sink rollup is O(matches). At 100 TB
+    the same plan runs against Kafka sources with the broker's real
+    heartbeats advancing the watermark."""
+    from end2end_data_pipeline_spark.streaming.joins import (
+        views_without_purchase,
+    )
+
+    sf_abs = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_abs)
+    table = _REPLAY.get((key[0], sf_abs + "#abandoned"))
+    if table is None or not spark.catalog.tableExists(table):
+        feed = _outer_join_feed(spark, sf_dir)
+        table = f"abandoned_views_replay_{next(_REPLAY_IDS)}"
+        schema = spark.read.parquet(feed).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        out = views_without_purchase(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "purchase"),
+            within="15 minutes",
+            watermark="1 minute",
+            ts_col="ts",
+        )
+        ckpt = os.path.join(
+            tempfile.gettempdir(), "spark_graft_replay_ckpt", key[0], table
+        )
+        # Stream-stream joins instantiate FOUR state stores per shuffle
+        # partition per micro-batch; a plain session's 200 partitions
+        # turn this replay's three micro-batches into thousands of
+        # near-empty store open/commit cycles. Pin the streaming
+        # query's state partitioning to a fixture-sized count (frozen
+        # into the checkpoint at first run — a production job sizes
+        # this to its source) and restore the session conf after the
+        # drain.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(table)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _REPLAY[(key[0], sf_abs + "#abandoned")] = table
+    sink = spark.table(table).where(F.col("user_id") >= 0)
+    return (
+        sink.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("converted").cast("bigint").alias("n_matched_pairs"),
+            F.sum(1 - F.col("converted")).cast("bigint").alias(
+                "n_abandoned_views"
+            ),
+            F.countDistinct(
+                F.when(F.col("converted") == 1, F.col("view_id"))
+            )
+            .cast("bigint")
+            .alias("n_converted_views"),
+            F.countDistinct("view_id").cast("bigint").alias("n_views"),
+        )
+        .filter(F.col("n_views") > 0)
+        .withColumn(
+            "abandoned_share",
+            F.col("n_abandoned_views").cast("double")
+            / F.col("n_views").cast("double"),
+        )
+    )
+
+
 @query(
     # IDENTICAL oracle to the batch gaps-and-islands twin: the custom
     # stateful operator must fire the same alerts at the same instants.

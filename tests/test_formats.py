@@ -50,3 +50,31 @@ def test_text_formats_distributed_layout(spark, tmp_path):
 
     parts = glob.glob(f"{path}/part-*")
     assert len(parts) == 4
+
+
+def test_schema_evolution_merged_read_nullfills_old_files(spark):
+    """The mergeSchema parity fixture: pre-evolution rows surface NULL
+    for the late column and every doc appears exactly once."""
+    import pyspark.sql.functions as F
+
+    from end2end_data_pipeline_spark.operators.ingest_parity import (
+        SEVO_BATCH,
+        SEVO_DOC_LIMIT,
+        _schema_evolution_fixture,
+    )
+
+    fx = _schema_evolution_fixture(spark, SF)
+    merged = spark.read.option("mergeSchema", "true").parquet(fx)
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    n_docs = (
+        load_table(spark, SF, "documents")
+        .where(F.col("doc_id") < SEVO_DOC_LIMIT)
+        .count()
+    )
+    assert len(rows) == n_docs
+    for doc_id, r in rows.items():
+        if doc_id < SEVO_BATCH:
+            assert r["lang"] is None          # pre-evolution file
+        else:
+            assert r["lang"] is not None      # evolved file
+        assert r["text_len"] > 0

@@ -199,3 +199,34 @@ def test_cms_selfjoin_estimate_bounds(spark):
     assert r["cms_estimate"] >= r["exact_pairs"]
     assert r["overcount_ratio"] >= 1.0
     assert (r["cms_width"], r["cms_depth"]) == (256, 4)
+
+
+def test_drawdown_records_match_bruteforce(spark):
+    daily: dict[str, int] = defaultdict(int)
+    for r in _orders(spark):
+        daily[r["o_orderdate"].date().isoformat()] += int(
+            round(r["o_totalprice"] * 100)
+        )
+    peak = 0
+    best = 0
+    expect = []
+    for day in sorted(daily):
+        rev = daily[day]
+        peak = max(peak, rev)
+        dd = peak - rev
+        if dd > 0 and dd > best:
+            best = dd
+            expect.append((day, rev, peak, dd))
+    rows = entrymod.queries()["orders_daily_drawdown_records"](
+        spark, SF
+    ).collect()
+    got = [
+        (r["day"], r["rev_cents"], r["run_peak_cents"], r["drawdown_cents"])
+        for r in rows
+    ]
+    assert got == expect
+    for r in rows:
+        assert r["drawdown_share"] == r["drawdown_cents"] / r["run_peak_cents"]
+        # record depths strictly increase down the episode log
+    depths = [r["drawdown_cents"] for r in rows]
+    assert depths == sorted(depths) and len(set(depths)) == len(depths)

@@ -153,3 +153,51 @@ def test_stream_stream_left_outer_abandonment(spark, tmp_path):
     spark.createDataFrame(tail2, EVENT_SCHEMA).write.mode("append").parquet(src)
     got3 = drain()
     assert ("u2", "e3", None, 0) in got3
+
+
+def test_abandoned_views_replay_matches_batch(spark):
+    """The registered outer-join replay's rollup must equal an
+    independently-derived batch LEFT JOIN, and its counts must satisfy
+    the outer-join identities (every sink row is a match or a verdict;
+    every view converts or abandons, never both)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    [r] = (
+        entrymod.queries()["abandoned_views_stream_replay"](spark, sf)
+        .collect()
+    )
+    assert r["n_rows"] == r["n_matched_pairs"] + r["n_abandoned_views"]
+    assert r["n_views"] == r["n_converted_views"] + r["n_abandoned_views"]
+    assert r["abandoned_share"] == r["n_abandoned_views"] / r["n_views"]
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 15 MINUTE")),
+        "left",
+    )
+    [b] = j.agg(
+        F.count("*").alias("n_rows"),
+        F.count("purchase_id").alias("n_matched_pairs"),
+        F.sum(F.col("purchase_id").isNull().cast("int")).alias(
+            "n_abandoned_views"
+        ),
+        F.countDistinct("view_id").alias("n_views"),
+    ).collect()
+    for k in ("n_rows", "n_matched_pairs", "n_abandoned_views", "n_views"):
+        assert r[k] == b[k], k
