@@ -181,6 +181,12 @@ HEADLINE = [
     "returnflag_quantity_mwu",
     "orders_daily_runs_test",
     "partkey_selfjoin_cms_estimate",
+    # round-9 closers: outer-join stream replay (times the REAL
+    # three-micro-batch drain incl. sentinel flush), schema-evolution
+    # merged read, drawdown episode log
+    "abandoned_views_stream_replay",
+    "parquet_schema_evolution_parity",
+    "orders_daily_drawdown_records",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
