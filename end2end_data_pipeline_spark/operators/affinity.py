@@ -611,3 +611,151 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(TRI_TOP_NODES)
     )
+
+
+# --- item-item collaborative filtering -------------------------------
+
+CF_DEGREE_CAP = 20  # parts kept per customer (top by buy count, tie partkey)
+CF_MIN_CO = 2  # neighbor support floor (shared customers)
+CF_TOP_K = 3  # neighbors kept per part
+CF_TOP_N = 100  # rows returned overall
+
+_CF_ORACLE = f"""
+    WITH buys AS (
+      SELECT o_custkey AS c, l_partkey AS p, count(*) AS n_buy
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), capped AS (
+      SELECT c, p FROM (
+        SELECT c, p,
+               ROW_NUMBER() OVER (PARTITION BY c
+                                  ORDER BY n_buy DESC, p) AS rnk
+        FROM buys
+      ) WHERE rnk <= {CF_DEGREE_CAP}
+    ), deg AS (
+      SELECT p, count(*) AS n_cust FROM capped GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS co
+      FROM capped a JOIN capped b ON a.c = b.c AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {CF_MIN_CO}
+    ), sym AS (
+      SELECT pa AS part_a, pb AS part_b, co FROM pairs
+      UNION ALL
+      SELECT pb AS part_a, pa AS part_b, co FROM pairs
+    ), scored AS (
+      SELECT part_a, part_b, CAST(co AS BIGINT) AS co,
+             CAST(da.n_cust AS BIGINT) AS n_a,
+             CAST(db.n_cust AS BIGINT) AS n_b,
+             CAST(co AS DOUBLE)
+               / sqrt(CAST(da.n_cust * db.n_cust AS DOUBLE)) AS cosine
+      FROM sym
+      JOIN deg da ON part_a = da.p
+      JOIN deg db ON part_b = db.p
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY part_a
+                                        ORDER BY cosine DESC, part_b)
+                     AS BIGINT) AS nbr_rank
+      FROM scored
+    )
+    SELECT part_a, part_b, co, n_a, n_b, cosine, nbr_rank
+    FROM ranked WHERE nbr_rank <= {CF_TOP_K}
+    ORDER BY cosine DESC, part_a, part_b LIMIT {CF_TOP_N}
+    """
+
+
+# (applicationId, abs sf_dir) -> the cached capped incidence; the
+# pair/degree branches re-scan orders+lineitem 3x without it (12
+# FileScans observed). Bounded: <= CF_DEGREE_CAP rows per customer,
+# two int columns.
+_CF_CAPPED: dict[tuple[str, str], DataFrame] = {}
+
+
+@query("part_itemitem_cosine_topk", oracle=_CF_ORACLE)
+def part_itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: per-part top-{CF_TOP_K}
+    neighbor lists ranked by cosine similarity over the binary
+    customer-incidence vectors (co-buyers / sqrt(|buyers_a|*|buyers_b|))
+    — the "customers who bought this also bought" serving table, the
+    normalized complement of ``part_copurchase_lift``'s raw lift. The
+    cosine is one division of exact integers (sqrt and divide are
+    IEEE-correctly-rounded on both engines), so the DOUBLE is
+    bit-stable.
+
+    Scale: the classic CF skew killer is the whale customer whose
+    basket fans out quadratically; here every customer's part set is
+    capped at its top-{CF_DEGREE_CAP} parts by buy count (rank
+    deterministic, identical on both engines), so pair generation is
+    sum-of-min(deg,cap)^2 — linear in customers, never |parts|^2. The
+    self-join shuffles the capped incidence once on the customer key;
+    degree counts join AFTER the support filter prunes the pair table."""
+    import os
+
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    capped = _CF_CAPPED.get(memo_key)
+    if capped is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        buys = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+            .agg(F.count("*").alias("n_buy"))
+        )
+        wcap = Window.partitionBy("c").orderBy(F.col("n_buy").desc(), "p")
+        capped = (
+            buys.withColumn("rnk", F.row_number().over(wcap))
+            .where(F.col("rnk") <= CF_DEGREE_CAP)
+            .select("c", "p")
+            .cache()
+        )
+        _CF_CAPPED[memo_key] = capped
+    deg = capped.groupBy("p").agg(F.count("*").alias("n_cust"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= CF_MIN_CO)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "co"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("part_a"), F.col("pa").alias("part_b"), "co"
+        )
+    )
+    da = deg.select(F.col("p").alias("part_a"), F.col("n_cust").alias("n_a"))
+    db = deg.select(F.col("p").alias("part_b"), F.col("n_cust").alias("n_b"))
+    scored = (
+        sym.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co").cast("bigint").alias("co"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("co").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    wnbr = Window.partitionBy("part_a").orderBy(F.col("cosine").desc(), "part_b")
+    return (
+        scored.withColumn(
+            "nbr_rank", F.row_number().over(wnbr).cast("bigint")
+        )
+        .where(F.col("nbr_rank") <= CF_TOP_K)
+        .orderBy(F.col("cosine").desc(), "part_a", "part_b")
+        .limit(CF_TOP_N)
+    )
+
+
+part_itemitem_cosine_topk.__doc__ = (
+    part_itemitem_cosine_topk.__doc__ or ""
+).replace("{CF_TOP_K}", str(CF_TOP_K)).replace(
+    "{CF_DEGREE_CAP}", str(CF_DEGREE_CAP)
+)

@@ -277,3 +277,138 @@ def user_cosession_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 user_cosession_degree.__doc__ = user_cosession_degree.__doc__.replace(
     "{CAP}", str(COSESSION_MINUTE_CAP)
 )
+
+
+# --- weighted shortest paths (min-plus relaxation) --------------------
+
+SP_SOURCE = "NATION_0"
+SP_ITERS = 6  # fixed Bellman-Ford rounds (paths of <= 6 edges)
+
+# directed trade edge cust_nation -> supp_nation, weighted by the
+# FASTEST observed order->ship fulfillment latency (whole days) on
+# that lane; records with ship before order are clock-skew noise in
+# the synthetic fixture and are excluded (weights stay >= 0, so the
+# min-plus relaxation is a genuine shortest path, not a negative-drift)
+_SP_EDGES_SQL = """
+    SELECT src, dst, CAST(min(lat) AS BIGINT) AS w FROM (
+      SELECT n1.n_name AS src, n2.n_name AS dst,
+             CAST(floor((epoch(l_shipdate) - epoch(o_orderdate))
+                        / 86400) AS BIGINT) AS lat
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+    ) WHERE lat >= 0
+    GROUP BY src, dst
+"""
+
+
+def _shortest_path_oracle() -> str:
+    """Unrolled SP_ITERS-round Bellman-Ford as chained CTEs."""
+    ctes = [f"edges AS ({_SP_EDGES_SQL})"]
+    ctes.append(
+        f"r0 AS (SELECT '{SP_SOURCE}' AS node, CAST(0 AS BIGINT) AS dist)"
+    )
+    for k in range(SP_ITERS):
+        ctes.append(
+            f"""r{k + 1} AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM r{k}
+        UNION ALL
+        SELECT e.dst AS node, r{k}.dist + e.w AS dist
+        FROM r{k} JOIN edges e ON e.src = r{k}.node
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, dist AS dist_days FROM r{SP_ITERS} ORDER BY node"
+    )
+
+
+@query("nation_supply_latency_paths", oracle=_shortest_path_oracle())
+def nation_supply_latency_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest paths over the nation trade
+    graph: edge weight is the fastest observed order->ship fulfillment
+    latency (whole days, skew-negative records excluded) on each
+    cust-nation -> supp-nation lane, and the
+    answer is the minimum cumulative relay latency from {SP_SOURCE} to
+    every reachable nation within {SP_ITERS} hops — {SP_ITERS} fixed
+    Bellman-Ford rounds in the min-plus semiring, the third iterative
+    graph contract here next to PageRank (sum-product) and the
+    reachability BFS. All-integer, so both engines agree bit-for-bit;
+    the oracle unrolls the same rounds as chained CTEs.
+
+    Scale: the lane aggregation is the only fact-table pass (one
+    orders ⋈ lineitem shuffle with broadcast dims); the relaxation
+    loop then joins the O(|nations|) frontier against the cached
+    O(|nations|^2) edge list — each round one tiny broadcast-join
+    stage, bounded lineage at {SP_ITERS} rounds."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    lat = F.floor(
+        (F.col("l_shipdate").cast("long") - F.col("o_orderdate").cast("long"))
+        / 86400
+    ).cast("bigint")
+    edges = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
+            ),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("lat", lat)
+        .where(F.col("lat") >= 0)
+        .groupBy("src", "dst")
+        .agg(F.min("lat").cast("bigint").alias("w"))
+        .cache()
+    )
+    # zero-weight self-loops make each round a pure recompute
+    # (min over edges∪self ≡ the oracle's UNION ALL keep-self), so the
+    # iterated frame only ever enters the plan as a broadcast — the
+    # pagerank loop shape: lineage stays flat, each round is one tiny
+    # broadcast-join stage over the cached O(|nations|²) edge list
+    aug = edges.unionAll(
+        n.select(
+            F.col("n_name").alias("src"),
+            F.col("n_name").alias("dst"),
+            F.lit(0).cast("bigint").alias("w"),
+        )
+    ).cache()
+    dist = spark.createDataFrame(
+        [(SP_SOURCE, 0)], "node string, dist long"
+    )
+    for _ in range(SP_ITERS):
+        dist = (
+            aug.join(F.broadcast(dist), aug["src"] == dist["node"])
+            .groupBy(F.col("dst").alias("nd"))
+            .agg(F.min(F.col("dist") + F.col("w")).cast("bigint").alias("d"))
+            .select(F.col("nd").alias("node"), F.col("d").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").alias("dist_days")).orderBy("node")
+
+
+nation_supply_latency_paths.__doc__ = (
+    nation_supply_latency_paths.__doc__ or ""
+).replace("{SP_SOURCE}", SP_SOURCE).replace("{SP_ITERS}", str(SP_ITERS))

@@ -685,3 +685,68 @@ def docs_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 docs_conjunctive_search.__doc__ = (docs_conjunctive_search.__doc__ or "").replace(
     "{SEARCH_TOP}", str(SEARCH_TOP)
 )
+
+
+# --- positional phrase search ----------------------------------------
+
+PHRASE = ("table", "scan")
+PHRASE_TOP = 20
+
+_PHRASE_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos, unnest(ts) AS tok
+      FROM t
+    ), p1 AS (
+      SELECT doc_id, pos FROM toks WHERE tok = '{PHRASE[0]}'
+    ), p2 AS (
+      SELECT doc_id, pos FROM toks WHERE tok = '{PHRASE[1]}'
+    )
+    SELECT p1.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+    FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+    GROUP BY 1
+    ORDER BY phrase_tf DESC, doc_id LIMIT {PHRASE_TOP}
+    """
+
+
+@query("docs_phrase_search", oracle=_PHRASE_ORACLE)
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index: documents
+    containing the adjacent token sequence "{P0} {P1}", ranked by
+    phrase frequency (ties by doc_id) — the capability a bag-of-words
+    index (``docs_conjunctive_search``) cannot express. The oracle is
+    the positional-postings formulation (postings carry (doc_id,
+    position); adjacency is the equi-join pos2 = pos1 + 1) — the plan
+    you would run against a PRE-BUILT positional index, where it
+    prunes to the two terms' partitions via DPP. Both formulations
+    count OVERLAPPING occurrences correctly where substring-replace
+    counting would not (e.g. "a b a b" for phrase "a b").
+
+    Scale: with INLINE tokenization a postings self-join would scan
+    the corpus twice; instead the adjacent-pair predicate fuses into
+    array combinators (zip_with over the token array against its
+    own 1-shift, then filter/size) so the whole count is ONE corpus
+    scan with ZERO shuffle — the only exchange is the O({TOP})
+    TakeOrdered. Codegen keeps the lambda JVM-side; no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    hits = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda a, b: (a == PHRASE[0]) & (b == PHRASE[1]),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(hits, lambda x: x)).cast("bigint").alias("phrase_tf"),
+        )
+        .where(F.col("phrase_tf") >= 1)
+        .orderBy(F.col("phrase_tf").desc(), "doc_id")
+        .limit(PHRASE_TOP)
+    )
+
+
+docs_phrase_search.__doc__ = (docs_phrase_search.__doc__ or "").replace(
+    "{P0}", PHRASE[0]
+).replace("{P1}", PHRASE[1]).replace("{TOP}", str(PHRASE_TOP))
