@@ -187,6 +187,14 @@ HEADLINE = [
     "abandoned_views_stream_replay",
     "parquet_schema_evolution_parity",
     "orders_daily_drawdown_records",
+    # round-9 recsys/graph/retrieval tier
+    "part_itemitem_cosine_topk",
+    "nation_supply_latency_paths",
+    "docs_phrase_search",
+    "docs_bm25_search",
+    "part_copurchase_communities",
+    "orders_cohort_ltv",
+    "orders_capacity_queue_sim",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

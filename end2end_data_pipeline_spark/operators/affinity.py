@@ -759,3 +759,133 @@ part_itemitem_cosine_topk.__doc__ = (
 ).replace("{CF_TOP_K}", str(CF_TOP_K)).replace(
     "{CF_DEGREE_CAP}", str(CF_DEGREE_CAP)
 )
+
+
+# --- label-propagation communities -----------------------------------
+
+LPA_ITERS = 4  # fixed synchronous rounds (both engines unroll the same)
+LPA_TOP = 20  # communities reported
+
+
+def _lpa_oracle() -> str:
+    """Unrolled LPA_ITERS-round label propagation as chained CTEs."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        f"""e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    )""",
+        "e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)",
+    ]
+    for k in range(LPA_ITERS):
+        ctes.append(
+            f"""l{k + 1} AS (
+      SELECT node, label FROM (
+        SELECT e.u AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                                  ORDER BY count(*) DESC, l.label) AS rk
+        FROM e JOIN l{k} l ON e.v = l.node
+        GROUP BY e.u, l.label
+      ) WHERE rk = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(node) AS BIGINT) AS min_part,
+           CAST(max(node) AS BIGINT) AS max_part
+    FROM l{LPA_ITERS} GROUP BY 1
+    ORDER BY n_parts DESC, community LIMIT {LPA_TOP}
+    """
+    )
+
+
+@query("part_copurchase_communities", oracle=_lpa_oracle())
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph by synchronous
+    label propagation: parts start labeled with their own key; each of
+    {LPA_ITERS} rounds every part adopts the most frequent label among
+    its neighbors (ties to the smallest label, so the update is a
+    deterministic function both engines compute identically — the
+    nondeterministic-schedule variant of LPA cannot be oracle-checked).
+    Complements ``dedup_clusters`` (connected components = communities
+    at their coarsest) with the density-sensitive partition a
+    merchandising team actually uses for assortment groups.
+
+    Scale: edges come from the order-keyed pair generation of
+    ``part_copurchase_lift`` (bounded per-order fan-out, support
+    filter) and are cached; each round is one shuffle of the
+    O(|parts|) label frame onto the neighbor key followed by a
+    two-level aggregate — the classic synchronous Pregel step
+    expressed as join+groupBy, {LPA_ITERS} bounded rounds, no
+    driver-side graph state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= MIN_SUPPORT)
+        .select("u", "v")
+    )
+    # symmetrize by exploding a 2-array of structs instead of a
+    # self-union — a union would duplicate the whole pair-generation
+    # subtree in the plan (4 lineitem scans; the triangles operator
+    # hit the same trap)
+    edges = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .cache()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    rk_w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+    for _ in range(LPA_ITERS):
+        labels = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(F.col("u").alias("nd"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("nd").alias("node"), "label", "cnt")
+            .withColumn("rk", F.row_number().over(rk_w))
+            .where(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").cast("bigint").alias("community"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("node").cast("bigint").alias("min_part"),
+            F.max("node").cast("bigint").alias("max_part"),
+        )
+        .orderBy(F.col("n_parts").desc(), "community")
+        .limit(LPA_TOP)
+    )
+
+
+part_copurchase_communities.__doc__ = (
+    part_copurchase_communities.__doc__ or ""
+).replace("{LPA_ITERS}", str(LPA_ITERS))

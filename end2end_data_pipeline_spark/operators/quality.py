@@ -2043,3 +2043,121 @@ def orders_daily_ewma16(spark: SparkSession, sf_dir: str) -> DataFrame:
 orders_daily_ewma16.__doc__ = orders_daily_ewma16.__doc__.replace(
     "{SPAN}", str(EWMA_SPAN)
 )
+
+
+# --- bounded-queue capacity simulation --------------------------------
+
+QSIM_QMAX_FACTOR = 5  # buffer bound as a multiple of daily capacity
+
+_QSIM_ORACLE = f"""
+    WITH RECURSIVE arr AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS a
+      FROM orders GROUP BY 1
+    ), bounds AS (
+      SELECT min(day) AS dmin, max(day) AS dmax FROM arr
+    ), spine AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d.day) - 1 AS idx, d.day,
+             COALESCE(a.a, 0) AS a
+      FROM (
+        SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE
+                 AS day
+        FROM bounds
+      ) d LEFT JOIN arr a ON d.day = a.day
+    ), params AS (
+      SELECT CAST(SUM(a) // count(*) + 1 AS BIGINT) AS cap FROM spine
+    ), rec(idx, day, a, q, served, dropped) AS (
+      SELECT CAST(-1 AS BIGINT), CAST(NULL AS DATE), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT s.idx, s.day, s.a,
+             (rec.q + s.a - LEAST(rec.q + s.a, p.cap))
+               - GREATEST(0, (rec.q + s.a - LEAST(rec.q + s.a, p.cap))
+                             - {QSIM_QMAX_FACTOR} * p.cap),
+             LEAST(rec.q + s.a, p.cap),
+             GREATEST(0, (rec.q + s.a - LEAST(rec.q + s.a, p.cap))
+                         - {QSIM_QMAX_FACTOR} * p.cap)
+      FROM rec JOIN spine s ON s.idx = rec.idx + 1 CROSS JOIN params p
+    )
+    SELECT CAST(day AS VARCHAR) AS day, CAST(a AS BIGINT) AS arrivals,
+           CAST(served AS BIGINT) AS served,
+           CAST(dropped AS BIGINT) AS dropped,
+           CAST(q AS BIGINT) AS queue_end
+    FROM rec WHERE idx >= 0 ORDER BY day
+    """
+
+
+@query("orders_capacity_queue_sim", oracle=_QSIM_ORACLE)
+def orders_capacity_queue_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-buffer fulfillment simulation over daily order arrivals:
+    a fixed daily service capacity (total/days + 1, data-derived
+    identically on both engines) drains a queue clamped at
+    {QSIM_QMAX_FACTOR}x capacity — per day the served count, the
+    overflow DROPPED at the buffer bound, and the end-of-day queue.
+    The capacity-planning what-if behind backpressure sizing.
+
+    The recurrence q_t = min(QMAX, max(0, q_t-1 + a_t - C)) is the
+    deliberate non-associative case: the ONE-sided clamp decomposes
+    into prefix sums (the ``events_cusum_drift`` running-sum-minus-
+    running-min identity), but the TWO-sided clamp provably does not —
+    so this is the pattern for genuine sequential state: reduce facts
+    to the CALENDAR-bounded daily rollup first (the only fact shuffle),
+    then run the loop in ONE Arrow batch (``applyInPandas``, a
+    single O(|days|) group; no row-at-a-time pickling). The oracle is
+    the same recurrence as a DuckDB recursive CTE.
+
+    Scale: facts never reach Python — the Arrow batch holds one row
+    per calendar day (~2.4k at any SF); everything upstream is a
+    map-side-combined count and a broadcast spine join."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day")
+    )
+    # cached: the bounds branch and the spine join both read the
+    # rollup — without it orders scans twice; O(|days|) rows
+    arr = (
+        o.groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("a"))
+        .coalesce(1)
+        .cache()
+    )
+    bounds = arr.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = bounds.select(
+        F.explode(F.sequence("dmin", "dmax")).alias("day")
+    )
+    series = spine.join(arr, "day", "left").select(
+        "day", F.coalesce("a", F.lit(0)).cast("bigint").alias("a")
+    )
+
+    def _simulate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        n_days = len(pdf)
+        cap = int(pdf["a"].sum()) // n_days + 1
+        qmax = QSIM_QMAX_FACTOR * cap
+        q = 0
+        out = []
+        for day, a in zip(pdf["day"], pdf["a"]):
+            avail = q + int(a)
+            served = min(avail, cap)
+            rem = avail - served
+            dropped = max(0, rem - qmax)
+            q = rem - dropped
+            out.append((str(day), int(a), served, dropped, q))
+        return pd.DataFrame(
+            out, columns=["day", "arrivals", "served", "dropped", "queue_end"]
+        )
+
+    schema = (
+        "day string, arrivals long, served long, dropped long, queue_end long"
+    )
+    return (
+        series.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(lambda _, pdf: _simulate(pdf), schema)
+        .orderBy("day")
+    )
+
+
+orders_capacity_queue_sim.__doc__ = (
+    orders_capacity_queue_sim.__doc__ or ""
+).replace("{QSIM_QMAX_FACTOR}", str(QSIM_QMAX_FACTOR))

@@ -1443,3 +1443,106 @@ def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     run over the O(|nations|) rollup, never over facts."""
     register_views(spark, sf_dir, "orders", "customer", "nation", "region")
     return spark.sql(_SHARE_SQL)
+
+
+# --- cohort lifetime-value curve --------------------------------------
+
+_LTV_ORACLE = """
+    WITH o AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS midx,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), first_m AS (
+      SELECT o_custkey, min(midx) AS cidx FROM o GROUP BY o_custkey
+    ), cells AS (
+      SELECT f.cidx, (o.midx - f.cidx) AS age,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+      FROM o JOIN first_m f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ), sized AS (
+      -- every cohort member orders in month 0, so the age-0 active
+      -- count IS the cohort size (no separate first_m aggregation)
+      SELECT cidx, n_active AS cohort_size FROM cells WHERE age = 0
+    )
+    SELECT CAST(cells.cidx // 12 AS BIGINT) || '-' ||
+             lpad(CAST(cells.cidx % 12 + 1 AS VARCHAR), 2, '0')
+               AS cohort_month,
+           CAST(age AS BIGINT) AS age_months, n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY cells.cidx ORDER BY age)
+                AS BIGINT) AS cum_revenue_cents,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY cells.cidx ORDER BY age)
+                AS DOUBLE) / s.cohort_size / 100 AS ltv_per_customer
+    FROM cells JOIN sized s ON cells.cidx = s.cidx
+    ORDER BY cohort_month, age_months
+    """
+
+
+@query("orders_cohort_ltv", oracle=_LTV_ORACLE)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by FIRST-order
+    month, then per (cohort, months-since-first) the active count,
+    period revenue, running cumulative revenue, and LTV per cohort
+    member (exact integer cents; the per-customer dollars are the one
+    boundary division) — the acquisition-payback table every
+    subscription/commerce dashboard leads with, the revenue-weighted
+    complement of ``user_retention_cohorts``'s activity matrix. The
+    month key is the integer year*12+(month-1) index on both engines
+    (zero-based so year = idx//12 and month = idx%12+1 with no
+    December wrap case); the
+    display label is derived from the index alone (modular arithmetic,
+    no date formatting), so the string is trivially engine-identical.
+
+    Scale: one shuffle of orders on ``o_custkey`` serves BOTH the
+    first-order min and the cohort join (same key, exchange reused);
+    the (cohort x age) grid is O(months²) — bounded by the CALENDAR,
+    not the data — so the cumulative window and the cohort-size join
+    run over a frame that never grows with scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "midx"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min("midx").alias("cidx"))
+    cells = (
+        o.join(first_m, "o_custkey")
+        .groupBy("cidx", (F.col("midx") - F.col("cidx")).alias("age"))
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        # cached: the cohort-size branch re-derives from the same grid
+        # (without it the o ⋈ first_m subtree plans twice);
+        # O(months²) rows, bounded by the calendar
+        .coalesce(1)
+        .cache()
+    )
+    sized = cells.where(F.col("age") == 0).select(
+        "cidx", F.col("n_active").alias("cohort_size")
+    )
+    wcum = Window.partitionBy("cidx").orderBy("age")
+    cum = F.sum("revenue_cents").over(wcum).cast("bigint")
+    label = F.concat(
+        F.floor(F.col("cidx") / 12).cast("bigint").cast("string"),
+        F.lit("-"),
+        F.lpad((F.col("cidx") % 12 + 1).cast("string"), 2, "0"),
+    )
+    return (
+        cells.join(F.broadcast(sized), "cidx")
+        .select(
+            label.alias("cohort_month"),
+            F.col("age").cast("bigint").alias("age_months"),
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            "revenue_cents",
+            cum.alias("cum_revenue_cents"),
+            (cum.cast("double") / F.col("cohort_size") / 100).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

@@ -750,3 +750,131 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 docs_phrase_search.__doc__ = (docs_phrase_search.__doc__ or "").replace(
     "{P0}", PHRASE[0]
 ).replace("{P1}", PHRASE[1]).replace("{TOP}", str(PHRASE_TOP))
+
+
+# --- BM25 ranked retrieval -------------------------------------------
+
+BM25_TOP = 20
+# k1 = 1.2 and b = 0.75 (the standard Robertson constants) folded into
+# the exact-rational term formula below: multiplying the tf-saturation
+# fraction through by 20*s_dl clears every denominator, so the only
+# floating-point ops are the two divisions + multiply + adds of the
+# final score expression — identical text on both engines.
+_BM25_TERM_SCORE = (
+    "(CAST(2 * (n_docs - df_{t}) + 1 AS DOUBLE) / (2 * df_{t} + 1))"
+    " * (44 * tf_{t} * s_dl)"
+    " / (20 * s_dl * tf_{t} + 6 * s_dl + 18 * dl * n_docs)"
+)
+
+
+def _bm25_score_sql() -> str:
+    """The score expression — shared verbatim by both engines so the
+    DOUBLE arithmetic tree has identical shape."""
+    return " + ".join(_BM25_TERM_SCORE.format(t=t) for t in SEARCH_TERMS)
+
+
+def _bm25_oracle() -> str:
+    tfs = ", ".join(
+        f"CAST(len(list_filter(ts, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in SEARCH_TERMS
+    )
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in SEARCH_TERMS
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in SEARCH_TERMS)
+    out_tfs = ", ".join(f"tf_{t}" for t in SEARCH_TERMS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pd AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, {tfs} FROM t
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS s_dl, {dfs}
+      FROM pd
+    )
+    SELECT doc_id, dl, {out_tfs}, {_bm25_score_sql()} AS score
+    FROM pd CROSS JOIN tot
+    WHERE {any_tf} > 0
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+    """
+
+
+# (applicationId, abs sf_dir) -> cached per-doc (dl, tf_*) profile;
+# the totals and scoring branches would re-tokenize the corpus twice
+# without it. Bounded: one row per document, 2+|terms| int columns.
+_BM25_PERDOC: dict[tuple[str, str], DataFrame] = {}
+
+
+@query("docs_bm25_search", oracle=_bm25_oracle())
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the {TERMS} query — the third tier of
+    the text-search family: boolean AND (``docs_conjunctive_search``),
+    exact phrase (``docs_phrase_search``), and now relevance-RANKED
+    disjunctive match, the scoring a real search backend serves.
+    Standard Robertson BM25 (k1=1.2, b=0.75) with the log-free
+    rational idf (N-df+0.5)/(df+0.5): every input (tf, df, dl, N,
+    Σdl) is an exact integer and the score is one fixed-shape DOUBLE
+    expression shared verbatim with the oracle, so ranking is
+    bit-stable across engines.
+
+    Scale: term frequencies come from array combinators on the token
+    array (no explode, no postings shuffle) — ONE corpus scan into a
+    cached one-row-per-doc profile; corpus statistics (N, Σdl, df_t)
+    reduce that profile to a single broadcast row, and scoring is a
+    map-side crossJoin against it. The top-k is a {TOP}-row
+    TakeOrdered. At index-serving scale the same scoring rides a
+    pre-built (doc, term, tf) postings table pruned to the query
+    terms."""
+    import os
+
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    pd_df = _BM25_PERDOC.get(memo_key)
+    if pd_df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        ts = F.split(F.col("text"), " ")
+
+        def _tf(term: str):
+            # closure factory: a two-arg lambda would make F.filter
+            # pass the array INDEX as the second argument
+            return F.size(F.filter(ts, lambda x: x == term)).cast(
+                "bigint"
+            )
+
+        tf_cols = [_tf(t).alias(f"tf_{t}") for t in SEARCH_TERMS]
+        pd_df = docs.select(
+            "doc_id", F.size(ts).cast("bigint").alias("dl"), *tf_cols
+        ).cache()
+        _BM25_PERDOC[memo_key] = pd_df
+    tot = pd_df.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("s_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in SEARCH_TERMS
+        ],
+    )
+    any_tf = sum(
+        (F.col(f"tf_{t}") for t in SEARCH_TERMS[1:]),
+        F.col(f"tf_{SEARCH_TERMS[0]}"),
+    )
+    return (
+        pd_df.crossJoin(F.broadcast(tot))
+        .where(any_tf > 0)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in SEARCH_TERMS],
+            F.expr(_bm25_score_sql()).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+docs_bm25_search.__doc__ = (docs_bm25_search.__doc__ or "").replace(
+    "{TERMS}", " ".join(SEARCH_TERMS)
+).replace("{TOP}", str(BM25_TOP))

@@ -97,6 +97,11 @@ WAIVERS: dict[str, str] = {
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
     "part_copurchase_lift": "bnlj-over-two-scans",
+    # BM25 corpus statistics: the 1-row (N, sum_dl, df_t) aggregate of
+    # the cached per-doc profile cross-joined back onto that profile
+    # for scoring — the same 1-row scalar-attach pattern; the second
+    # "Scan parquet" is the cache-build subtree printed twice.
+    "docs_bm25_search": "bnlj-over-two-scans",
     # pareto denominator: the 1-row total-spend aggregate cross-joined
     # onto the 10-row decile rollup.
     "customer_pareto_share": "bnlj-over-two-scans",
