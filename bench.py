@@ -195,6 +195,9 @@ HEADLINE = [
     "part_copurchase_communities",
     "orders_cohort_ltv",
     "orders_capacity_queue_sim",
+    "orders_weekly_theilsen_trend",
+    "docs_quantile_norm_by_lang",
+    "embedding_triplet_mining",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -707,6 +707,7 @@ def part_itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             buys.withColumn("rnk", F.row_number().over(wcap))
             .where(F.col("rnk") <= CF_DEGREE_CAP)
             .select("c", "p")
+            .coalesce(8)
             .cache()
         )
         _CF_CAPPED[memo_key] = capped
@@ -858,6 +859,10 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.u", "e.v")
+        # modest coalesce before cache (AQE doesn't size cached
+        # builds); the edge list is O(support-filtered pairs), far
+        # smaller than the 200-partition shuffle that produced it
+        .coalesce(8)
         .cache()
     )
     labels = edges.select(F.col("u").alias("node")).distinct().select(

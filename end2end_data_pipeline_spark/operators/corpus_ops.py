@@ -469,3 +469,100 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --- quantile normalization across languages ---------------------------
+
+_QN_ORACLE = """
+    WITH hl AS (
+      SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), hl_cum AS (
+      SELECT lang, v, n,
+             CAST(SUM(n) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+               AS cum_l,
+             CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+      FROM hl
+    ), hg AS (
+      -- the global histogram folds out of the per-lang one: a second
+      -- corpus scan would read the same two columns again
+      SELECT v, CAST(SUM(n) AS BIGINT) AS n FROM hl GROUP BY 1
+    ), hg_cum AS (
+      SELECT v, n,
+             CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS cum_g,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_g
+      FROM hg
+    ), mapped AS (
+      SELECT l.lang, l.v AS raw_value, l.n AS n_docs,
+             g.v AS norm_value
+      FROM hl_cum l JOIN hg_cum g
+        ON ((l.cum_l * g.n_g + l.n_l - 1) // l.n_l) <= g.cum_g
+       AND ((l.cum_l * g.n_g + l.n_l - 1) // l.n_l) > g.cum_g - g.n
+    )
+    SELECT lang, CAST(raw_value AS BIGINT) AS raw_value,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(norm_value AS BIGINT) AS norm_value
+    FROM mapped ORDER BY lang, raw_value
+    """
+
+
+@query("docs_quantile_norm_by_lang", oracle=_QN_ORACLE)
+def docs_quantile_norm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across languages —
+    the cross-population calibration step (classic in expression
+    arrays, equally at home normalizing per-language quality/length
+    scores before a global corpus threshold): each (lang, n_chars)
+    value maps to the GLOBAL n_chars value at the same quantile
+    (nearest-rank, upper tie: idx = ceil(cum_l·N/n_l)), so every
+    language's normalized distribution is the pooled one and a single
+    global cutoff stops being biased against verbose/terse languages.
+
+    Scale: the naive formulation global-sorts every row (single
+    partition — the classic QN bottleneck). Here BOTH CDFs collapse to
+    VALUE-DOMAIN histograms first (one map-side-combined rollup each;
+    n_chars has a bounded domain), the inverse-CDF lookup is a band
+    join between two bounded histograms (idx lands in exactly one
+    global (cum-n, cum] slab), and no per-document row ever shuffles.
+    Output is O(langs x distinct values) — calendar-class, not
+    data-class."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").alias("v")
+    )
+    # cached: both CDFs fold out of this one histogram (a second
+    # reference would re-scan the corpus); O(langs x values) rows
+    hl = (
+        docs.groupBy("lang", "v")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .coalesce(1)
+        .cache()
+    )
+    wl = Window.partitionBy("lang").orderBy("v")
+    hl_cum = hl.select(
+        "lang",
+        "v",
+        "n",
+        F.sum("n").over(wl).cast("bigint").alias("cum_l"),
+        F.sum("n").over(Window.partitionBy("lang")).cast("bigint").alias("n_l"),
+    )
+    hg = hl.groupBy("v").agg(F.sum("n").cast("bigint").alias("n"))
+    wg = Window.orderBy("v")
+    hg_cum = hg.select(
+        F.col("v").alias("gv"),
+        F.col("n").alias("gn"),
+        F.sum("n").over(wg).cast("bigint").alias("cum_g"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("n_g"),
+    )
+    idx = F.expr("(cum_l * n_g + n_l - 1) div n_l")
+    return (
+        hl_cum.join(
+            F.broadcast(hg_cum),
+            (idx <= F.col("cum_g")) & (idx > F.col("cum_g") - F.col("gn")),
+        )
+        .select(
+            "lang",
+            F.col("v").cast("bigint").alias("raw_value"),
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("gv").cast("bigint").alias("norm_value"),
+        )
+        .orderBy("lang", "raw_value")
+    )

@@ -382,6 +382,11 @@ def nation_supply_latency_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lat") >= 0)
         .groupBy("src", "dst")
         .agg(F.min("lat").cast("bigint").alias("w"))
+        # coalesce(1) first: cached builds run outside AQE partition
+        # coalescing (the ge2 lesson), and O(|nations|²) rows need one
+        # partition — otherwise every relaxation round re-reads ~200
+        # near-empty cached partitions
+        .coalesce(1)
         .cache()
     )
     # zero-weight self-loops make each round a pure recompute

@@ -1673,3 +1673,119 @@ ann_ivfpq_residual_topk.__doc__ = (
         "{K}", str(PQ_K)
     )
 )
+
+
+# --- contrastive triplet mining ---------------------------------------
+
+
+@query(
+    "embedding_triplet_mining",
+    oracle=_qbase_sql()
+    + f""", bucketed AS (
+      SELECT *, {vec.lsh_bucket('qv', th.DUCK)} AS bucket FROM qbase
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS cand_id,
+             CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS is_pos,
+             {vec.cosine_q('q.qv', 'c.qv', 'q.norm2', 'c.norm2', th.DUCK)}
+               AS cosine
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, is_pos
+                                   ORDER BY cosine DESC, cand_id) AS rk
+      FROM pairs
+    ), best AS (
+      SELECT query_id, query_label,
+             max(CASE WHEN is_pos = 1 THEN cand_id END) AS pos_id,
+             max(CASE WHEN is_pos = 1 THEN cosine END) AS pos_cosine,
+             max(CASE WHEN is_pos = 0 THEN cand_id END) AS neg_id,
+             max(CASE WHEN is_pos = 0 THEN cosine END) AS neg_cosine
+      FROM ranked WHERE rk = 1 GROUP BY query_id, query_label
+    )
+    SELECT query_id, query_label, pos_id, pos_cosine, neg_id, neg_cosine,
+           pos_cosine - neg_cosine AS margin
+    FROM best
+    WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+    ORDER BY margin, query_id
+    """,
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining — the training-data op behind every
+    embedding fine-tune: per query vector, the BEST in-bucket positive
+    (highest-cosine same-label candidate) and the HARDEST in-bucket
+    negative (highest-cosine different-label candidate), with the
+    triplet margin pos-neg. Queries sorted hardest-first (smallest or
+    negative margin = the pairs a trainer should mine); queries whose
+    bucket lacks either side drop out, exactly like an in-batch miner
+    with too-small batches.
+
+    Scale: one bucket-keyed candidate join (the ``ann_lsh_topk``
+    shape — O(queries x bucket), corpus never self-joins all-pairs);
+    positives and negatives rank inside the SAME pair table via a
+    (query, side) window, then collapse to one row per query with
+    conditional aggregates — no second candidate-generation subtree
+    for the second side."""
+    base = _qbase(spark, sf_dir).withColumn(
+        "bucket", F.expr(vec.lsh_bucket("qv", th.SPARK))
+    )
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("q_norm2"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = queries.join(
+        base,
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("cand_id"),
+        F.when(F.col("label") == F.col("query_label"), 1)
+        .otherwise(0)
+        .alias("is_pos"),
+        F.expr(
+            vec.cosine_q("q_qv", "qv", "q_norm2", "norm2", th.SPARK)
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id", "is_pos").orderBy(
+        F.col("cosine").desc(), "cand_id"
+    )
+    best = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.max(F.when(F.col("is_pos") == 1, F.col("cand_id"))).alias(
+                "pos_id"
+            ),
+            F.max(F.when(F.col("is_pos") == 1, F.col("cosine"))).alias(
+                "pos_cosine"
+            ),
+            F.max(F.when(F.col("is_pos") == 0, F.col("cand_id"))).alias(
+                "neg_id"
+            ),
+            F.max(F.when(F.col("is_pos") == 0, F.col("cosine"))).alias(
+                "neg_cosine"
+            ),
+        )
+    )
+    return (
+        best.where(
+            F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "pos_id",
+            "pos_cosine",
+            "neg_id",
+            "neg_cosine",
+            (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+        )
+        .orderBy("margin", "query_id")
+    )

@@ -847,3 +847,110 @@ def orders_daily_drawdown_records(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# --- Theil-Sen robust trend -------------------------------------------
+
+_TS_SLOPE = (
+    "CAST(y.rev_cents - x.rev_cents AS DOUBLE) / (y.week_idx - x.week_idx)"
+)
+
+_TS_ORACLE = f"""
+    WITH weekly AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) // 7
+               AS week_idx,
+             SUM({_CENTS}) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ), slopes AS (
+      SELECT x.priority,
+             CAST(y.rev_cents - x.rev_cents AS DOUBLE)
+               / (y.week_idx - x.week_idx) AS slope
+      FROM weekly x JOIN weekly y
+        ON x.priority = y.priority AND x.week_idx < y.week_idx
+    ), med AS (
+      SELECT priority, CAST(n AS BIGINT) AS n_slopes, slope
+      FROM (
+        SELECT priority, slope,
+               ROW_NUMBER() OVER (PARTITION BY priority ORDER BY slope)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY priority) AS n
+        FROM slopes
+      ) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    ), resid AS (
+      SELECT w.priority, m.n_slopes, m.slope,
+             CAST(w.rev_cents AS DOUBLE) - m.slope * w.week_idx AS r,
+             ROW_NUMBER() OVER (
+               PARTITION BY w.priority
+               ORDER BY CAST(w.rev_cents AS DOUBLE) - m.slope * w.week_idx
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY w.priority) AS n_weeks
+      FROM weekly w JOIN med m ON w.priority = m.priority
+    )
+    SELECT priority, CAST(n_weeks AS BIGINT) AS n_weeks, n_slopes,
+           slope AS slope_cents_per_week, r AS intercept_cents
+    FROM resid
+    WHERE rn = CAST(floor((n_weeks + 1) / 2) AS BIGINT)
+    ORDER BY priority
+    """
+
+
+@query("orders_weekly_theilsen_trend", oracle=_TS_ORACLE)
+def orders_weekly_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend on weekly revenue per order priority:
+    the LOWER MEDIAN of all pairwise slopes (rev_j-rev_i)/(j-i), with
+    the matching median-residual intercept — the breakdown-resistant
+    complement to ``orders_daily_ols_trend`` (one corrupted week moves
+    OLS arbitrarily; Theil-Sen tolerates ~29% contamination). Each
+    slope is ONE division of exact integers and the medians are exact
+    rank-picks over identically-computed doubles, so both engines
+    agree bit-for-bit; picking the VALUE at the median rank is
+    well-defined even among duplicate slopes.
+
+    The oracle states the O(weeks²) slope census as the self-join; the
+    Spark side builds the SAME pairs inside one collect_list'd
+    calendar-bounded array (the ``orders_weekly_mann_kendall``
+    machinery), so orders is scanned once and the quadratic stays
+    O(370²) scalar ops in a single task per priority — bounded by the
+    CALENDAR, not fact volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(f"datediff(o_orderdate, DATE'{EPOCH}') div 7").alias("week_idx"),
+    ).agg(F.expr(f"SUM({_CENTS})").alias("rev_cents"))
+    arr = weekly.groupBy("priority").agg(
+        F.sort_array(F.collect_list(F.struct("week_idx", "rev_cents"))).alias(
+            "wk"
+        )
+    )
+    slopes = _pairs_expr("wk", _TS_SLOPE)
+    picked = arr.select(
+        "priority",
+        F.expr("CAST(size(wk) AS BIGINT)").alias("n_weeks"),
+        F.col("wk"),
+        F.expr(f"array_sort({slopes})").alias("sl"),
+    ).select(
+        "priority",
+        "n_weeks",
+        "wk",
+        F.expr("CAST(size(sl) AS BIGINT)").alias("n_slopes"),
+        F.expr(
+            "element_at(sl, CAST(floor((size(sl) + 1) / 2) AS INT))"
+        ).alias("slope_cents_per_week"),
+    )
+    return (
+        picked.where(F.col("n_slopes") > 0)
+        .select(
+            "priority",
+            "n_weeks",
+            "n_slopes",
+            "slope_cents_per_week",
+            F.expr(
+                "element_at(array_sort(transform(wk, w -> "
+                "CAST(w.rev_cents AS DOUBLE)"
+                " - slope_cents_per_week * w.week_idx)), "
+                "CAST(floor((size(wk) + 1) / 2) AS INT))"
+            ).alias("intercept_cents"),
+        )
+        .orderBy("priority")
+    )

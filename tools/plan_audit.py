@@ -97,6 +97,12 @@ WAIVERS: dict[str, str] = {
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
     "part_copurchase_lift": "bnlj-over-two-scans",
+    # quantile-norm inverse-CDF lookup: a band join (idx lands in one
+    # (cum-n, cum] slab) against the BROADCAST global value-domain
+    # histogram — both sides are bounded rollups, the corpus rows
+    # never reach the join (same class as the user_stickiness_daily
+    # date-spine band join).
+    "docs_quantile_norm_by_lang": "bnlj-over-two-scans",
     # BM25 corpus statistics: the 1-row (N, sum_dl, df_t) aggregate of
     # the cached per-doc profile cross-joined back onto that profile
     # for scoring — the same 1-row scalar-attach pattern; the second
