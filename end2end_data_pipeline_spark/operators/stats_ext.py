@@ -954,3 +954,109 @@ def orders_weekly_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- MAD robust anomaly screen ----------------------------------------
+
+MAD_K = 5  # flag days with |x - median| > MAD_K * MAD
+MAD_TOP = 50
+
+_MAD_ORACLE = f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(SUM({_CENTS}) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ), med AS (
+      SELECT rev_cents AS med_cents FROM (
+        SELECT rev_cents,
+               ROW_NUMBER() OVER (ORDER BY rev_cents, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    ), dev AS (
+      SELECT day, rev_cents, med_cents,
+             abs(rev_cents - med_cents) AS deviation_cents
+      FROM daily CROSS JOIN med
+    ), mad AS (
+      SELECT deviation_cents AS mad_cents FROM (
+        SELECT deviation_cents,
+               ROW_NUMBER() OVER (ORDER BY deviation_cents, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dev
+      ) WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    )
+    SELECT day, rev_cents, CAST(med_cents AS BIGINT) AS med_cents,
+           CAST(mad_cents AS BIGINT) AS mad_cents,
+           CAST(deviation_cents AS BIGINT) AS deviation_cents
+    FROM dev CROSS JOIN mad
+    WHERE deviation_cents > {MAD_K} * mad_cents
+    ORDER BY deviation_cents DESC, day LIMIT {MAD_TOP}
+    """
+
+
+@query("orders_daily_mad_anomalies", oracle=_MAD_ORACLE)
+def orders_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen on daily revenue: days whose absolute
+    deviation from the median exceeds {MAD_K}x the median absolute
+    deviation — the outlier detector whose THRESHOLD ITSELF cannot be
+    dragged by the outliers it hunts (mean/stddev z-scores famously
+    can; cf. ``event_value_outliers``). Both medians are exact
+    rank-picks (lower median, ties by day) and the flag compare is
+    all-integer cents, so the screen is bit-identical across engines.
+
+    Scale: the daily rollup is the only fact shuffle
+    (map-side-combined sums into the O(~2.4k-day) calendar frame,
+    cached once); medians rank over that bounded frame, the two scalar
+    attaches broadcast 1-row frames, and the output is a {MAD_TOP}-row
+    TakeOrdered."""
+    orders = load_table(spark, sf_dir, "orders")
+    # cached: the median branch and the deviation scan both read it
+    # (without the cache the fact aggregation plans twice); O(|days|)
+    daily = (
+        orders.groupBy(
+            F.col("o_orderdate").cast("date").cast("string").alias("day")
+        )
+        .agg(F.expr(f"SUM({_CENTS})").cast("bigint").alias("rev_cents"))
+        .coalesce(1)
+        .cache()
+    )
+    w_med = Window.orderBy("rev_cents", "day")
+    med = (
+        daily.withColumn("rn", F.row_number().over(w_med))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("rev_cents").alias("med_cents"))
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "rev_cents",
+        "med_cents",
+        F.abs(F.col("rev_cents") - F.col("med_cents")).alias(
+            "deviation_cents"
+        ),
+    )
+    w_mad = Window.orderBy("deviation_cents", "day")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_mad))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("deviation_cents").alias("mad_cents"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.col("deviation_cents") > MAD_K * F.col("mad_cents"))
+        .select(
+            "day",
+            "rev_cents",
+            F.col("med_cents").cast("bigint").alias("med_cents"),
+            F.col("mad_cents").cast("bigint").alias("mad_cents"),
+            F.col("deviation_cents").cast("bigint").alias("deviation_cents"),
+        )
+        .orderBy(F.col("deviation_cents").desc(), "day")
+        .limit(MAD_TOP)
+    )
+
+
+orders_daily_mad_anomalies.__doc__ = (
+    orders_daily_mad_anomalies.__doc__ or ""
+).replace("{MAD_K}", str(MAD_K)).replace("{MAD_TOP}", str(MAD_TOP))

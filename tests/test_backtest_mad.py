@@ -1,0 +1,94 @@
+"""Semantic invariants of the Markov backtest and the MAD anomaly
+screen beyond the hash oracle: the backtest must reproduce a Python
+train/test replay, and MAD flags must match a robust recomputation."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_markov_backtest_matches_python_replay(spark):
+    rows = entrymod.queries()["markov_backtest_hitrate"](spark, SF).collect()
+    assert rows, "backtest returned no rows at sf0.001"
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+
+    def us(t):
+        import calendar
+
+        return calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+
+    stamps = [us(r["ts"]) for r in ev]
+    split = (min(stamps) + max(stamps)) // 2
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((us(r["ts"]), r["event_id"], r["event_type"]))
+    train, test = Counter(), Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (t1, _, a), (t2, _, b) in zip(seq, seq[1:]):
+            if t2 < split:
+                train[(a, b)] += 1
+            elif t1 >= split:
+                test[(a, b)] += 1
+    model = {}
+    per_prev = defaultdict(list)
+    for (a, b), n in train.items():
+        per_prev[a].append((-n, b))
+    for a, cands in per_prev.items():
+        model[a] = sorted(cands)[0][1]
+    expect = {}
+    for a, pred in model.items():
+        n_test = sum(n for (p, _), n in test.items() if p == a)
+        if n_test == 0:
+            continue
+        n_hits = test.get((a, pred), 0)
+        n_train = sum(n for (p, _), n in train.items() if p == a)
+        expect[a] = (pred, n_train, n_test, n_hits)
+    got = {
+        r["event_type"]: (r["pred_type"], r["n_train"], r["n_test"], r["n_hits"])
+        for r in rows
+    }
+    assert got == expect
+    for r in rows:
+        assert r["hit_rate"] == float(r["n_hits"]) / r["n_test"]
+
+
+def test_mad_flags_match_python_recomputation(spark):
+    rows = entrymod.queries()["orders_daily_mad_anomalies"](spark, SF).collect()
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in orders:
+        daily[str(r["o_orderdate"].date())] += round(r["o_totalprice"] * 100)
+
+    def lower_median(pairs):
+        # pairs sorted by (value, day); element at floor((n+1)/2)
+        s = sorted(pairs)
+        return s[(len(s) + 1) // 2 - 1][0]
+
+    med = lower_median([(v, d) for d, v in daily.items()])
+    mad = lower_median([(abs(v - med), d) for d, v in daily.items()])
+    expect = sorted(
+        (
+            (d, v, med, mad, abs(v - med))
+            for d, v in daily.items()
+            if abs(v - med) > 5 * mad
+        ),
+        key=lambda t: (-t[4], t[0]),
+    )[:50]
+    got = [
+        (r["day"], r["rev_cents"], r["med_cents"], r["mad_cents"], r["deviation_cents"])
+        for r in rows
+    ]
+    assert got == expect

@@ -97,6 +97,14 @@ WAIVERS: dict[str, str] = {
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
     "part_copurchase_lift": "bnlj-over-two-scans",
+    # time-split midpoint: the 1-row (min+max)/2 epoch aggregate
+    # cross-joined onto the pair stream before the side rollup — the
+    # standard scalar attach; the model/test branches join the cached
+    # O(|types|^2 x 3) rollup.
+    "markov_backtest_hitrate": "bnlj-over-two-scans",
+    # median and MAD scalar attaches: two successive 1-row broadcast
+    # rank-picks applied to the cached O(|days|) daily rollup.
+    "orders_daily_mad_anomalies": "bnlj-over-two-scans",
     # quantile-norm inverse-CDF lookup: a band join (idx lands in one
     # (cum-n, cum] slab) against the BROADCAST global value-domain
     # histogram — both sides are bounded rollups, the corpus rows
