@@ -200,6 +200,7 @@ HEADLINE = [
     "embedding_triplet_mining",
     "markov_backtest_hitrate",
     "orders_daily_mad_anomalies",
+    "suppliers_serving_all_regions",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

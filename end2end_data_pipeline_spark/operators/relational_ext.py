@@ -1546,3 +1546,80 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+# --- relational division ----------------------------------------------
+
+_DIVISION_ORACLE = """
+    WITH joined AS (
+      SELECT l_suppkey AS suppkey, n.n_regionkey AS regionkey,
+             o_custkey AS custkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n.n_nationkey
+    ), agg AS (
+      SELECT suppkey AS s_suppkey,
+             CAST(count(DISTINCT regionkey) AS BIGINT) AS n_regions,
+             CAST(count(DISTINCT custkey) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM joined GROUP BY 1
+    )
+    SELECT s_suppkey, n_regions, n_customers, revenue_cents
+    FROM agg
+    WHERE n_regions = (SELECT CAST(count(*) AS BIGINT) FROM region)
+    ORDER BY s_suppkey
+    """
+
+
+@query("suppliers_serving_all_regions", oracle=_DIVISION_ORACLE)
+def suppliers_serving_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION — the classic "for all" query shape (÷, the
+    one relational-algebra operator SQL has no keyword for): suppliers
+    whose shipments have reached customers in EVERY region, with their
+    global customer reach and revenue. Implemented as the
+    scale-correct count-matching form (distinct (supplier, region)
+    rollup, count == |divisor|) rather than the textbook double-NOT-
+    EXISTS, which plans as a nested correlated anti-join per supplier.
+
+    Scale: ONE fact pass — the division predicate and the reach/
+    revenue stats share a single supplier-keyed aggregation (the two
+    count-distincts ride the same shuffle via Expand), and the divisor
+    cardinality attaches as a broadcast 1-row scalar. The textbook
+    form re-aggregates per branch; the scan-count probe is what keeps
+    this one honest."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("o_custkey").alias("custkey"),
+            cents.alias("cents"),
+        )
+    )
+    agg = joined.groupBy(F.col("suppkey").alias("s_suppkey")).agg(
+        F.count_distinct("regionkey").cast("bigint").alias("n_regions"),
+        F.count_distinct("custkey").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    total = r.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .where(F.col("n_regions") == F.col("total"))
+        .select("s_suppkey", "n_regions", "n_customers", "revenue_cents")
+        .orderBy("s_suppkey")
+    )

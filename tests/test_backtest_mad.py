@@ -92,3 +92,38 @@ def test_mad_flags_match_python_recomputation(spark):
         for r in rows
     ]
     assert got == expect
+
+
+def test_relational_division_exactly_the_full_coverage_set(spark):
+    rows = entrymod.queries()["suppliers_serving_all_regions"](
+        spark, SF
+    ).collect()
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    )
+    o = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    c = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    n = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    n_regions = spark.read.parquet(f"{SF}/region.parquet").count()
+    reach = defaultdict(set)
+    for r in li:
+        reach[r["l_suppkey"]].add(n[c[o[r["l_orderkey"]]]])
+    expect = sorted(s for s, rs in reach.items() if len(rs) == n_regions)
+    assert [r["s_suppkey"] for r in rows] == expect
+    # and no supplier outside the answer covers every region
+    assert all(
+        len(reach[s]) < n_regions for s in reach if s not in set(expect)
+    )
