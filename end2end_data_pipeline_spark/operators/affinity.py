@@ -26,7 +26,11 @@ from end2end_data_pipeline_spark.operators.similarity import (
     _qbase_sql,
 )
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 PATH_LEN = 3
 TOP_PATHS = 20
@@ -663,13 +667,6 @@ _CF_ORACLE = f"""
     """
 
 
-# (applicationId, abs sf_dir) -> the cached capped incidence; the
-# pair/degree branches re-scan orders+lineitem 3x without it (12
-# FileScans observed). Bounded: <= CF_DEGREE_CAP rows per customer,
-# two int columns.
-_CF_CAPPED: dict[tuple[str, str], DataFrame] = {}
-
-
 @query("part_itemitem_cosine_topk", oracle=_CF_ORACLE)
 def part_itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering: per-part top-{CF_TOP_K}
@@ -690,27 +687,28 @@ def part_itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree counts join AFTER the support filter prunes the pair table."""
     import os
 
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    capped = _CF_CAPPED.get(memo_key)
-    if capped is None:
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey"
-        )
-        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-        buys = (
-            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-            .agg(F.count("*").alias("n_buy"))
-        )
-        wcap = Window.partitionBy("c").orderBy(F.col("n_buy").desc(), "p")
-        capped = (
-            buys.withColumn("rnk", F.row_number().over(wcap))
-            .where(F.col("rnk") <= CF_DEGREE_CAP)
-            .select("c", "p")
-            .coalesce(8)
-            .cache()
-        )
-        _CF_CAPPED[memo_key] = capped
+    # session_cached: the capped incidence feeds the self-join and both
+    # degree branches (12 FileScans without it), and repeated
+    # invocations (bench repeat=N, sweeps) must reuse ONE
+    # InMemoryRelation. Bounded: <= CF_DEGREE_CAP rows per customer.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    buys = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.count("*").alias("n_buy"))
+    )
+    wcap = Window.partitionBy("c").orderBy(F.col("n_buy").desc(), "p")
+    capped = session_cached(
+        spark,
+        f"cf_capped_{sf_tag(os.path.abspath(sf_dir))}",
+        buys.withColumn("rnk", F.row_number().over(wcap))
+        .where(F.col("rnk") <= CF_DEGREE_CAP)
+        .select("c", "p")
+        .coalesce(8),
+    )
     deg = capped.groupBy("p").agg(F.count("*").alias("n_cust"))
     a = capped.alias("a")
     b = capped.alias("b")
@@ -720,13 +718,25 @@ def part_itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("co"))
         .where(F.col("co") >= CF_MIN_CO)
     )
+    # symmetrize by exploding a 2-array of structs — a self-union
+    # would plan the quadratic pair-generation subtree twice (the
+    # LPA/triangles lesson, caught again by this round's code review)
     sym = pairs.select(
-        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "co"
-    ).unionAll(
-        pairs.select(
-            F.col("pb").alias("part_a"), F.col("pa").alias("part_b"), "co"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("part_a"),
+                    F.col("pb").alias("part_b"),
+                    F.col("co"),
+                ),
+                F.struct(
+                    F.col("pb").alias("part_a"),
+                    F.col("pa").alias("part_b"),
+                    F.col("co"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.part_a", "e.part_b", "e.co")
     da = deg.select(F.col("p").alias("part_a"), F.col("n_cust").alias("n_a"))
     db = deg.select(F.col("p").alias("part_b"), F.col("n_cust").alias("n_b"))
     scored = (
@@ -863,7 +873,11 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # builds); the edge list is O(support-filtered pairs), far
         # smaller than the 200-partition shuffle that produced it
         .coalesce(8)
-        .cache()
+    )
+    import os
+
+    edges = session_cached(
+        spark, f"lpa_edges_{sf_tag(os.path.abspath(sf_dir))}", edges
     )
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import fan_out, load_table, session_cached
+from end2end_data_pipeline_spark.sources.tables import (
+    fan_out,
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 # --- sequence packing ------------------------------------------------
 
@@ -528,13 +533,16 @@ def docs_quantile_norm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "lang", F.col("n_chars").alias("v")
     )
-    # cached: both CDFs fold out of this one histogram (a second
-    # reference would re-scan the corpus); O(langs x values) rows
-    hl = (
+    import os
+
+    # session_cached: both CDFs fold out of this one histogram (a
+    # second reference would re-scan the corpus); O(langs x values)
+    hl = session_cached(
+        spark,
+        f"qnorm_hl_{sf_tag(os.path.abspath(sf_dir))}",
         docs.groupBy("lang", "v")
         .agg(F.count("*").cast("bigint").alias("n"))
-        .coalesce(1)
-        .cache()
+        .coalesce(1),
     )
     wl = Window.partitionBy("lang").orderBy("v")
     hl_cum = hl.select(

@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table, session_cached
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 # Error classification threshold on props.k (uniform 0..99 → ~25% errors).
 ERROR_K_THRESHOLD = 25
@@ -1425,12 +1429,6 @@ _BACKTEST_ORACLE = """
     ORDER BY event_type
     """
 
-# (applicationId, abs sf_dir) -> the cached O(|types|² x 3) side rollup;
-# the model/train-total/test branches would each re-run the user
-# window over the fact table without it.
-_BACKTEST_ROLL: dict[tuple[str, str], DataFrame] = {}
-
-
 @query("markov_backtest_hitrate", oracle=_BACKTEST_ORACLE)
 def markov_backtest_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-split backtest of the first-order Markov next-event model:
@@ -1452,41 +1450,36 @@ def markov_backtest_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     import os
 
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    roll = _BACKTEST_ROLL.get(memo_key)
-    if roll is None:
-        ev = load_table(spark, sf_dir, "events")
-        bounds = ev.agg(
-            F.expr(
-                "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
-            )
-            .cast("bigint")
-            .alias("split_us")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+        .cast("bigint")
+        .alias("split_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_type").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("event_type").alias("prev"),
+            F.col("next_type").alias("nxt"),
+            F.when(F.unix_micros("next_ts") < F.col("split_us"), "train")
+            .when(F.unix_micros("ts") >= F.col("split_us"), "test")
+            .otherwise("cross")
+            .alias("side"),
         )
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        pairs = (
-            ev.withColumn("next_type", F.lead("event_type").over(w))
-            .withColumn("next_ts", F.lead("ts").over(w))
-            .where(F.col("next_type").isNotNull())
-            .crossJoin(F.broadcast(bounds))
-            .select(
-                F.col("event_type").alias("prev"),
-                F.col("next_type").alias("nxt"),
-                F.when(
-                    F.unix_micros("next_ts") < F.col("split_us"), "train"
-                )
-                .when(F.unix_micros("ts") >= F.col("split_us"), "test")
-                .otherwise("cross")
-                .alias("side"),
-            )
-        )
-        roll = (
-            pairs.groupBy("prev", "nxt", "side")
-            .agg(F.count("*").cast("bigint").alias("n"))
-            .coalesce(1)
-            .cache()
-        )
-        _BACKTEST_ROLL[memo_key] = roll
+    )
+    # session_cached O(|types|² x 3) side rollup: the model/train-
+    # total/test branches would each re-run the user window otherwise
+    roll = session_cached(
+        spark,
+        f"backtest_roll_{sf_tag(os.path.abspath(sf_dir))}",
+        pairs.groupBy("prev", "nxt", "side")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .coalesce(1),
+    )
     train = roll.where(F.col("side") == "train")
     rk_w = Window.partitionBy("prev").orderBy(F.col("n").desc(), "nxt")
     model = (

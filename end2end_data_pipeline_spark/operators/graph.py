@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (10^12)
 PR_ITERS = 8
@@ -382,25 +386,31 @@ def nation_supply_latency_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lat") >= 0)
         .groupBy("src", "dst")
         .agg(F.min("lat").cast("bigint").alias("w"))
-        # coalesce(1) first: cached builds run outside AQE partition
-        # coalescing (the ge2 lesson), and O(|nations|²) rows need one
-        # partition — otherwise every relaxation round re-reads ~200
-        # near-empty cached partitions
-        .coalesce(1)
-        .cache()
     )
     # zero-weight self-loops make each round a pure recompute
     # (min over edges∪self ≡ the oracle's UNION ALL keep-self), so the
     # iterated frame only ever enters the plan as a broadcast — the
     # pagerank loop shape: lineage stays flat, each round is one tiny
     # broadcast-join stage over the cached O(|nations|²) edge list
-    aug = edges.unionAll(
-        n.select(
-            F.col("n_name").alias("src"),
-            F.col("n_name").alias("dst"),
-            F.lit(0).cast("bigint").alias("w"),
-        )
-    ).cache()
+    # session-cached with coalesce(1) FIRST: cached builds run outside
+    # AQE partition coalescing (the ge2 lesson) and O(|nations|²) rows
+    # need one partition — an uncoalesced cache re-reads ~200
+    # near-empty partitions every relaxation round. Only aug is
+    # cached: edges has no other consumer (r9 review — a second cache
+    # there was a dead copy of near-identical data).
+    import os
+
+    aug = session_cached(
+        spark,
+        f"sp_aug_{sf_tag(os.path.abspath(sf_dir))}",
+        edges.unionAll(
+            n.select(
+                F.col("n_name").alias("src"),
+                F.col("n_name").alias("dst"),
+                F.lit(0).cast("bigint").alias("w"),
+            )
+        ).coalesce(1),
+    )
     dist = spark.createDataFrame(
         [(SP_SOURCE, 0)], "node string, dist long"
     )

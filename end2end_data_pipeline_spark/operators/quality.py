@@ -24,7 +24,12 @@ from end2end_data_pipeline_spark.operators.similarity import (
     _qbase_sql,
 )
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table, register_views
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    register_views,
+    session_cached,
+    sf_tag,
+)
 
 
 @query(
@@ -2114,13 +2119,16 @@ def orders_capacity_queue_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.to_date("o_orderdate").alias("day")
     )
-    # cached: the bounds branch and the spine join both read the
-    # rollup — without it orders scans twice; O(|days|) rows
-    arr = (
+    import os
+
+    # session_cached: the bounds branch and the spine join both read
+    # the rollup — without it orders scans twice; O(|days|) rows
+    arr = session_cached(
+        spark,
+        f"qsim_arr_{sf_tag(os.path.abspath(sf_dir))}",
         o.groupBy("day")
         .agg(F.count("*").cast("bigint").alias("a"))
-        .coalesce(1)
-        .cache()
+        .coalesce(1),
     )
     bounds = arr.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
     spine = bounds.select(

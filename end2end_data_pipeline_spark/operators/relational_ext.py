@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table, register_views
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    register_views,
+    session_cached,
+    sf_tag,
+)
 
 N_SALTS = 8
 
@@ -1515,11 +1520,15 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_custkey").cast("bigint").alias("n_active"),
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
-        # cached: the cohort-size branch re-derives from the same grid
-        # (without it the o ⋈ first_m subtree plans twice);
-        # O(months²) rows, bounded by the calendar
         .coalesce(1)
-        .cache()
+    )
+    import os
+
+    # session_cached: the cohort-size branch re-derives from the same
+    # grid (without it the o ⋈ first_m subtree plans twice);
+    # O(months²) rows, bounded by the calendar
+    cells = session_cached(
+        spark, f"ltv_cells_{sf_tag(os.path.abspath(sf_dir))}", cells
     )
     sized = cells.where(F.col("age") == 0).select(
         "cidx", F.col("n_active").alias("cohort_size")

@@ -42,7 +42,12 @@ from end2end_data_pipeline_spark.operators.event_analytics import (
     SESSION_GAP_MINUTES,
 )
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table, register_views
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    register_views,
+    session_cached,
+    sf_tag,
+)
 
 # --- sweep-line session concurrency ----------------------------------
 
@@ -801,12 +806,6 @@ def _bm25_oracle() -> str:
     """
 
 
-# (applicationId, abs sf_dir) -> cached per-doc (dl, tf_*) profile;
-# the totals and scoring branches would re-tokenize the corpus twice
-# without it. Bounded: one row per document, 2+|terms| int columns.
-_BM25_PERDOC: dict[tuple[str, str], DataFrame] = {}
-
-
 @query("docs_bm25_search", oracle=_bm25_oracle())
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for the {TERMS} query — the third tier of
@@ -829,24 +828,25 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms."""
     import os
 
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    pd_df = _BM25_PERDOC.get(memo_key)
-    if pd_df is None:
-        docs = load_table(spark, sf_dir, "documents")
-        ts = F.split(F.col("text"), " ")
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
 
-        def _tf(term: str):
-            # closure factory: a two-arg lambda would make F.filter
-            # pass the array INDEX as the second argument
-            return F.size(F.filter(ts, lambda x: x == term)).cast(
-                "bigint"
-            )
+    def _tf(term: str):
+        # closure factory: a two-arg lambda would make F.filter
+        # pass the array INDEX as the second argument
+        return F.size(F.filter(ts, lambda x: x == term)).cast("bigint")
 
-        tf_cols = [_tf(t).alias(f"tf_{t}") for t in SEARCH_TERMS]
-        pd_df = docs.select(
+    tf_cols = [_tf(t).alias(f"tf_{t}") for t in SEARCH_TERMS]
+    # session_cached: the totals and scoring branches both read the
+    # per-doc profile (a bare cache would also accumulate one
+    # InMemoryRelation per invocation). One row per document.
+    pd_df = session_cached(
+        spark,
+        f"bm25_perdoc_{sf_tag(os.path.abspath(sf_dir))}",
+        docs.select(
             "doc_id", F.size(ts).cast("bigint").alias("dl"), *tf_cols
-        ).cache()
-        _BM25_PERDOC[memo_key] = pd_df
+        ),
+    )
     tot = pd_df.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("s_dl"),

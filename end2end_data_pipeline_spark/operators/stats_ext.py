@@ -42,7 +42,11 @@ from end2end_data_pipeline_spark.functions.texthash import (
     salted_md5h,
 )
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 # Epoch anchoring the weekly / daily indexes: the corpus' first order
 # date (TPC-H ships 1992-01-01..1998-08-02), so indexes are small,
@@ -1010,15 +1014,18 @@ def orders_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaches broadcast 1-row frames, and the output is a {MAD_TOP}-row
     TakeOrdered."""
     orders = load_table(spark, sf_dir, "orders")
-    # cached: the median branch and the deviation scan both read it
-    # (without the cache the fact aggregation plans twice); O(|days|)
-    daily = (
+    import os
+
+    # session_cached: the median branch and the deviation scan both
+    # read it (otherwise the fact aggregation plans twice); O(|days|)
+    daily = session_cached(
+        spark,
+        f"mad_daily_{sf_tag(os.path.abspath(sf_dir))}",
         orders.groupBy(
             F.col("o_orderdate").cast("date").cast("string").alias("day")
         )
         .agg(F.expr(f"SUM({_CENTS})").cast("bigint").alias("rev_cents"))
-        .coalesce(1)
-        .cache()
+        .coalesce(1),
     )
     w_med = Window.orderBy("rev_cents", "day")
     med = (

@@ -14,22 +14,26 @@ SF = "/root/testdata/sf0.001"
 def test_markov_backtest_matches_python_replay(spark):
     rows = entrymod.queries()["markov_backtest_hitrate"](spark, SF).collect()
     assert rows, "backtest returned no rows at sf0.001"
+    # let Spark compute epoch-µs: collect() renders TimestampType in
+    # the OS-local timezone, so Python-side re-derivation would skew
+    # on non-UTC machines (r9 code review)
+    from pyspark.sql import functions as F
+
     ev = (
         spark.read.parquet(f"{SF}/events.parquet")
-        .select("user_id", "ts", "event_id", "event_type")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
         .collect()
     )
-
-    def us(t):
-        import calendar
-
-        return calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond
-
-    stamps = [us(r["ts"]) for r in ev]
+    stamps = [r["us"] for r in ev]
     split = (min(stamps) + max(stamps)) // 2
     by_user = defaultdict(list)
     for r in ev:
-        by_user[r["user_id"]].append((us(r["ts"]), r["event_id"], r["event_type"]))
+        by_user[r["user_id"]].append((r["us"], r["event_id"], r["event_type"]))
     train, test = Counter(), Counter()
     for seq in by_user.values():
         seq.sort()
@@ -127,3 +131,45 @@ def test_relational_division_exactly_the_full_coverage_set(spark):
     assert all(
         len(reach[s]) < n_regions for s in reach if s not in set(expect)
     )
+
+
+def test_capacity_queue_sim_matches_python_replay(spark):
+    """The two-sided clamp is the one genuinely sequential recurrence
+    here — replay it independently (serve-then-drop order pinned)."""
+    rows = entrymod.queries()["orders_capacity_queue_sim"](spark, SF).collect()
+    assert rows
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderdate")
+        .collect()
+    )
+    daily = Counter(str(r["o_orderdate"].date()) for r in orders)
+    import datetime
+
+    d0 = datetime.date.fromisoformat(min(daily))
+    d1 = datetime.date.fromisoformat(max(daily))
+    spine = [
+        str(d0 + datetime.timedelta(days=i))
+        for i in range((d1 - d0).days + 1)
+    ]
+    total = sum(daily.values())
+    cap = total // len(spine) + 1
+    qmax = 5 * cap
+    q, expect = 0, []
+    for day in spine:
+        a = daily.get(day, 0)
+        avail = q + a
+        served = min(avail, cap)
+        rem = avail - served
+        dropped = max(0, rem - qmax)
+        q = rem - dropped
+        expect.append((day, a, served, dropped, q))
+    got = [
+        (r["day"], r["arrivals"], r["served"], r["dropped"], r["queue_end"])
+        for r in rows
+    ]
+    assert got == expect
+    # conservation: arrivals = served + dropped + final queue
+    assert total == sum(r["served"] for r in rows) + sum(
+        r["dropped"] for r in rows
+    ) + got[-1][4]
