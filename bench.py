@@ -201,6 +201,7 @@ HEADLINE = [
     "markov_backtest_hitrate",
     "orders_daily_mad_anomalies",
     "suppliers_serving_all_regions",
+    "nation_median_spend_udaf",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -24,6 +24,8 @@ anything.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
@@ -83,4 +85,91 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL token_runs(d.text) tr
         ORDER BY d.doc_id, tr.start_pos
         """
+    )
+
+
+# --- grouped-aggregate pandas UDAF ------------------------------------
+#
+# The last Arrow entry point the engine had not exercised: a GROUPED_AGG
+# pandas_udf (AggregateInPandas in the physical plan — Arrow-batched,
+# never row-pickled). The demonstration aggregate is the exact LOWER
+# MEDIAN — a genuine custom aggregate (order statistics do not
+# decompose into Spark's built-in commutative aggregates without a
+# window detour), value-checked against the pure-SQL rank-pick oracle.
+
+_UDAF_ORACLE = """
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), tagged AS (
+      SELECT n_name AS nation, cents
+      FROM spend
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ), ranked AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY nation) AS n
+      FROM tagged
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n_customers,
+           CAST(cents AS BIGINT) AS median_spend_cents
+    FROM ranked WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    ORDER BY nation
+    """
+
+
+@query("nation_median_spend_udaf", oracle=_UDAF_ORACLE)
+def nation_median_spend_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median customer spend per nation, computed by a
+    GROUPED_AGG pandas UDAF — completing the engine's Arrow API
+    matrix (mapInPandas decode, applyInPandas simulation,
+    applyInPandasWithState streaks, Arrow UDTF runs, and now the
+    custom aggregate). The aggregate itself is the honest UDAF case:
+    an exact order statistic has no commutative-monoid decomposition,
+    so Spark's built-ins can't fuse it and the alternatives are a
+    window detour or this. Value-checked against the pure-SQL
+    rank-pick oracle; the VALUE at the median rank is well-defined
+    under duplicate spends, so Arrow batch order cannot matter.
+
+    Scale: per-customer spend reduces map-side BEFORE the UDAF (the
+    only fact shuffle); the grouped aggregate then sees one Arrow
+    batch per nation of O(|customers|/|nations|) ints — the group
+    payload, never raw orders. A per-group order statistic
+    fundamentally needs the group's values in one place; the rollup
+    ahead of it is what keeps that payload minimal."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from end2end_data_pipeline_spark.sources.tables import load_table
+
+    @pandas_udf("long")
+    def lower_median(v: pd.Series) -> int:
+        s = v.sort_values().reset_index(drop=True)
+        return int(s.iloc[(len(s) + 1) // 2 - 1])
+
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg(), so the count is a second Arrow UDAF
+    @pandas_udf("long")
+    def arrow_count(v: pd.Series) -> int:
+        return len(v)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = o.groupBy("o_custkey").agg(F.sum("cents").cast("bigint").alias("cents"))
+    tagged = spend.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        tagged.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            arrow_count(F.col("cents")).alias("n_customers"),
+            lower_median(F.col("cents")).alias("median_spend_cents"),
+        )
+        .orderBy("nation")
     )

@@ -173,3 +173,35 @@ def test_capacity_queue_sim_matches_python_replay(spark):
     assert total == sum(r["served"] for r in rows) + sum(
         r["dropped"] for r in rows
     ) + got[-1][4]
+
+
+def test_udaf_median_matches_python(spark):
+    rows = entrymod.queries()["nation_median_spend_udaf"](spark, SF).collect()
+    assert rows
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    spend = defaultdict(int)
+    for r in orders:
+        spend[r["o_custkey"]] += round(r["o_totalprice"] * 100)
+    per_nation = defaultdict(list)
+    for ck, cents in spend.items():
+        per_nation[nation[cust[ck]]].append(cents)
+    expect = {}
+    for nat, vals in per_nation.items():
+        vals.sort()
+        expect[nat] = (len(vals), vals[(len(vals) + 1) // 2 - 1])
+    got = {
+        r["nation"]: (r["n_customers"], r["median_spend_cents"]) for r in rows
+    }
+    assert got == expect
