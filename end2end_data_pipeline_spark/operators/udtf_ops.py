@@ -91,8 +91,8 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- grouped-aggregate pandas UDAF ------------------------------------
 #
 # The last Arrow entry point the engine had not exercised: a GROUPED_AGG
-# pandas_udf (AggregateInPandas in the physical plan — Arrow-batched,
-# never row-pickled). The demonstration aggregate is the exact LOWER
+# pandas_udf (ArrowAggregatePython in the Spark 4 physical plan —
+# Arrow-batched, never row-pickled). The demonstration aggregate is the exact LOWER
 # MEDIAN — a genuine custom aggregate (order statistics do not
 # decompose into Spark's built-in commutative aggregates without a
 # window detour), value-checked against the pure-SQL rank-pick oracle.
@@ -123,7 +123,7 @@ _UDAF_ORACLE = """
 @query("nation_median_spend_udaf", oracle=_UDAF_ORACLE)
 def nation_median_spend_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact lower-median customer spend per nation, computed by a
-    GROUPED_AGG pandas UDAF — completing the engine's Arrow API
+    GROUPED_AGG pandas UDAF (ArrowAggregatePython) — completing the engine's Arrow API
     matrix (mapInPandas decode, applyInPandas simulation,
     applyInPandasWithState streaks, Arrow UDTF runs, and now the
     custom aggregate). The aggregate itself is the honest UDAF case:

@@ -76,3 +76,48 @@ def test_multimodal_uses_arrow_batches(spark):
     # mapInPandas shows as MapInPandas/ArrowEvalPython — NOT BatchEvalPython
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan or "ArrowEval" in plan
+
+
+def test_cf_pair_generation_plans_once(spark):
+    """The r9 review fix held: symmetrization must not duplicate the
+    quadratic pair-generation subtree (self-union planned the capped
+    self-join + aggregate twice; the explode form plans it once)."""
+    plan = _plan(spark, "part_itemitem_cosine_topk")
+    # exactly one self-join of the capped incidence survives in the
+    # physical plan (one SMJ/SHJ on the customer key), plus the two
+    # degree equi-joins and the broadcast attach — never two pair gens
+    n_generate = plan.count("Generate explode")
+    assert n_generate == 1, f"expected 1 explode, saw {n_generate}"
+
+
+def test_shortest_path_frontier_is_broadcast_only(spark):
+    """Each Bellman-Ford round must enter the plan as a broadcast of
+    the tiny frontier against the cached edge list — an accumulated
+    shuffle chain is the 3x-slower shape the operator was rebuilt
+    away from."""
+    plan = _plan(spark, "nation_supply_latency_paths")
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_single_corpus_scan(spark):
+    """Corpus statistics fold out of the session-cached per-doc
+    profile: exactly one parquet scan of documents."""
+    df = entrymod.queries()["docs_bm25_search"](spark, SF)
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", fmt)
+    assert len(scans) == 1, f"expected 1 scan, saw {len(scans)}"
+
+
+def test_udaf_stays_on_arrow_path(spark):
+    plan = _plan(spark, "nation_median_spend_udaf")
+    # Spark 4.1 names the grouped-agg Arrow node ArrowAggregatePython
+    # (older releases: AggregateInPandas) — either is the Arrow path
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "BatchEvalPython" not in plan
