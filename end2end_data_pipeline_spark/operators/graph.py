@@ -427,3 +427,148 @@ def nation_supply_latency_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 nation_supply_latency_paths.__doc__ = (
     nation_supply_latency_paths.__doc__ or ""
 ).replace("{SP_SOURCE}", SP_SOURCE).replace("{SP_ITERS}", str(SP_ITERS))
+
+
+# --- bounded k-core peeling --------------------------------------------
+
+KCORE_K = 3  # minimum surviving degree
+KCORE_ROUNDS = 4  # fixed synchronous peel rounds (both engines unroll)
+KCORE_MIN_SUPPORT = 2  # co-purchase edge support floor (= affinity's)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled KCORE_ROUNDS-round k-core peeling as chained CTEs."""
+    # every e_r / k_r is referenced 2-3x by the next level AND by the
+    # census rows; without MATERIALIZED, DuckDB inlines each reference
+    # and the base pair-generation re-plans O(3^rounds) times
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        f"""p0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_SUPPORT}
+    )""",
+        "e0 AS MATERIALIZED"
+        " (SELECT u, v FROM p0 UNION ALL SELECT v AS u, u AS v FROM p0)",
+    ]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+      SELECT u AS node FROM e{r} GROUP BY u
+      HAVING count(*) >= {KCORE_K}
+    )"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{r} e
+      JOIN k{r} a ON e.u = a.node
+      JOIN k{r} b ON e.v = b.node
+    )"""
+        )
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({r + 1} AS BIGINT) AS round,
+           CAST((SELECT count(DISTINCT u) FROM e{r + 1}) AS BIGINT)
+             AS n_nodes,
+           CAST((SELECT count(*) FROM e{r + 1}) // 2 AS BIGINT) AS n_edges"""
+        for r in range(KCORE_ROUNDS)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    {rows}\n    ORDER BY round"
+    )
+
+
+@query("part_copurchase_kcore", oracle=_kcore_oracle())
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded {KCORE_K}-core peeling of the co-purchase graph: each
+    of {KCORE_ROUNDS} synchronous rounds removes every part with
+    fewer than {KCORE_K} surviving co-purchase neighbors, reporting
+    the node/edge census after each round — the density-pruning pass
+    that separates a real product community from chains of one-off
+    pairings (full k-core is this iterated to fixpoint; the bounded
+    prefix is deterministic and identical on both engines, which the
+    data-dependent fixpoint round count would not be). Fourth member
+    of the iterative-graph family: PageRank (sum-product), shortest
+    paths (min-plus), LPA (mode), and now structural pruning.
+
+    Scale: the support-filtered symmetric edge list builds once from
+    the order-keyed pair generation (session-cached, the LPA edge
+    machinery); each round is a degree aggregate plus two semi-shaped
+    equi-joins against the shrinking survivor set — the synchronous
+    peel step as join+groupBy, O(|edges|) per round, no driver-side
+    graph state. The census rows are four 1-row aggregates."""
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    p0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= KCORE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = session_cached(
+        spark,
+        f"kcore_edges_{sf_tag(os.path.abspath(sf_dir))}",
+        p0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .coalesce(8),
+    )
+    stats = []
+    for r in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+        # each round's survivors are session-cached: the next level
+        # references this frame three times (directly + via both semi
+        # probes) and the census reads it again — uncached, the chain
+        # re-derives the base O(3^rounds) times (mirrors the oracle's
+        # MATERIALIZED hint)
+        edges = session_cached(
+            spark,
+            f"kcore_e{r + 1}_{sf_tag(os.path.abspath(sf_dir))}",
+            edges.join(keep, edges["u"] == keep["node"], "left_semi").join(
+                keep.select(F.col("node").alias("vnode")),
+                F.col("v") == F.col("vnode"),
+                "left_semi",
+            ),
+        )
+        stats.append(
+            edges.agg(
+                F.lit(r + 1).cast("bigint").alias("round"),
+                F.count_distinct("u").cast("bigint").alias("n_nodes"),
+                F.expr("count(*) div 2").cast("bigint").alias("n_edges"),
+            ).select("round", "n_nodes", "n_edges")
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+part_copurchase_kcore.__doc__ = (
+    (part_copurchase_kcore.__doc__ or "")
+    .replace("{KCORE_K}", str(KCORE_K))
+    .replace("{KCORE_ROUNDS}", str(KCORE_ROUNDS))
+)

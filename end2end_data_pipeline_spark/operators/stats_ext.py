@@ -1067,3 +1067,184 @@ def orders_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 orders_daily_mad_anomalies.__doc__ = (
     orders_daily_mad_anomalies.__doc__ or ""
 ).replace("{MAD_K}", str(MAD_K)).replace("{MAD_TOP}", str(MAD_TOP))
+
+
+# --- exact group quantiles via value-domain histograms ------------------
+
+_LAT_EXPR_DUCK = (
+    "CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400) AS BIGINT)"
+)
+
+_P_BY_NATION_ORACLE = f"""
+    WITH lat AS (
+      SELECT n_name AS nation, {_LAT_EXPR_DUCK} AS d
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    ), hist AS (
+      SELECT nation, d, CAST(count(*) AS BIGINT) AS cnt
+      FROM lat GROUP BY 1, 2
+    ), cum AS (
+      SELECT nation, d, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY nation ORDER BY d) AS BIGINT)
+               AS c,
+             CAST(SUM(cnt) OVER (PARTITION BY nation) AS BIGINT) AS n
+      FROM hist
+    )
+    SELECT nation, CAST(max(n) AS BIGINT) AS n_lineitems,
+           CAST(min(CASE WHEN c >= (50 * n + 99) // 100 THEN d END)
+                AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN c >= (95 * n + 99) // 100 THEN d END)
+                AS BIGINT) AS p95_days,
+           CAST(min(CASE WHEN c >= (99 * n + 99) // 100 THEN d END)
+                AS BIGINT) AS p99_days
+    FROM cum GROUP BY nation ORDER BY nation
+    """
+
+
+@query("ship_latency_percentiles_by_nation", oracle=_P_BY_NATION_ORACLE)
+def ship_latency_percentiles_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact p50/p95/p99 order-to-ship latency per customer nation —
+    the SLA report — computed the scale-correct way: NEVER a per-group
+    sort of raw rows. The latency VALUE DOMAIN is calendar-bounded, so
+    each group's distribution collapses to a (nation, days) histogram
+    (one map-side-combined fact shuffle), the CDF is a window over
+    that bounded frame, and each percentile is a nearest-rank
+    inverse-CDF pick (min value whose cum count reaches ceil(q·n) —
+    exact integers end to end, no interpolation, engine-identical).
+    Complements ``events_approx_quantiles`` (the sketch audit) with
+    the exact path, and applies the ``docs_quantile_norm_by_lang``
+    histogram trick to plain group quantiles.
+
+    Scale: shuffle volume is O(nations x distinct day values), not
+    rows; the windows run over that bounded frame; percentile picks
+    are conditional MINs inside one aggregate — adding p999 costs one
+    more column, not another pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    d = F.floor(
+        (F.col("l_shipdate").cast("long") - F.col("o_orderdate").cast("long"))
+        / 86400
+    ).cast("bigint")
+    lat = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), d.alias("d"))
+    )
+    hist = lat.groupBy("nation", "d").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wc = Window.partitionBy("nation").orderBy("d")
+    cum = hist.select(
+        "nation",
+        "d",
+        F.sum("cnt").over(wc).cast("bigint").alias("c"),
+        F.sum("cnt").over(Window.partitionBy("nation")).cast("bigint").alias("n"),
+    )
+
+    def pick(q: int):
+        idx = F.expr(f"({q} * n + 99) div 100")
+        return (
+            F.min(F.when(F.col("c") >= idx, F.col("d")))
+            .cast("bigint")
+            .alias(f"p{q}_days")
+        )
+
+    return (
+        cum.groupBy("nation")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lineitems"),
+            pick(50),
+            pick(95),
+            pick(99),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- discrete-time purchase hazard curve --------------------------------
+
+HAZARD_MAX_GAP = 120  # report the curve out to this many days
+
+_HAZARD_ORACLE = f"""
+    WITH gaps AS (
+      SELECT CAST(floor((epoch(o_orderdate) - epoch(lag(o_orderdate) OVER w))
+                        / 86400) AS BIGINT) AS g
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), hist AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n FROM gaps
+      WHERE g IS NOT NULL GROUP BY 1
+    ), risk AS (
+      SELECT g, n,
+             CAST(SUM(n) OVER (ORDER BY g DESC) AS BIGINT) AS n_at_risk
+      FROM hist
+    )
+    SELECT g AS gap_days, n AS n_events, n_at_risk,
+           CAST(n AS DOUBLE) / n_at_risk AS hazard
+    FROM risk WHERE g <= {HAZARD_MAX_GAP}
+    ORDER BY gap_days
+    """
+
+
+@query("customer_repurchase_hazard", oracle=_HAZARD_ORACLE)
+def customer_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis of repurchase: for each
+    inter-order gap length g, the hazard h(g) = P(next order arrives
+    at exactly g days | it has not arrived before g) — events at g
+    over the at-risk set (everyone whose gap is >= g, a DESCENDING
+    cumulative sum over the gap histogram). The churn model's
+    lifetable, and the principled version of "customers usually
+    reorder within N days"; reported out to {HAZARD_MAX_GAP} days.
+    All counts are exact integers; the hazard is the one boundary
+    division.
+
+    Scale: the consecutive-order lag shuffles orders once on
+    ``o_custkey`` (the same exchange every cohort/gap query reuses);
+    gaps then collapse to the calendar-bounded gap histogram, and the
+    at-risk suffix sum windows over that bounded frame — row volume
+    never reaches the survival arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = F.floor(
+        (
+            F.col("o_orderdate").cast("long")
+            - F.lag("o_orderdate").over(w).cast("long")
+        )
+        / 86400
+    ).cast("bigint")
+    hist = (
+        orders.select(g.alias("g"))
+        .where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wr = Window.orderBy(F.col("g").desc())
+    return (
+        hist.select(
+            F.col("g").alias("gap_days"),
+            F.col("n").alias("n_events"),
+            F.sum("n").over(wr).cast("bigint").alias("n_at_risk"),
+        )
+        .where(F.col("gap_days") <= HAZARD_MAX_GAP)
+        .withColumn(
+            "hazard",
+            F.col("n_events").cast("double") / F.col("n_at_risk"),
+        )
+        .orderBy("gap_days")
+    )
+
+
+customer_repurchase_hazard.__doc__ = (
+    customer_repurchase_hazard.__doc__ or ""
+).replace("{HAZARD_MAX_GAP}", str(HAZARD_MAX_GAP))
