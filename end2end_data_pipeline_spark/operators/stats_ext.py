@@ -1248,3 +1248,135 @@ def customer_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 customer_repurchase_hazard.__doc__ = (
     customer_repurchase_hazard.__doc__ or ""
 ).replace("{HAZARD_MAX_GAP}", str(HAZARD_MAX_GAP))
+
+
+# --- isotonic regression (weighted, minimax form) ------------------------
+
+_ISO_ORACLE = f"""
+    WITH wk AS (
+      SELECT date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) // 7
+               AS week_idx,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(SUM({_CENTS}) AS DECIMAL(38,0)) AS rev_cents
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT week_idx, n_orders, rev_cents,
+             CAST(row_number() OVER (ORDER BY week_idx) AS BIGINT) AS i,
+             CAST(SUM(rev_cents) OVER (ORDER BY week_idx) AS DECIMAL(38,0))
+               AS s,
+             CAST(SUM(n_orders) OVER (ORDER BY week_idx) AS BIGINT) AS c
+      FROM wk
+    ), pairs AS (
+      SELECT j.i AS ji, k.i AS ki,
+             CAST(k.s - (j.s - j.rev_cents) AS DOUBLE)
+               / CAST(k.c - (j.c - j.n_orders) AS DOUBLE) AS m
+      FROM idx j JOIN idx k ON j.i <= k.i
+    ), rm AS (
+      SELECT ji, ki, min(m) OVER (PARTITION BY ji ORDER BY ki DESC) AS rm
+      FROM pairs
+    ), fit AS (
+      SELECT ki, max(rm) AS iso_fit_cents FROM rm GROUP BY ki
+    )
+    SELECT idx.week_idx, idx.n_orders,
+           CAST(idx.rev_cents AS DOUBLE) / CAST(idx.n_orders AS DOUBLE)
+             AS week_avg_cents,
+           fit.iso_fit_cents
+    FROM idx JOIN fit ON idx.i = fit.ki
+    ORDER BY idx.week_idx
+    """
+
+
+@query("orders_weekly_isotonic_fit", oracle=_ISO_ORACLE)
+def orders_weekly_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of weekly average order value over
+    time — the best NON-DECREASING step function under weighted least
+    squares, computed through the closed minimax identity
+    fit_i = max_(j<=i) min_(k>=i) mean(y_j..y_k) (Ayer et al. 1955;
+    Robertson-Wright-Dykstra 1988 §1.2) rather than the sequential PAVA
+    stack, which is inherently serial and engine-divergent. Completes
+    the trend family: Mann-Kendall TESTS for monotone trend, Theil-Sen
+    fits the robust LINE, and this fits the monotone STEP function —
+    the shape calibration curves (score -> probability) use.
+
+    Exactness: block means are (decimal-exact cents diff)/(bigint
+    count diff) — one cast-first double division per pair; the min/max
+    lattice over those doubles is order-independent, so both engines
+    agree bit-for-bit. Prefix sums run in DECIMAL(38,0) (the ge2
+    overflow rule).
+
+    Scale: one fact shuffle (the weekly rollup, map-side combined);
+    everything after runs on the calendar-bounded week spine — the
+    pair lattice is O(weeks^2) <= ~350^2 rows at ANY data volume
+    (exploded from ONE collected array — the module's week-pair idiom,
+    no self-join), the suffix-min is a window over it, and the fit is
+    one bounded groupBy."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    wk = orders.groupBy(
+        F.expr(f"datediff(o_orderdate, DATE'{EPOCH}') div 7").alias("week_idx")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.expr(f"CAST(SUM({_CENTS}) AS DECIMAL(38,0))").alias("rev_cents"),
+    )
+    w = Window.orderBy("week_idx")
+    idx = session_cached(
+        spark,
+        f"iso_weekly_{sf_tag(os.path.abspath(sf_dir))}",
+        wk.select(
+            "week_idx",
+            "n_orders",
+            "rev_cents",
+            F.row_number().over(w).cast("bigint").alias("i"),
+            F.sum("rev_cents").over(w).cast("decimal(38,0)").alias("s"),
+            F.sum("n_orders").over(w).cast("bigint").alias("c"),
+        ).coalesce(1),
+    )
+    # pair lattice built INSIDE one aggregated array (the module's
+    # week-pair idiom): j<=k pairs explode from a single collected
+    # row, so the week spine is never self-joined (no nested-loop
+    # join anywhere in the plan).
+    arr = idx.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "i",
+                    F.col("s").alias("sk"),
+                    F.col("c").alias("ck"),
+                    (F.col("s") - F.col("rev_cents"))
+                    .cast("decimal(38,0)")
+                    .alias("s0"),
+                    (F.col("c") - F.col("n_orders")).alias("c0"),
+                )
+            )
+        ).alias("a")
+    )
+    pair_expr = (
+        "flatten(transform(a, (x, i) -> "
+        "transform(slice(a, i + 1, size(a) - i), y -> "
+        "struct(x.i AS ji, y.i AS ki, "
+        "CAST(CAST(y.sk - x.s0 AS DECIMAL(38,0)) AS DOUBLE)"
+        " / CAST(y.ck - x.c0 AS DOUBLE) AS m))))"
+    )
+    pairs = arr.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.ji", "p.ki", "p.m"
+    )
+    wrm = Window.partitionBy("ji").orderBy(F.col("ki").desc())
+    fit = (
+        pairs.select("ji", "ki", F.min("m").over(wrm).alias("rm"))
+        .groupBy("ki")
+        .agg(F.max("rm").alias("iso_fit_cents"))
+    )
+    return (
+        idx.join(fit, F.col("i") == F.col("ki"))
+        .select(
+            "week_idx",
+            "n_orders",
+            (
+                F.col("rev_cents").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("week_avg_cents"),
+            "iso_fit_cents",
+        )
+        .orderBy("week_idx")
+    )

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
+from end2end_data_pipeline_spark.sources.tables import (
+    fan_out,
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 STOPWORDS = ("the", "a", "of", "and", "is")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -823,3 +828,133 @@ def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "token")
     )
+
+
+# --- PMI collocation mining ---------------------------------------------
+
+PMI_MIN_SUPPORT = 3  # bigram corpus frequency floor
+PMI_TOP_K = 50  # collocations reported
+
+_PMI_ORACLE = f"""
+    WITH toks AS (
+      SELECT {th.tokens('text', th.DUCK)} AS ts FROM documents
+    ), uni AS (
+      SELECT unnest(ts) AS w FROM toks
+    ), uc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni
+    ), bg AS (
+      SELECT unnest({th.shingles('ts', 2, th.DUCK)}) AS b FROM toks
+    ), bc AS (
+      SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+      FROM bg GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_SUPPORT}
+    )
+    SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2, n_uni,
+           (CAST(c12 AS DOUBLE) * CAST(n_uni AS DOUBLE))
+             / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS pmi_lift
+    FROM bc
+    JOIN uc u1 ON bc.w1 = u1.w
+    JOIN uc u2 ON bc.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY pmi_lift DESC, w1, w2 LIMIT {PMI_TOP_K}
+    """
+
+
+@query("docs_pmi_collocations", oracle=_PMI_ORACLE)
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} collocations by pointwise mutual information —
+    the word2phrase pass (Mikolov et al. 2013 §4) that finds token
+    pairs gluing together far more often than their unigram rates
+    predict, the standard phrase-vocabulary induction step before
+    tokenizer training. Scored as the PMI LIFT c12*N/(c1*c2) — the
+    exp() of PMI, identically ordered — because ln() is not bit-stable
+    across engines (the tfidf_top_terms rule); counts stay exact
+    integers and the score is one two-multiply/one-divide double
+    expression shared verbatim with the oracle. Support floor
+    {PMI_MIN_SUPPORT} kills the rare-pair PMI blowup (a pair seen once
+    between two hapaxes scores astronomically).
+
+    Scale: ONE corpus pass — each document emits unigrams and bigrams
+    through a single explode, and one map-side-combined shuffle yields
+    the vocab-bounded (kind, key) count table, which is session-cached
+    so its three consumers never re-read the corpus. The enrichment
+    joins key on the vocab-bounded unigram slice (AQE broadcasts it
+    when it fits); the total-token scalar rides the same frame as a
+    window total, no scalar cross join. Top-k is a global sort of the
+    vocab^2-bounded scored frame with a deterministic (lift, w1, w2)
+    tiebreak."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(spark, docs).select(
+        F.expr(th.tokens("text", th.SPARK)).alias("ts")
+    )
+    # ONE corpus pass: each document emits its unigrams and bigrams
+    # through a single explode, and one map-side-combined shuffle
+    # produces the (kind, key) count table — vocab-bounded, so it is
+    # session-cached and the three consumers below (both unigram
+    # probes + the bigram side) never re-read the corpus.
+    emit = (
+        "concat("
+        "transform(ts, w -> struct('u' AS kind, w AS key)), "
+        f"transform({th.shingles('ts', 2, th.SPARK)}, "
+        "b -> struct('b' AS kind, b AS key)))"
+    )
+    counts = session_cached(
+        spark,
+        f"pmi_counts_{sf_tag(os.path.abspath(sf_dir))}",
+        toks.select(F.explode(F.expr(emit)).alias("e"))
+        .groupBy(F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .coalesce(1),
+    )
+    # the corpus-total token count rides the vocab-bounded unigram
+    # frame as an unpartitioned window total (no scalar cross join)
+    uc = (
+        counts.where(F.col("kind") == "u")
+        .select(F.col("key").alias("w"), "c")
+        .withColumn(
+            "n_uni", F.sum("c").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    bc = (
+        counts.where(
+            (F.col("kind") == "b") & (F.col("c") >= PMI_MIN_SUPPORT)
+        )
+        .select(
+            F.element_at(F.split("key", " "), 1).alias("w1"),
+            F.element_at(F.split("key", " "), 2).alias("w2"),
+            F.col("c").alias("c12"),
+        )
+    )
+    u1 = uc.select(
+        F.col("w").alias("w1k"), F.col("c").alias("c1"), "n_uni"
+    )
+    u2 = uc.select(F.col("w").alias("w2k"), F.col("c").alias("c2"))
+    return (
+        bc.join(u1, F.col("w1") == F.col("w1k"))
+        .join(u2, F.col("w2") == F.col("w2k"))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            "n_uni",
+            (
+                (F.col("c12").cast("double") * F.col("n_uni").cast("double"))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("pmi_lift"),
+        )
+        .orderBy(F.col("pmi_lift").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+docs_pmi_collocations.__doc__ = (
+    (docs_pmi_collocations.__doc__ or "")
+    .replace("{PMI_TOP_K}", str(PMI_TOP_K))
+    .replace("{PMI_MIN_SUPPORT}", str(PMI_MIN_SUPPORT))
+)
