@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from end2end_data_pipeline_spark.functions import vectors as vec
 from end2end_data_pipeline_spark.functions.texthash import (
     DUCK,
     SPARK,
@@ -43,6 +44,7 @@ from end2end_data_pipeline_spark.operators.event_analytics import (
 )
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
+    fan_out,
     load_table,
     register_views,
     session_cached,
@@ -878,3 +880,134 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 docs_bm25_search.__doc__ = (docs_bm25_search.__doc__ or "").replace(
     "{TERMS}", " ".join(SEARCH_TERMS)
 ).replace("{TOP}", str(BM25_TOP))
+
+
+# --- hybrid retrieval: reciprocal-rank fusion ----------------------------
+
+RRF_K = 60  # the standard fusion constant (Cormack et al. 2009)
+RRF_QUERY_ID = 7  # the "more like this" anchor document / vector
+RRF_SEM_POOL = 20  # semantic candidates fused (= BM25_TOP lexically)
+RRF_TOP = 20
+
+# the fusion arithmetic, shared VERBATIM by both engines (two exact
+# reciprocals of small integers, one fixed-order addition)
+_RRF_EXPR = (
+    f"(CASE WHEN lex_rank IS NULL THEN CAST(0 AS DOUBLE)"
+    f" ELSE CAST(1 AS DOUBLE) / ({RRF_K} + lex_rank) END"
+    f" + CASE WHEN sem_rank IS NULL THEN CAST(0 AS DOUBLE)"
+    f" ELSE CAST(1 AS DOUBLE) / ({RRF_K} + sem_rank) END)"
+)
+
+
+def _rrf_oracle() -> str:
+    q = vec.quantize("embedding", DUCK)
+    cos = vec.cosine_q("qv", "q_qv", "norm2", "q_norm2", DUCK)
+    return f"""
+    WITH lex0 AS (
+      SELECT doc_id, score FROM ({_bm25_oracle()})
+    ), lexr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS lex_rank
+      FROM lex0
+    ), qbase AS (
+      SELECT vec_id, {q} AS qv,
+             {vec.dot_q(q, q, DUCK)} AS norm2
+      FROM embeddings
+    ), qrow AS (
+      SELECT qv AS q_qv, norm2 AS q_norm2 FROM qbase
+      WHERE vec_id = {RRF_QUERY_ID}
+    ), sem0 AS (
+      SELECT vec_id, {cos} AS cosine
+      FROM qbase CROSS JOIN qrow WHERE vec_id <> {RRF_QUERY_ID}
+    ), semr AS (
+      SELECT vec_id, CAST(rnk AS BIGINT) AS sem_rank FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+        FROM sem0
+      ) WHERE rnk <= {RRF_SEM_POOL}
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+             l.lex_rank, s.sem_rank
+      FROM lexr l FULL JOIN semr s ON l.doc_id = s.vec_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, {_RRF_EXPR} AS rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+@query("docs_hybrid_rrf_search", oracle=_rrf_oracle())
+def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009): the lexical BM25 ranking for the standing query terms and
+    the semantic cosine ranking around anchor vector {QID} are fused
+    as sum over systems of 1/({K} + rank) — the score-free fusion
+    every two-tower search stack ships because BM25 scores and cosine
+    similarities are not commensurable. Completes the retrieval
+    family: boolean -> phrase -> BM25 -> ANN -> hybrid. A document
+    ranked by only one system still fuses (its missing rank
+    contributes zero); ranks are integers, so the score is two exact
+    reciprocals in a fixed-order sum — bit-stable across engines.
+
+    Scale: both input rankings are top-k TakeOrdereds (the corpus is
+    never globally sorted); the rank windows run over the fused pools
+    (<= {POOL} rows/system), and the fusion is a full outer join of
+    two pool-bounded frames. Composes the registered
+    ``docs_bm25_search`` verbatim, so the lexical side inherits its
+    single-scan cached-profile plan."""
+    lex = docs_bm25_search(spark, sf_dir).select("doc_id", "score")
+    wl = Window.orderBy(F.col("score").desc(), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("bigint").alias("lex_rank")
+    )
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    q = vec.quantize("embedding", SPARK)
+    base = emb.select(F.col("vec_id"), F.expr(q).alias("qv")).withColumn(
+        "norm2", F.expr(vec.dot_q("qv", "qv", SPARK))
+    )
+    qrow = F.broadcast(
+        base.where(F.col("vec_id") == RRF_QUERY_ID).select(
+            F.col("qv").alias("q_qv"), F.col("norm2").alias("q_norm2")
+        )
+    )
+    sem = (
+        base.where(F.col("vec_id") != RRF_QUERY_ID)
+        .crossJoin(qrow)
+        .select(
+            "vec_id",
+            F.expr(
+                vec.cosine_q("qv", "q_qv", "norm2", "q_norm2", SPARK)
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(RRF_SEM_POOL)
+    )
+    ws = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    semr = sem.select(
+        "vec_id", F.row_number().over(ws).cast("bigint").alias("sem_rank")
+    )
+    fused = lexr.join(
+        semr, lexr["doc_id"] == semr["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(lexr["doc_id"], semr["vec_id"]).alias("doc_id"),
+        "lex_rank",
+        "sem_rank",
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.expr(_RRF_EXPR).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )
+
+
+docs_hybrid_rrf_search.__doc__ = (
+    (docs_hybrid_rrf_search.__doc__ or "")
+    .replace("{QID}", str(RRF_QUERY_ID))
+    .replace("{K}", str(RRF_K))
+    .replace("{POOL}", str(RRF_SEM_POOL))
+)

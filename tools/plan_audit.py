@@ -61,6 +61,11 @@ WAIVERS: dict[str, str] = {
     # join is an O(queries x k) broadcast equi-join.
     "ann_recall_eval": "bnlj-over-two-scans",
     "knn_label_confusion": "bnlj-over-two-scans",
+    # hybrid fusion composes docs_bm25_search (waived broadcast-totals
+    # crossJoin) and the knn-style single-query cosine scan (the query
+    # row is a 1-row broadcast; the corpus side never shuffles) — both
+    # inherited shapes are the designed plans of their sources.
+    "docs_hybrid_rrf_search": "bnlj-over-two-scans",
     # WAU band join: the broadcast side is the O(|days|) date spine and
     # the range condition fans each (user, day) row into at most 7
     # spine days — a bounded-expansion broadcast band join, not a
