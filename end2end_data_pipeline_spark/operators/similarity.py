@@ -1789,3 +1789,141 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("margin", "query_id")
     )
+
+
+# --- ranking-quality eval: precision@k + MRR ----------------------------
+
+# lcm(1..TOP_K): scaling reciprocal ranks by it makes every per-query
+# reciprocal an exact INTEGER, so the MRR numerator accumulates with
+# no float addition at all — the sum order cannot matter.
+RR_SCALE = 6
+assert all(RR_SCALE % r == 0 for r in range(1, TOP_K + 1))
+
+_RANKEVAL_TAIL = f"""
+    , knn AS (
+      SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
+    ), rel AS (
+      SELECT k.query_id, k.rank,
+             CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END AS rel
+      FROM knn k
+      JOIN qbase ln ON k.neighbor_id = ln.vec_id
+      JOIN qbase lq ON k.query_id = lq.vec_id
+    ), perq AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(MIN(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+               AS first_rel
+      FROM rel GROUP BY 1
+    )
+    SELECT CAST(lq.label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_rel) AS BIGINT) AS n_rel_total,
+           CAST(SUM(CASE WHEN first_rel IS NULL THEN 0
+                         ELSE {RR_SCALE} // first_rel END) AS BIGINT)
+             AS rr_sum,
+           CAST(SUM(n_rel) AS DOUBLE)
+             / CAST(count(*) * {TOP_K} AS DOUBLE) AS precision_at_k,
+           CAST(SUM(CASE WHEN first_rel IS NULL THEN 0
+                         ELSE {RR_SCALE} // first_rel END) AS DOUBLE)
+             / CAST({RR_SCALE} * count(*) AS DOUBLE) AS mrr
+    FROM perq JOIN qbase lq ON perq.query_id = lq.vec_id
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "knn_ranking_eval",
+    oracle=_qbase_sql()
+    + f""", pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {vec.cosine_q('q.qv', 'c.qv', 'q.norm2', 'c.norm2', th.DUCK)} AS cosine
+      FROM qbase q JOIN qbase c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    ){_RANKEVAL_TAIL}""",
+)
+def knn_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the exact cosine retriever per
+    query label: precision@{K} (label-match rate inside the top-{K})
+    and MRR, the mean reciprocal rank of the FIRST relevant hit — the
+    two metrics a retrieval eval harness reports before NDCG. MRR is
+    computed EXACTLY: every reciprocal rank is scaled by
+    lcm(1..{K}) = {S} into an integer, summed as integers (no float
+    accumulation, so no order sensitivity), and divided once at the
+    output boundary; the exact integer numerators (n_rel_total,
+    rr_sum) ride along for auditability.
+
+    Scale: reuses knn_bruteforce's result shape (O(queries x k) rows
+    from a broadcast-query corpus scan); relevance labels broadcast;
+    the per-query and per-label rollups are exact-integer aggregates
+    over that bounded frame."""
+    knn = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ln = F.broadcast(
+        lab.select(
+            F.col("vec_id").alias("n_vid"), F.col("label").alias("n_label")
+        )
+    )
+    lq = F.broadcast(
+        lab.select(
+            F.col("vec_id").alias("q_vid"), F.col("label").alias("q_label")
+        )
+    )
+    rel = (
+        knn.join(ln, F.col("neighbor_id") == F.col("n_vid"))
+        .join(lq, F.col("query_id") == F.col("q_vid"))
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("n_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    perq = rel.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank")))
+        .cast("bigint")
+        .alias("first_rel"),
+    )
+    rr = F.expr(
+        f"CASE WHEN first_rel IS NULL THEN 0"
+        f" ELSE {RR_SCALE} div first_rel END"
+    )
+    return (
+        perq.join(lq, F.col("query_id") == F.col("q_vid"))
+        .groupBy(F.col("q_label").cast("bigint").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum("n_rel").cast("bigint").alias("n_rel_total"),
+            F.sum(rr).cast("bigint").alias("rr_sum"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_rel_total",
+            "rr_sum",
+            F.expr(
+                f"CAST(n_rel_total AS DOUBLE)"
+                f" / CAST(n_queries * {TOP_K} AS DOUBLE)"
+            ).alias("precision_at_k"),
+            F.expr(
+                f"CAST(rr_sum AS DOUBLE)"
+                f" / CAST({RR_SCALE} * n_queries AS DOUBLE)"
+            ).alias("mrr"),
+        )
+        .orderBy("label")
+    )
+
+
+knn_ranking_eval.__doc__ = (
+    (knn_ranking_eval.__doc__ or "")
+    .replace("{K}", str(TOP_K))
+    .replace("{S}", str(RR_SCALE))
+)

@@ -61,6 +61,9 @@ WAIVERS: dict[str, str] = {
     # join is an O(queries x k) broadcast equi-join.
     "ann_recall_eval": "bnlj-over-two-scans",
     "knn_label_confusion": "bnlj-over-two-scans",
+    # ranking eval composes knn_bruteforce (waived broadcast-query
+    # BNLJ); its own joins are broadcast label lookups.
+    "knn_ranking_eval": "bnlj-over-two-scans",
     # hybrid fusion composes docs_bm25_search (waived broadcast-totals
     # crossJoin) and the knn-style single-query cosine scan (the query
     # row is a 1-row broadcast; the corpus side never shuffles) — both
