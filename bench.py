@@ -202,6 +202,15 @@ HEADLINE = [
     "orders_daily_mad_anomalies",
     "suppliers_serving_all_regions",
     "nation_median_spend_udaf",
+    # round-9 session-4: exact quantiles / survival / structural graph
+    # pruning, plus the trend-family and retrieval-family closers
+    "ship_latency_percentiles_by_nation",
+    "customer_repurchase_hazard",
+    "part_copurchase_kcore",
+    "orders_weekly_isotonic_fit",
+    "docs_pmi_collocations",
+    "docs_hybrid_rrf_search",
+    "knn_ranking_eval",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
