@@ -2169,3 +2169,120 @@ def orders_capacity_queue_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 orders_capacity_queue_sim.__doc__ = (
     orders_capacity_queue_sim.__doc__ or ""
 ).replace("{QSIM_QMAX_FACTOR}", str(QSIM_QMAX_FACTOR))
+
+
+# --- linear-interpolation densification ---------------------------------
+
+# the interpolation arithmetic, shared VERBATIM by both engines: exact
+# integer minute distances cast to double once, then a fixed-shape
+# mul/div/add chain over raw observed doubles
+_LERP_CASE = (
+    "CASE WHEN max_value IS NOT NULL THEN max_value"
+    " WHEN pv IS NULL OR nv IS NULL THEN NULL"
+    " ELSE pv + (nv - pv) *"
+    " (CAST(em - pm AS DOUBLE) / CAST(nm - pm AS DOUBLE)) END"
+)
+
+_LERP_ORACLE = f"""
+    WITH bounds AS (
+      SELECT date_trunc('minute', min(ts)) AS tmin,
+             date_trunc('minute', max(ts)) AS tmax
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 MINUTE)) AS m
+      FROM bounds
+    ), obs AS (
+      SELECT date_trunc('minute', ts) AS m, max(value) AS max_value
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), j AS (
+      SELECT spine.m AS m, epoch(spine.m) // 60 AS em, obs.max_value
+      FROM spine LEFT JOIN obs ON spine.m = obs.m
+    ), f AS (
+      SELECT m, em, max_value,
+             last_value(max_value IGNORE NULLS) OVER (
+               ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pv,
+             last_value(CASE WHEN max_value IS NOT NULL THEN em END
+                        IGNORE NULLS) OVER (
+               ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pm,
+             first_value(max_value IGNORE NULLS) OVER (
+               ORDER BY m ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nv,
+             first_value(CASE WHEN max_value IS NOT NULL THEN em END
+                         IGNORE NULLS) OVER (
+               ORDER BY m ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nm
+      FROM j
+    )
+    SELECT strftime(m, '%Y-%m-%d %H:%M') AS event_minute, max_value,
+           {_LERP_CASE} AS lerp_value,
+           CAST(CASE WHEN max_value IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_filled
+    FROM f ORDER BY event_minute
+    """
+
+
+@query("event_minute_value_lerp", oracle=_LERP_ORACLE)
+def event_minute_value_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation densification: the per-minute max event
+    value on the dense minute spine, with interior gaps filled by the
+    straight line between the nearest observed minutes on either side
+    — the resampling mode between step-fill (``event_minute_value_
+    locf``) and zero-fill (``event_minute_gapfill``), and the one
+    charting/feature layers usually mean by "resample". Leading and
+    trailing gaps stay NULL (interpolation needs both endpoints;
+    carrying one side is LOCF's contract, not this one's).
+
+    Exactness: gap positions are exact integer minute indexes; the
+    interpolation is one fixed-shape double expression over those
+    integers and the raw observed doubles, shared verbatim with the
+    oracle — no accumulation, so bit-stable.
+
+    Scale: minute rollup + spine join exactly as the gapfill/LOCF
+    twins; the four carry windows run over the O(minutes) dense
+    series (single-partition-rollup precedent of
+    ``minute_anomaly_ratio``) — at a multi-year horizon, cut by day
+    with carried seeds."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("tmin"),
+        F.date_trunc("minute", F.max("ts")).alias("tmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("tmin", "tmax", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("m")
+    )
+    obs = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(F.max("value").alias("max_value"))
+    )
+    wp = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("m").rowsBetween(0, Window.unboundedFollowing)
+    em_obs = F.when(
+        F.col("max_value").isNotNull(), F.col("em")
+    )
+    f = (
+        spine.join(obs, "m", "left")
+        .withColumn("em", F.expr("CAST(m AS BIGINT) div 60"))
+        .select(
+            "m",
+            "em",
+            "max_value",
+            F.last("max_value", ignorenulls=True).over(wp).alias("pv"),
+            F.last(em_obs, ignorenulls=True).over(wp).alias("pm"),
+            F.first("max_value", ignorenulls=True).over(wn).alias("nv"),
+            F.first(em_obs, ignorenulls=True).over(wn).alias("nm"),
+        )
+    )
+    return (
+        f.select(
+            F.date_format("m", "yyyy-MM-dd HH:mm").alias("event_minute"),
+            "max_value",
+            F.expr(_LERP_CASE).alias("lerp_value"),
+            F.col("max_value").isNull().cast("int").alias("is_filled"),
+        )
+        .orderBy("event_minute")
+    )
