@@ -37,14 +37,14 @@ from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.bucketing import (
     cobucket_orders_lineitem,
 )
-from end2end_data_pipeline_spark.sources.tables import load_table, sf_tag
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 # (applicationId, abs sf_dir) -> (orders_table, lineitem_table)
 _BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
-
-# (applicationId, abs sf_dir) -> q15's cached O(suppliers) revenue
-# rollup (one InMemoryRelation per session+sf, not per invocation)
-_Q15_ROLLUP: dict[tuple[str, str], DataFrame] = {}
 
 
 def bucketed_orders_lineitem(
@@ -345,18 +345,15 @@ def q15_top_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the max-scalar branch would re-scan lineitem. Cache the
     # O(suppliers) rollup instead — one bucket-local scan total.
     # coalesce(1): cached builds sit outside AQE coalescing and the
-    # rollup is dim-sized. Memoized per (app, sf_dir) so repeat runs
-    # reuse ONE InMemoryRelation (ADVICE r8).
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    revenue = _Q15_ROLLUP.get(memo_key)
-    if revenue is None:
-        revenue = (
-            li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-            .agg(F.sum(cents).alias("total_revenue_cents"))
-            .coalesce(1)
-            .cache()
-        )
-        _Q15_ROLLUP[memo_key] = revenue
+    # rollup is dim-sized. session_cached so repeat runs reuse ONE
+    # InMemoryRelation per (app, sf_dir) (ADVICE r8).
+    revenue = session_cached(
+        spark,
+        f"q15_rollup_{sf_tag(os.path.abspath(sf_dir))}",
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents).alias("total_revenue_cents"))
+        .coalesce(1),
+    )
     top = revenue.agg(F.max("total_revenue_cents").alias("max_cents"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

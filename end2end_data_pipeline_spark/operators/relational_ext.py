@@ -1095,10 +1095,6 @@ _GE2_SQL = (
 )
 
 
-# (applicationId, abs sf_dir) -> the cached O(nations) GE(2) rollup,
-# so repeated invocations (bench repeat=3, full-registry sweeps) reuse
-# ONE InMemoryRelation instead of accumulating fresh ones (ADVICE r8)
-_GE2_ROLLUP: dict[tuple[str, str], DataFrame] = {}
 
 
 @query(
@@ -1162,45 +1158,42 @@ def order_value_ge2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one fact shuffle (the nation rollup — partial-aggregated
     to 25 groups), customer→nation broadcast onto orders; everything
     after the rollup is O(nations)."""
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    g = _GE2_ROLLUP.get(memo_key)
-    if g is None:
-        dollars = F.round(F.col("o_totalprice")).cast("bigint")
-        c = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_nationkey"
+    dollars = F.round(F.col("o_totalprice")).cast("bigint")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_nation = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+    y = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", dollars.alias("d"))
+        .join(
+            F.broadcast(cust_nation),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
-        n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-        cust_nation = c.join(
-            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
-        ).select("c_custkey", "n_name")
-        y = (
-            load_table(spark, sf_dir, "orders")
-            .select("o_custkey", dollars.alias("d"))
-            .join(
-                F.broadcast(cust_nation),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
+    )
+    # The four output branches (per-nation + total/between/within)
+    # all derive from this O(nations) rollup; without the cache
+    # each union branch re-scans orders+customer+nation (12
+    # FileScans observed). coalesce(1) first — cached builds run
+    # outside AQE partition coalescing (PERF_NOTES r7), and 25
+    # rows need one partition. ssq_g accumulates in DECIMAL(38,0)
+    # (d² itself fits int64; the SUM must not have to).
+    g = session_cached(
+        spark,
+        f"ge2_rollup_{sf_tag(os.path.abspath(sf_dir))}",
+        y.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum("d").alias("s_g"),
+            F.sum(F.col("d").cast("decimal(19,0)") * F.col("d")).alias(
+                "ssq_g"
+            ),
         )
-        # The four output branches (per-nation + total/between/within)
-        # all derive from this O(nations) rollup; without the cache
-        # each union branch re-scans orders+customer+nation (12
-        # FileScans observed). coalesce(1) first — cached builds run
-        # outside AQE partition coalescing (PERF_NOTES r7), and 25
-        # rows need one partition. ssq_g accumulates in DECIMAL(38,0)
-        # (d² itself fits int64; the SUM must not have to).
-        g = (
-            y.groupBy("n_name")
-            .agg(
-                F.count("*").alias("n_g"),
-                F.sum("d").alias("s_g"),
-                F.sum(F.col("d").cast("decimal(19,0)") * F.col("d")).alias(
-                    "ssq_g"
-                ),
-            )
-            .coalesce(1)
-            .cache()
-        )
-        _GE2_ROLLUP[memo_key] = g
+        .coalesce(1),
+    )
     per_nation = g.select(
         F.col("n_name").alias("component"),
         F.col("n_g").alias("n_orders"),
