@@ -2286,3 +2286,204 @@ def event_minute_value_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_minute")
     )
+
+
+# --- lagged cross-correlation between event-type series -----------------
+
+XCORR_X = "click"  # leading series
+XCORR_Y = "purchase"  # lagged series
+XCORR_LAGS = 10  # minutes, both directions
+
+_XCORR_ORACLE = f"""
+    WITH bounds AS (
+      SELECT date_trunc('minute', min(ts)) AS tmin,
+             date_trunc('minute', max(ts)) AS tmax
+      FROM events
+    ), spine AS (
+      SELECT epoch(unnest(generate_series(tmin, tmax, INTERVAL 1 MINUTE)))
+               // 60 AS em
+      FROM bounds
+    ), cx AS (
+      SELECT epoch(date_trunc('minute', ts)) // 60 AS em,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = '{XCORR_X}' GROUP BY 1
+    ), cy AS (
+      SELECT epoch(date_trunc('minute', ts)) // 60 AS em,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = '{XCORR_Y}' GROUP BY 1
+    ), s AS (
+      SELECT spine.em AS em, COALESCE(cx.c, 0) AS x, COALESCE(cy.c, 0) AS y
+      FROM spine LEFT JOIN cx ON spine.em = cx.em
+                 LEFT JOIN cy ON spine.em = cy.em
+    ), p AS (
+      SELECT l.lag AS lag, a.x AS x, b.y AS y2
+      FROM (SELECT unnest(range(-{XCORR_LAGS}, {XCORR_LAGS + 1})) AS lag) l
+      CROSS JOIN s a JOIN s b ON b.em = a.em + l.lag
+    ), g AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s_x,
+             CAST(SUM(y2) AS BIGINT) AS s_y,
+             CAST(SUM(x * x) AS BIGINT) AS ss_x,
+             CAST(SUM(y2 * y2) AS BIGINT) AS ss_y,
+             CAST(SUM(x * y2) AS BIGINT) AS sp_x_y
+      FROM p GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_minutes, n AS n_pairs,
+           {{r}} AS pearson_r
+    FROM g ORDER BY lag_minutes
+    """.format(r="PLACEHOLDER")
+
+
+@query(
+    "event_minute_crosscorr_lags",
+    oracle=_XCORR_ORACLE.replace("PLACEHOLDER", _corr_r("x", "y")),
+)
+def event_minute_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the '{X}' and '{Y}' per-minute
+    count series over the dense zero-filled spine: Pearson r of
+    (x_t, y_t+L) for every lag L in [-{L}, {L}] minutes — the
+    lead/lag screen that turns "do purchases follow clicks, and by
+    how many minutes?" into one curve whose argmax is the response
+    delay. Lag 0 reproduces the plain correlation; the +/-L asymmetry
+    is the directionality signal. Pearson r reuses the exact-sums
+    contract of ``lineitem_corr_matrix``: per-lag sums are exact
+    integers and r is one fixed-shape double expression.
+
+    Scale: each series collapses to a minute histogram on the fact
+    scan (map-side combined); the dense spine join and the
+    {LAGS}-way lag explode run over O(minutes x lags)
+    calendar-bounded rows — the self-join keys on the shifted minute
+    index against the session-cached spine frame, never on raw
+    events."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("tmin"),
+        F.date_trunc("minute", F.max("ts")).alias("tmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("tmin", "tmax", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("m")
+    ).select(F.expr("CAST(m AS BIGINT) div 60").alias("em"))
+    em_of = F.expr("CAST(date_trunc('minute', ts) AS BIGINT) div 60")
+
+    def series(etype: str, out: str):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(em_of.alias("em"))
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    s = session_cached(
+        spark,
+        f"xcorr_spine_{XCORR_X}_{XCORR_Y}_{sf_tag(os.path.abspath(sf_dir))}",
+        spine.join(series(XCORR_X, "cx"), "em", "left")
+        .join(series(XCORR_Y, "cy"), "em", "left")
+        .select(
+            "em",
+            F.coalesce("cx", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("cy", F.lit(0)).cast("bigint").alias("y"),
+        )
+        .coalesce(1),
+    )
+    a = s.select(
+        "x",
+        F.explode(
+            F.sequence(F.lit(-XCORR_LAGS), F.lit(XCORR_LAGS))
+        ).alias("lag"),
+        F.col("em").alias("a_em"),
+    ).withColumn("t_em", F.col("a_em") + F.col("lag"))
+    b = s.select(F.col("em").alias("b_em"), F.col("y").alias("y2"))
+    g = (
+        a.join(b, F.col("t_em") == F.col("b_em"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s_x"),
+            F.sum("y2").cast("bigint").alias("s_y"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss_x"),
+            F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("ss_y"),
+            F.sum(F.col("x") * F.col("y2")).cast("bigint").alias("sp_x_y"),
+        )
+    )
+    return (
+        g.select(
+            F.col("lag").cast("bigint").alias("lag_minutes"),
+            F.col("n").alias("n_pairs"),
+            F.expr(_corr_r("x", "y")).alias("pearson_r"),
+        )
+        .orderBy("lag_minutes")
+    )
+
+
+event_minute_crosscorr_lags.__doc__ = (
+    (event_minute_crosscorr_lags.__doc__ or "")
+    .replace("{X}", XCORR_X)
+    .replace("{Y}", XCORR_Y)
+    .replace("{LAGS}", str(2 * XCORR_LAGS + 1))
+    .replace("{L}", str(XCORR_LAGS))
+)
+
+
+# --- k-anonymity audit ----------------------------------------------------
+
+KANON_K = 5  # the re-identification threshold audited against
+
+_KANON_ORACLE = f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+             CAST(count(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT k AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(k * count(*) AS BIGINT) AS n_customers,
+           CAST(CASE WHEN k < {KANON_K} THEN 1 ELSE 0 END AS INT)
+             AS below_k
+    FROM classes GROUP BY k ORDER BY class_size
+    """
+
+
+@query("customer_kanonymity_profile", oracle=_KANON_ORACLE)
+def customer_kanonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-
+    identifier (nation, market segment, account-balance band): the
+    histogram of equivalence-class sizes, flagging classes below
+    k={K} — the re-identification risk report a governance layer runs
+    before a dataset leaves the warehouse (a customer in a class of
+    size 1 is unique on the QI and linkable to external data; Sweeney
+    2002). Suppression/generalization planning starts from exactly
+    this histogram.
+
+    Scale: two map-side-combined integer aggregations — QI rollup
+    (bounded by the QI domain, ~25x5x11 cells), then the class-size
+    histogram over it; no joins, no windows, nothing row-bounded."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "acctbal_band"
+        ),
+    ).agg(F.count("*").cast("bigint").alias("k"))
+    return (
+        classes.groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_classes"))
+        .select(
+            F.col("k").alias("class_size"),
+            "n_classes",
+            (F.col("k") * F.col("n_classes")).cast("bigint").alias(
+                "n_customers"
+            ),
+            (F.col("k") < KANON_K).cast("int").alias("below_k"),
+        )
+        .orderBy("class_size")
+    )
+
+
+customer_kanonymity_profile.__doc__ = (
+    customer_kanonymity_profile.__doc__ or ""
+).replace("{K}", str(KANON_K))
