@@ -572,3 +572,134 @@ part_copurchase_kcore.__doc__ = (
     .replace("{KCORE_K}", str(KCORE_K))
     .replace("{KCORE_ROUNDS}", str(KCORE_ROUNDS))
 )
+
+
+# --- degree assortativity ------------------------------------------------
+
+# Pearson r over directed edge endpoint degrees, the exact-sums shape
+# of quality._corr_r, inlined with the same column contract so the
+# expression tree is shared verbatim with the oracle.
+_ASSORT_R = (
+    "CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(ss_x AS DOUBLE)"
+    " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(ss_y AS DOUBLE)"
+    " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))) = 0 THEN NULL"
+    " ELSE (CAST(n AS DOUBLE) * CAST(sp_xy AS DOUBLE)"
+    " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(ss_x AS DOUBLE)"
+    " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(ss_y AS DOUBLE)"
+    " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))) END"
+)
+
+_ASSORT_ORACLE = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_MIN_SUPPORT}
+    ),
+    e AS MATERIALIZED
+      (SELECT u, v FROM p0 UNION ALL SELECT v AS u, u AS v FROM p0),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM e GROUP BY 1),
+    xy AS (
+      SELECT e.u AS u, du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,
+             CAST(SUM(x) AS BIGINT) AS s_x,
+             CAST(SUM(y) AS BIGINT) AS s_y,
+             CAST(SUM(x * x) AS BIGINT) AS ss_x,
+             CAST(SUM(y * y) AS BIGINT) AS ss_y,
+             CAST(SUM(x * y) AS BIGINT) AS sp_xy
+      FROM xy
+    )
+    SELECT n AS n_directed_edges, n_nodes,
+           {_ASSORT_R} AS assortativity_r
+    FROM g
+    """
+
+
+@query("part_copurchase_assortativity", oracle=_ASSORT_ORACLE)
+def part_copurchase_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of the endpoint degrees over the directed
+    edge list — positive means hubs buy with hubs (a rich-club
+    catalog), negative means hubs bridge the long tail (hub-and-spoke
+    merchandising). The one-number structural summary read next to
+    the k-core census and the community count.
+
+    Scale: shares the session-cached symmetric support-filtered edge
+    list with ``part_copurchase_kcore`` (same cache tag — built once
+    per session); degrees are one groupBy over it; the endpoint
+    lookups are two equi-joins keyed on the node id; the correlation
+    reduces to ONE row of exact integer sums, cast to double once in
+    the fixed-shape r expression."""
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    p0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= KCORE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = session_cached(
+        spark,
+        f"kcore_edges_{sf_tag(os.path.abspath(sf_dir))}",
+        p0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .coalesce(8),
+    )
+    deg = session_cached(
+        spark,
+        f"kcore_deg_{sf_tag(os.path.abspath(sf_dir))}",
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .coalesce(8),
+    )
+    du = deg.select(F.col("node").alias("un"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("vn"), F.col("d").alias("y"))
+    # n_nodes rides the SAME aggregate as the sums (every node with an
+    # edge appears as a u), so there is no second output branch and no
+    # scalar join anywhere in the plan
+    g = (
+        edges.join(du, F.col("u") == F.col("un"))
+        .join(dv, F.col("v") == F.col("vn"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_distinct("u").cast("bigint").alias("n_nodes"),
+            F.sum("x").cast("bigint").alias("s_x"),
+            F.sum("y").cast("bigint").alias("s_y"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss_x"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss_y"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sp_xy"),
+        )
+    )
+    return g.select(
+        F.col("n").alias("n_directed_edges"),
+        "n_nodes",
+        F.expr(_ASSORT_R).alias("assortativity_r"),
+    )

@@ -2487,3 +2487,97 @@ def customer_kanonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 customer_kanonymity_profile.__doc__ = (
     customer_kanonymity_profile.__doc__ or ""
 ).replace("{K}", str(KANON_K))
+
+
+# --- functional-dependency audit -----------------------------------------
+
+# candidate determinant -> dependent pairs audited over orders; only
+# integer/string columns so the VARCHAR casts render identically in
+# both engines
+FD_CANDIDATES = (
+    ("o_orderkey", "o_custkey"),  # key: must hold
+    ("o_orderkey", "o_orderstatus"),  # key: must hold
+    ("o_custkey", "o_orderpriority"),  # behavioral: expected violated
+    ("o_orderstatus", "o_orderpriority"),  # categorical: expected violated
+)
+
+
+def _fd_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT '{d}->{p}' AS cand, CAST({d} AS VARCHAR) AS det,"
+        f" CAST({p} AS VARCHAR) AS dep FROM orders"
+        for d, p in FD_CANDIDATES
+    )
+    return f"""
+    WITH pairs AS ({selects}),
+    grp AS (
+      SELECT cand, det, CAST(count(DISTINCT dep) AS BIGINT) AS ndep,
+             CAST(count(*) AS BIGINT) AS nrows
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT cand AS candidate,
+           CAST(count(*) AS BIGINT) AS n_determinants,
+           CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(CASE WHEN ndep > 1 THEN nrows ELSE 0 END) AS BIGINT)
+             AS n_rows_affected,
+           CAST(CASE WHEN SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS INT) AS holds
+    FROM grp GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("orders_fd_audit", oracle=_fd_oracle())
+def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the schema-discovery primitive of
+    profiling tools like Metanome): for each candidate determinant ->
+    dependent pair, how many determinant values map to MORE than one
+    dependent value, and how many rows sit inside those violations. A
+    holding FD is a denormalization opportunity and an integrity
+    invariant to enforce; a violated "key" is a data bug. The audited
+    set spans the expected spectrum: two key dependencies (must hold)
+    and two behavioral/categorical pairs (expected violated).
+
+    Scale: ONE fact scan — every row emits its candidate tuples
+    through a single explode (the PMI one-pass device), then two
+    map-side-combined integer aggregations: per-(candidate,
+    determinant) distinct-dependent counts, then the per-candidate
+    violation rollup. No joins, no windows."""
+    o = load_table(spark, sf_dir, "orders")
+    emit = F.array(
+        *[
+            F.struct(
+                F.lit(f"{d}->{p}").alias("cand"),
+                F.col(d).cast("string").alias("det"),
+                F.col(p).cast("string").alias("dep"),
+            )
+            for d, p in FD_CANDIDATES
+        ]
+    )
+    grp = (
+        o.select(F.explode(emit).alias("e"))
+        .groupBy(F.col("e.cand").alias("cand"), F.col("e.det").alias("det"))
+        .agg(
+            F.count_distinct("e.dep").cast("bigint").alias("ndep"),
+            F.count("*").cast("bigint").alias("nrows"),
+        )
+    )
+    viol = (F.col("ndep") > 1).cast("bigint")
+    return (
+        grp.groupBy("cand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_determinants"),
+            F.sum(viol).cast("bigint").alias("n_violating"),
+            F.sum(F.when(F.col("ndep") > 1, F.col("nrows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_affected"),
+        )
+        .select(
+            F.col("cand").alias("candidate"),
+            "n_determinants",
+            "n_violating",
+            "n_rows_affected",
+            (F.col("n_violating") == 0).cast("int").alias("holds"),
+        )
+        .orderBy("candidate")
+    )
