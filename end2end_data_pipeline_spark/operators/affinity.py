@@ -425,6 +425,8 @@ def sessions_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin of two O(types) distinct lists (broadcast, waived in
     ``tools/plan_audit.py``) left-joined to the counts — matrix size
     is independent of corpus size."""
+    import os
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
@@ -444,16 +446,16 @@ def sessions_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("c"))
     )
-    # O(|types|) frame used three times (both grid axes + V) — cache
-    # so the grid completion costs ONE column-pruned pass over the
-    # fact, not three. coalesce(1): the cached build runs outside
+    # O(|types|) frame used three times (both grid axes + V) —
+    # session-cached so the grid completion costs ONE column-pruned
+    # pass over the fact, not three, and repeats share ONE
+    # InMemoryRelation. coalesce(1): the cached build runs outside
     # AQE's partition coalescing, so without it the 5-row distinct
     # materializes as 200 near-empty tasks.
-    types = (
-        ev.select(F.col("event_type").alias("t"))
-        .distinct()
-        .coalesce(1)
-        .cache()
+    types = session_cached(
+        spark,
+        f"markov_types_{sf_tag(os.path.abspath(sf_dir))}",
+        ev.select(F.col("event_type").alias("t")).distinct().coalesce(1),
     )
     v = types.agg(F.count("*").cast("bigint").alias("v"))
     grid = (

@@ -926,13 +926,20 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two tiny aggregations (O(|event_types|) rows each) broadcast
     back onto the fact scan — the events table itself never shuffles;
     each pass is a map-side partial aggregate plus a broadcast join."""
+    import os
+
     ev = load_table(spark, sf_dir, "events")
-    # med feeds BOTH the MAD pass and the final filter — cache the
-    # O(types) rollup so the fact is scanned three times (the
-    # irreducible exact-median/MAD/filter cost), not four
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    ).cache()
+    # med feeds BOTH the MAD pass and the final filter — session-cache
+    # the O(types) rollup so the fact is scanned three times (the
+    # irreducible exact-median/MAD/filter cost), not four, and repeat
+    # invocations reuse ONE InMemoryRelation
+    med = session_cached(
+        spark,
+        f"outlier_med_{sf_tag(os.path.abspath(sf_dir))}",
+        ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("med")
+        ),
+    )
     mad = (
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type")

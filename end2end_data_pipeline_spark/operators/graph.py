@@ -135,21 +135,30 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.sum(cents).alias("w"))
-        .cache()
     )
+    import os
+
+    tag = sf_tag(os.path.abspath(sf_dir))
+    # edges feeds the out-weight rollup AND the share join — cached so
+    # the fact scan happens once at build
+    edges = session_cached(spark, f"pagerank_edges_{tag}", edges)
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    eshare = (
-        edges.join(F.broadcast(outw), "src")
-        .select(
+    # session-cached: re-read every one of the 8 iterations; repeats
+    # share ONE InMemoryRelation per frame (the bare-cache leak fix)
+    eshare = session_cached(
+        spark,
+        f"pagerank_eshare_{tag}",
+        edges.join(F.broadcast(outw), "src").select(
             "src",
             "dst",
             F.expr(f"w * {W_SHARE_SCALE} div wout").cast("bigint").alias("wshare"),
-        )
-        .cache()
+        ),
     )
-    # cached: re-read every iteration for the teleport left join (a
-    # 25-row dim, so this trims file-listing overhead, not data volume)
-    nodes = n.select(F.col("n_name").alias("node")).cache()
+    # re-read every iteration for the teleport left join (a 25-row
+    # dim, so this trims file-listing overhead, not data volume)
+    nodes = session_cached(
+        spark, f"pagerank_nodes_{tag}", n.select(F.col("n_name").alias("node"))
+    )
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // N_NATIONS).cast("bigint").alias("rank")
     )

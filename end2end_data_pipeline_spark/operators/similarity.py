@@ -23,7 +23,12 @@ from pyspark.sql.window import Window
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.functions import vectors as vec
 from end2end_data_pipeline_spark.registry import ORACLE, query
-from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
+from end2end_data_pipeline_spark.sources.tables import (
+    fan_out,
+    load_table,
+    session_cached,
+    sf_tag,
+)
 
 QUERY_STRIDE = 50  # vec_id % 50 == 0 -> 2% of vectors are queries
 TOP_K = 3
@@ -715,13 +720,18 @@ def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: reuses the label_centroids aggregation (|labels| x dim int
     rows), then an O(|labels|^2 x dim) self-join on pos — tiny
     however large the corpus; nothing re-touches the raw vectors."""
+    import os
+
     emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     q = emb.select("label", F.expr(vec.quantize("embedding", vec.SPARK)).alias("qv"))
-    sums = (
+    # |labels| x dim frame feeding the norms and BOTH self-join sides —
+    # session-cached so repeats share ONE InMemoryRelation
+    sums = session_cached(
+        spark,
+        f"centroid_sums_{sf_tag(os.path.abspath(sf_dir))}",
         q.select("label", F.posexplode("qv").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.sum("v").alias("s"))
-        .cache()
+        .agg(F.sum("v").alias("s")),
     )
     norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("n2"))
     a = sums.select(F.col("label").alias("label_a"), "pos", F.col("s").alias("sa"))
