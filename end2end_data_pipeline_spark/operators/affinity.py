@@ -819,6 +819,58 @@ def _lpa_oracle() -> str:
     )
 
 
+def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SYMMETRIC support-filtered co-purchase edge list — the one
+    graph every structural operator here walks (LPA communities,
+    k-core peeling, degree assortativity). Built once per (session,
+    sf_dir): order-keyed pair generation with the >= {MS}-order
+    support floor, then explode-of-2-array symmetrization (a
+    self-union would duplicate the whole pair-generation subtree in
+    the plan — 4 lineitem scans; the triangles operator hit the same
+    trap), coalesced before the shared session cache (AQE doesn't
+    size cached builds)."""
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    p0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= MIN_SUPPORT)
+        .select("u", "v")
+    )
+    return session_cached(
+        spark,
+        f"copurchase_edges_{sf_tag(os.path.abspath(sf_dir))}",
+        p0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .coalesce(8),
+    )
+
+
+copurchase_sym_edges.__doc__ = (copurchase_sym_edges.__doc__ or "").replace(
+    "{MS}", str(MIN_SUPPORT)
+)
+
+
 @query("part_copurchase_communities", oracle=_lpa_oracle())
 def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the co-purchase graph by synchronous
@@ -838,49 +890,7 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level aggregate — the classic synchronous Pregel step
     expressed as join+groupBy, {LPA_ITERS} bounded rounds, no
     driver-side graph state."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= MIN_SUPPORT)
-        .select("u", "v")
-    )
-    # symmetrize by exploding a 2-array of structs instead of a
-    # self-union — a union would duplicate the whole pair-generation
-    # subtree in the plan (4 lineitem scans; the triangles operator
-    # hit the same trap)
-    edges = (
-        e0.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u"), F.col("v")),
-                    F.struct(
-                        F.col("v").alias("u"), F.col("u").alias("v")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        # modest coalesce before cache (AQE doesn't size cached
-        # builds); the edge list is O(support-filtered pairs), far
-        # smaller than the 200-partition shuffle that produced it
-        .coalesce(8)
-    )
-    import os
-
-    edges = session_cached(
-        spark, f"lpa_edges_{sf_tag(os.path.abspath(sf_dir))}", edges
-    )
+    edges = copurchase_sym_edges(spark, sf_dir)
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from end2end_data_pipeline_spark.operators.affinity import (
+    MIN_SUPPORT as KCORE_MIN_SUPPORT,
+    copurchase_sym_edges,
+)
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
     load_table,
@@ -442,7 +446,6 @@ nation_supply_latency_paths.__doc__ = (
 
 KCORE_K = 3  # minimum surviving degree
 KCORE_ROUNDS = 4  # fixed synchronous peel rounds (both engines unroll)
-KCORE_MIN_SUPPORT = 2  # co-purchase edge support floor (= affinity's)
 
 
 def _kcore_oracle() -> str:
@@ -510,37 +513,7 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph state. The census rows are four 1-row aggregates."""
     import os
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    p0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= KCORE_MIN_SUPPORT)
-        .select("u", "v")
-    )
-    edges = session_cached(
-        spark,
-        f"kcore_edges_{sf_tag(os.path.abspath(sf_dir))}",
-        p0.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u"), F.col("v")),
-                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .coalesce(8),
-    )
+    edges = copurchase_sym_edges(spark, sf_dir)
     stats = []
     for r in range(KCORE_ROUNDS):
         keep = (
@@ -651,37 +624,7 @@ def part_copurchase_assortativity(
     the fixed-shape r expression."""
     import os
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    p0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= KCORE_MIN_SUPPORT)
-        .select("u", "v")
-    )
-    edges = session_cached(
-        spark,
-        f"kcore_edges_{sf_tag(os.path.abspath(sf_dir))}",
-        p0.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u"), F.col("v")),
-                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .coalesce(8),
-    )
+    edges = copurchase_sym_edges(spark, sf_dir)
     deg = session_cached(
         spark,
         f"kcore_deg_{sf_tag(os.path.abspath(sf_dir))}",

@@ -2329,15 +2329,12 @@ _XCORR_ORACLE = f"""
       FROM p GROUP BY 1
     )
     SELECT CAST(lag AS BIGINT) AS lag_minutes, n AS n_pairs,
-           {{r}} AS pearson_r
+           {_corr_r("x", "y")} AS pearson_r
     FROM g ORDER BY lag_minutes
-    """.format(r="PLACEHOLDER")
+    """
 
 
-@query(
-    "event_minute_crosscorr_lags",
-    oracle=_XCORR_ORACLE.replace("PLACEHOLDER", _corr_r("x", "y")),
-)
+@query("event_minute_crosscorr_lags", oracle=_XCORR_ORACLE)
 def event_minute_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lagged cross-correlation between the '{X}' and '{Y}' per-minute
     count series over the dense zero-filled spine: Pearson r of
