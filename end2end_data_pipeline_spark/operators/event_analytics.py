@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
     load_table,
@@ -1526,4 +1527,92 @@ def markov_backtest_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_type")
+    )
+
+
+# --- deterministic A/B experiment audit ----------------------------------
+
+AB_SALT = 424242  # experiment id folded into the bucketing hash
+
+_AB_ARM = "CASE WHEN {h} % 2 = 0 THEN 'A' ELSE 'B' END"
+
+_AB_ORACLE = f"""
+    WITH tagged AS (
+      SELECT {_AB_ARM.format(h=th.salted_md5h(AB_SALT, "CAST(user_id AS VARCHAR)", th.DUCK))}
+               AS arm,
+             user_id, event_type, value
+      FROM events
+    ), per_arm AS (
+      SELECT arm,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT)
+               AS n_purchasers,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM tagged GROUP BY arm
+    )
+    SELECT arm, n_users, n_events, n_purchasers, n_purchases,
+           CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE)
+             AS conversion_rate,
+           CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE)
+             AS events_per_user
+    FROM per_arm ORDER BY arm
+    """
+
+
+@query("user_ab_experiment_audit", oracle=_AB_ORACLE)
+def user_ab_experiment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users are bucketed into
+    two arms by a salted portable hash of their id (the salt is the
+    experiment id, so a second experiment re-randomizes independently
+    — the standard hash-bucketing every experimentation platform
+    uses, with no assignment table to store or join), then each arm
+    reports exposure (users, events) and the primary metric
+    (purchase conversion). The exact integer counts are the chi-square
+    /SRM ingredients; the two rates are single cast-first divisions.
+    The same device powers deterministic traffic splitting and
+    holdout carve-outs at any scale — assignment is a pure function
+    of (salt, user_id), reproducible on any engine.
+
+    Scale: one fact pass into a 2-row aggregate; the only shuffle is
+    the arm rollup (distinct-user counts partial-aggregate per arm).
+    No assignment join — the arm is computed inline on the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.expr(
+        _AB_ARM.format(
+            h=th.salted_md5h(AB_SALT, "CAST(user_id AS STRING)", th.SPARK)
+        )
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        ev.select(arm.alias("arm"), "user_id", "event_type")
+        .groupBy("arm")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct(F.when(is_purchase, F.col("user_id")))
+            .cast("bigint")
+            .alias("n_purchasers"),
+            F.sum(is_purchase.cast("bigint")).cast("bigint").alias(
+                "n_purchases"
+            ),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "n_events",
+            "n_purchasers",
+            "n_purchases",
+            (
+                F.col("n_purchasers").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("conversion_rate"),
+            (
+                F.col("n_events").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("events_per_user"),
+        )
+        .orderBy("arm")
     )
