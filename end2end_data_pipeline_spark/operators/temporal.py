@@ -256,3 +256,159 @@ def event_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_gaps"))
         .orderBy("gap_minutes")
     )
+
+
+# --- linear multi-touch attribution --------------------------------------
+
+ATTR_WINDOW_S = 1800  # lookback seconds before each purchase
+ATTR_SCALE = 1_000_000  # millicredit scale: integer credit per touch
+
+_ATTR_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS em
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ), counted AS (
+      -- COALESCE: SUM over an EMPTY range frame is NULL in both
+      -- engines, and a purchase with no preceding event at all must
+      -- count as zero touches, not null ones
+      SELECT user_id, em,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END) OVER w, 0)
+               AS BIGINT) AS nv,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                    THEN 1 ELSE 0 END) OVER w, 0)
+               AS BIGINT) AS nc
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY em
+                   RANGE BETWEEN {ATTR_WINDOW_S * 1_000_000} PRECEDING
+                             AND 1 PRECEDING)
+      QUALIFY event_type = 'purchase'
+    ), credited AS (
+      SELECT nv, nc, nv + nc AS n,
+             CASE WHEN nv + nc > 0 THEN {ATTR_SCALE} // (nv + nc)
+                  ELSE 0 END AS mc
+      FROM counted
+    ), chan AS (
+      SELECT 'view' AS channel, nv AS touches, nv * mc AS credits,
+             CASE WHEN nv > 0 THEN 1 ELSE 0 END AS touched
+      FROM credited
+      UNION ALL
+      SELECT 'click', nc, nc * mc, CASE WHEN nc > 0 THEN 1 ELSE 0 END
+      FROM credited
+      UNION ALL
+      SELECT 'unattributed', 0, {ATTR_SCALE},
+             CASE WHEN n = 0 THEN 1 ELSE 0 END
+      FROM credited WHERE n = 0
+    )
+    SELECT channel,
+           CAST(SUM(touched) AS BIGINT) AS n_purchases_touched,
+           CAST(SUM(touches) AS BIGINT) AS n_touches,
+           CAST(SUM(credits) AS BIGINT) AS millicredits
+    FROM chan GROUP BY channel ORDER BY channel
+    """
+
+
+@query("purchase_linear_attribution", oracle=_ATTR_ORACLE)
+def purchase_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the
+    {WIN}-second lookback before a purchase by the same user shares
+    that purchase's credit equally — the multi-touch answer to
+    ``asof_last_view_before_purchase``'s last-touch model. Credit is
+    an exact INTEGER number of millicredits (floor({SCALE}/n) per
+    touch): floating 1/n shares would accumulate in engine-dependent
+    order and never hash-match, while integer credit sums exactly and
+    under-counts each purchase by at most n-1 millicredits (the
+    documented floor remainder). Purchases with no preceding touch
+    land in an explicit 'unattributed' channel with full credit, so
+    credit conservation is auditable.
+
+    Scale: NO inequality join — per-channel touch counts come from
+    conditional sums over a RANGE window frame on the microsecond
+    timestamp (one shuffle on user_id, the as-of precedent), so there
+    is zero row explosion however bursty the traffic; channels then
+    explode from each purchase row (3 structs) into one bounded
+    rollup."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    em = F.expr("unix_micros(ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("em")
+        .rangeBetween(-ATTR_WINDOW_S * 1_000_000, -1)
+    )
+    # coalesce: SUM over an EMPTY range frame is NULL — a purchase
+    # with no preceding event at all must count zero touches
+    counted = (
+        ev.select("user_id", "event_type", em.alias("em"))
+        .select(
+            "event_type",
+            F.coalesce(
+                F.sum((F.col("event_type") == "view").cast("int")).over(w),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("nv"),
+            F.coalesce(
+                F.sum((F.col("event_type") == "click").cast("int")).over(w),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("nc"),
+        )
+        .where(F.col("event_type") == "purchase")
+    )
+    credited = counted.select(
+        "nv",
+        "nc",
+        (F.col("nv") + F.col("nc")).alias("n"),
+        F.when(
+            F.col("nv") + F.col("nc") > 0,
+            F.expr(f"{ATTR_SCALE} div (nv + nc)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("mc"),
+    )
+    chan = credited.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("channel"),
+                    F.col("nv").alias("touches"),
+                    (F.col("nv") * F.col("mc")).alias("credits"),
+                    (F.col("nv") > 0).cast("int").alias("touched"),
+                ),
+                F.struct(
+                    F.lit("click").alias("channel"),
+                    F.col("nc").alias("touches"),
+                    (F.col("nc") * F.col("mc")).alias("credits"),
+                    (F.col("nc") > 0).cast("int").alias("touched"),
+                ),
+                F.struct(
+                    F.lit("unattributed").alias("channel"),
+                    F.lit(0).cast("bigint").alias("touches"),
+                    F.when(F.col("n") == 0, F.lit(ATTR_SCALE))
+                    .otherwise(F.lit(0))
+                    .cast("bigint")
+                    .alias("credits"),
+                    (F.col("n") == 0).cast("int").alias("touched"),
+                ),
+            )
+        ).alias("c")
+    ).where(~((F.col("c.channel") == "unattributed") & (F.col("c.touched") == 0)))
+    return (
+        chan.groupBy(F.col("c.channel").alias("channel"))
+        .agg(
+            F.sum("c.touched").cast("bigint").alias("n_purchases_touched"),
+            F.sum("c.touches").cast("bigint").alias("n_touches"),
+            F.sum("c.credits").cast("bigint").alias("millicredits"),
+        )
+        .orderBy("channel")
+    )
+
+
+purchase_linear_attribution.__doc__ = (
+    (purchase_linear_attribution.__doc__ or "")
+    .replace("{WIN}", str(ATTR_WINDOW_S))
+    .replace("{SCALE}", str(ATTR_SCALE))
+)
