@@ -1380,3 +1380,143 @@ def orders_weekly_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_idx")
     )
+
+
+# --- split-conformal calibration bands ------------------------------------
+
+CONF_LO = 5  # lower band percentile
+CONF_HI = 95  # upper band percentile
+CONF_SALT = 77  # calibration/eval split salt
+
+_CONF_SPLIT = "({h} % 2 = 0)"
+
+_CONF_ORACLE = f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             {_CONF_SPLIT.format(h=salted_md5h(CONF_SALT, "CAST(event_id AS VARCHAR)", DUCK))}
+               AS is_cal
+      FROM events WHERE value IS NOT NULL
+    ), hist AS (
+      SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM base WHERE is_cal GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, cents,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+               AS BIGINT) AS c,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist
+    ), bands AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_cal,
+             CAST(min(CASE WHEN c >= ({CONF_LO} * n + 99) // 100
+                           THEN cents END) AS BIGINT) AS lo_cents,
+             CAST(min(CASE WHEN c >= ({CONF_HI} * n + 99) // 100
+                           THEN cents END) AS BIGINT) AS hi_cents
+      FROM cum GROUP BY event_type
+    )
+    SELECT b.event_type, b.n_cal,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           b.lo_cents, b.hi_cents,
+           CAST(SUM(CASE WHEN e.cents BETWEEN b.lo_cents AND b.hi_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN e.cents BETWEEN b.lo_cents AND b.hi_cents
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS coverage
+    FROM base e JOIN bands b ON e.event_type = b.event_type
+    WHERE NOT e.is_cal
+    GROUP BY b.event_type, b.n_cal, b.lo_cents, b.hi_cents
+    ORDER BY b.event_type
+    """
+
+
+@query("event_value_conformal_bands", oracle=_CONF_ORACLE)
+def event_value_conformal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration audit (Vovk et al.; the
+    distribution-free prediction-interval recipe ML serving uses): a
+    deterministic hash of the event id splits each type's values into
+    a calibration half and an evaluation half; the calibration half
+    fixes the [p{LO}, p{HI}] band by nearest-rank inverse CDF over
+    the cents-quantized value histogram, and the held-out half
+    reports empirical coverage — if the band is honest, coverage
+    lands near {HI_MINUS_LO}%. The deviation IS the drift/overfit
+    signal. Everything is exact integers except the one coverage
+    division; the split is a pure function of (salt, event_id),
+    reproducible on any engine.
+
+    Scale: one fact pass builds the calibration histogram (bounded by
+    the quantized value domain per type), a second scores coverage
+    against the broadcast O(types) band table; the CDF windows run
+    over the bounded histogram — raw rows are never sorted."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    is_cal = F.expr(
+        _CONF_SPLIT.format(
+            h=salted_md5h(CONF_SALT, "CAST(event_id AS STRING)", SPARK)
+        )
+    )
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        is_cal.alias("is_cal"),
+    )
+    hist = (
+        base.where("is_cal")
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("cents")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wc).cast("bigint").alias("c"),
+        F.sum("cnt")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n"),
+    )
+
+    def pick(q: int, name: str):
+        idx = F.expr(f"({q} * n + 99) div 100")
+        return (
+            F.min(F.when(F.col("c") >= idx, F.col("cents")))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    bands = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_cal"),
+        pick(CONF_LO, "lo_cents"),
+        pick(CONF_HI, "hi_cents"),
+    )
+    covered = (
+        F.col("cents") >= F.col("lo_cents")
+    ) & (F.col("cents") <= F.col("hi_cents"))
+    return (
+        base.where(~F.col("is_cal"))
+        .join(F.broadcast(bands), "event_type")
+        .groupBy("event_type", "n_cal", "lo_cents", "hi_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum(covered.cast("bigint")).cast("bigint").alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_eval",
+            "lo_cents",
+            "hi_cents",
+            "n_covered",
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_eval").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+event_value_conformal_bands.__doc__ = (
+    (event_value_conformal_bands.__doc__ or "")
+    .replace("{LO}", str(CONF_LO))
+    .replace("{HI_MINUS_LO}", str(CONF_HI - CONF_LO))
+    .replace("{HI}", str(CONF_HI))
+)
