@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
-from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
     fan_out,
     load_table,
@@ -1022,4 +1022,76 @@ def dedup_prefixfilter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- LSH candidate-recall evaluation --------------------------------------
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard_pairs"]}) t
+    ), lsh AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_minhash_pairs"]}) l
+    ), j AS (
+      SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth,
+             CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+      FROM truth t FULL JOIN lsh l
+        ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    )
+    SELECT CAST(SUM(in_truth) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(in_lsh) AS BIGINT) AS n_lsh_pairs,
+           CAST(SUM(in_truth * in_lsh) AS BIGINT) AS n_found,
+           CAST(SUM(in_truth * in_lsh) AS DOUBLE)
+             / CAST(SUM(in_truth) AS DOUBLE) AS recall,
+           CAST(SUM(in_truth * in_lsh) AS DOUBLE)
+             / CAST(SUM(in_lsh) AS DOUBLE) AS precision
+    FROM j
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH near-dup detector against
+    the exact inverted-index ground truth — the eval every dedup
+    deployment owes its banding parameters (b bands x r rows trade
+    recall against candidate volume; this measures where the current
+    setting lands). Post-verification precision is 1.0 BY CONSTRUCTION
+    (candidates are exact-Jaccard verified), so the number that moves
+    is candidate recall: true pairs whose signatures never collide in
+    any band are invisible to LSH, and this query counts exactly them.
+    The dedup analog of ``ann_recall_eval``.
+
+    Scale: composes the two registered pair queries (each with its own
+    hot-key caps and cached signature/shingle frames); the comparison
+    is ONE full outer join on the pair key into a single-row exact
+    aggregate, with both rates as cast-first divisions."""
+    truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb")
+    )
+    lsh = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+    )
+    j = truth.join(
+        lsh,
+        (F.col("ta") == F.col("la")) & (F.col("tb") == F.col("lb")),
+        "full_outer",
+    ).select(
+        F.col("ta").isNotNull().cast("int").alias("in_truth"),
+        F.col("la").isNotNull().cast("int").alias("in_lsh"),
+    )
+    return j.agg(
+        F.sum("in_truth").cast("bigint").alias("n_true_pairs"),
+        F.sum("in_lsh").cast("bigint").alias("n_lsh_pairs"),
+        F.sum(F.col("in_truth") * F.col("in_lsh"))
+        .cast("bigint")
+        .alias("n_found"),
+        (
+            F.sum(F.col("in_truth") * F.col("in_lsh")).cast("double")
+            / F.sum("in_truth").cast("double")
+        ).alias("recall"),
+        (
+            F.sum(F.col("in_truth") * F.col("in_lsh")).cast("double")
+            / F.sum("in_lsh").cast("double")
+        ).alias("precision"),
     )
