@@ -2260,7 +2260,16 @@ def event_minute_value_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("max_value"))
     )
     wp = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.orderBy("m").rowsBetween(0, Window.unboundedFollowing)
+    # the "next observation" side runs as a REVERSED running frame:
+    # last(ignorenulls) over a DESC UnboundedPreceding..current frame
+    # is the first non-null at-or-after the row in forward order, and
+    # running frames evaluate incrementally — Spark's
+    # first(ignorenulls) over current..UnboundedFollowing rescans the
+    # tail per row, O(n^2) (measured 35 s vs 0.6 s on the 43k-minute
+    # spine at sf0.1)
+    wn = Window.orderBy(F.col("m").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     em_obs = F.when(
         F.col("max_value").isNotNull(), F.col("em")
     )
@@ -2273,8 +2282,8 @@ def event_minute_value_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
             F.last("max_value", ignorenulls=True).over(wp).alias("pv"),
             F.last(em_obs, ignorenulls=True).over(wp).alias("pm"),
-            F.first("max_value", ignorenulls=True).over(wn).alias("nv"),
-            F.first(em_obs, ignorenulls=True).over(wn).alias("nm"),
+            F.last("max_value", ignorenulls=True).over(wn).alias("nv"),
+            F.last(em_obs, ignorenulls=True).over(wn).alias("nm"),
         )
     )
     return (
