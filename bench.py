@@ -211,6 +211,19 @@ HEADLINE = [
     "docs_pmi_collocations",
     "docs_hybrid_rrf_search",
     "knn_ranking_eval",
+    # round-9 session-4 closers: imputation, association, governance,
+    # experimentation, attribution, conformal eval. (Excluded:
+    # dedup_lsh_recall_eval — it composes dedup_ngram_jaccard_pairs,
+    # whose inverted-index blowup on this small-vocabulary synthetic
+    # corpus is intentionally quadratic and already bench-excluded.)
+    "event_minute_value_lerp",
+    "event_minute_crosscorr_lags",
+    "customer_kanonymity_profile",
+    "part_copurchase_assortativity",
+    "orders_fd_audit",
+    "user_ab_experiment_audit",
+    "purchase_linear_attribution",
+    "event_value_conformal_bands",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
