@@ -1520,3 +1520,174 @@ event_value_conformal_bands.__doc__ = (
     .replace("{HI_MINUS_LO}", str(CONF_HI - CONF_LO))
     .replace("{HI}", str(CONF_HI))
 )
+
+
+# --- Poisson bootstrap confidence interval --------------------------------
+
+BOOT_B = 200  # bootstrap replicates
+BOOT_SALT = 4243  # base-hash salt
+BOOT_LO = 5  # CI percentiles over the replicate sums
+BOOT_HI = 95
+
+# Poisson(1) pmf quantized to 1/10000 as a cumulative CASE ladder —
+# identical integer thresholds on both engines make the per-(row,
+# replicate) weight a pure function of the hash. Tail capped at 6
+# (P(X>6) < 1e-4 at this quantization).
+_POIS_CUM = (3679, 7358, 9197, 9810, 9963, 9994, 10000)
+
+
+def _pois_weight(h_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN ({h_expr}) % 10000 < {c} THEN {w}"
+        for w, c in enumerate(_POIS_CUM)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+def _boot_base(dialect: str) -> str:
+    """Salted portable base hash per row, reduced below 2^30 — project
+    this ONCE into its own column; the affine replicate family
+    references the column so the md5 runs once per row, not once per
+    (row, replicate)."""
+    from end2end_data_pipeline_spark.functions.texthash import salted_md5h
+
+    key = (
+        "CAST(o_orderkey AS STRING)"
+        if dialect == SPARK
+        else "CAST(o_orderkey AS VARCHAR)"
+    )
+    return f"({salted_md5h(BOOT_SALT, key, dialect)} % {1 << 30})"
+
+
+def _boot_coeff_rows() -> list[tuple[int, int, int]]:
+    """(replicate, a_j, b_j) — the MinHash affine family reused as the
+    replicate fan-out. A 200-row TABLE, not a literal array inside a
+    lambda: DuckDB re-materializes a literal list on every lambda
+    evaluation (measured 21 s on 1.5k rows), a joined table costs one
+    construction."""
+    from end2end_data_pipeline_spark.functions.texthash import affine_coeffs
+
+    return [(j, a, b) for j, (a, b) in enumerate(affine_coeffs(BOOT_B))]
+
+
+def _boot_w_expr() -> str:
+    """The per-(row, replicate) weight expression, shared VERBATIM by
+    both engines over columns (h0, av, bv)."""
+    from end2end_data_pipeline_spark.functions.texthash import MINHASH_P
+
+    return _pois_weight(f"(av * h0 + bv) % {MINHASH_P}")
+
+
+def _boot_oracle() -> str:
+    js = ",".join(str(j) for j, _, _ in _boot_coeff_rows())
+    avs = ",".join(str(a) for _, a, _ in _boot_coeff_rows())
+    bvs = ",".join(str(b) for _, _, b in _boot_coeff_rows())
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT {_boot_base("duck")} AS h0,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), coeffs AS (
+      SELECT unnest([{js}]) AS b, unnest([{avs}]) AS av,
+             unnest([{bvs}]) AS bv
+    ), sums AS (
+      SELECT coeffs.b AS b,
+             CAST(SUM(({_boot_w_expr()}) * cents) AS BIGINT) AS rev_cents,
+             CAST(SUM(cents) AS BIGINT) AS raw_cents,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM hashed CROSS JOIN coeffs GROUP BY 1
+    ), ranked AS (
+      SELECT rev_cents, raw_cents, n_rows,
+             CAST(row_number() OVER (ORDER BY rev_cents) AS BIGINT) AS r
+      FROM sums
+    )
+    SELECT CAST(max(raw_cents) AS BIGINT) AS point_cents,
+           CAST(max(n_rows) AS BIGINT) AS n_orders,
+           CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           CAST(min(CASE WHEN r >= ({BOOT_LO} * {BOOT_B} + 99) // 100
+                         THEN rev_cents END) AS BIGINT) AS ci_lo_cents,
+           CAST(min(CASE WHEN r >= ({BOOT_HI} * {BOOT_B} + 99) // 100
+                         THEN rev_cents END) AS BIGINT) AS ci_hi_cents
+    FROM ranked
+    """
+
+
+@query("orders_revenue_bootstrap_ci", oracle=_boot_oracle())
+def orders_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for total order revenue —
+    the resampling technique that works at 100 TB (Chamandy et al.,
+    Google 2012): the classical bootstrap needs B coordinated row
+    resamples, while the Poisson bootstrap gives every (row,
+    replicate) an INDEPENDENT Poisson(1) weight, so all {B} replicate
+    sums stream through one map-side-combined aggregation. The weights
+    are deterministic — one salted portable base hash per row, fanned
+    into {B} replicates by the MinHash affine family (a 200-row
+    broadcast coefficient table, never a literal array inside a
+    lambda), mapped through the quantized Poisson(1) inverse CDF — so
+    both engines materialize the identical ensemble, every replicate
+    sum is an exact integer, and the CI bounds are nearest-rank order
+    statistics of {B} integers. No randomness, no floats anywhere.
+
+    Scale: the broadcast coefficient join multiplies rows by {B}, but
+    partial aggregation collapses them to {B} partial sums per
+    partition before the shuffle — wire cost O(partitions x B),
+    independent of row count. The point estimate rides the SAME
+    aggregate (every replicate also sums the unweighted cents), so
+    the whole answer is one scan, one bounded shuffle, one {B}-row
+    window — no scalar joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    coeffs = spark.createDataFrame(
+        _boot_coeff_rows(), "b INT, av BIGINT, bv BIGINT"
+    )
+    # the repartition is a deliberate BARRIER: without it whole-stage
+    # codegen inlines the md5 base hash into the joined stage and
+    # recomputes it once per (row, replicate) — measured 27 s vs 2 s
+    # at sf0.1. One O(rows x 16B) exchange buys B-1 avoided md5s/row.
+    rep = (
+        orders.select(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr(_boot_base(SPARK)).alias("h0"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(coeffs))
+        .groupBy("b")
+        .agg(
+            F.sum(F.expr(f"({_boot_w_expr()}) * cents"))
+            .cast("bigint")
+            .alias("rev_cents"),
+            F.sum("cents").cast("bigint").alias("raw_cents"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+    wr = Window.orderBy("rev_cents")
+    ranked = rep.select(
+        "rev_cents",
+        "raw_cents",
+        "n_rows",
+        F.row_number().over(wr).cast("bigint").alias("r"),
+    )
+
+    def pick(q: int, name: str):
+        idx = (q * BOOT_B + 99) // 100
+        return (
+            F.min(F.when(F.col("r") >= idx, F.col("rev_cents")))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return ranked.agg(
+        F.max("raw_cents").cast("bigint").alias("point_cents"),
+        F.max("n_rows").cast("bigint").alias("n_orders"),
+        F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
+        pick(BOOT_LO, "ci_lo_cents"),
+        pick(BOOT_HI, "ci_hi_cents"),
+    ).select(
+        "point_cents", "n_orders", "n_replicates", "ci_lo_cents", "ci_hi_cents"
+    )
+
+
+orders_revenue_bootstrap_ci.__doc__ = (
+    orders_revenue_bootstrap_ci.__doc__ or ""
+).replace("{B}", str(BOOT_B))
