@@ -1691,3 +1691,135 @@ def orders_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 orders_revenue_bootstrap_ci.__doc__ = (
     orders_revenue_bootstrap_ci.__doc__ or ""
 ).replace("{B}", str(BOOT_B))
+
+
+# --- right-censored lifetable ---------------------------------------------
+
+STUDY_END = "2001-08-02"  # administrative censoring date (corpus ends 08-01)
+LIFETABLE_MAX_GAP = 120  # report out to this many days
+
+_LIFE_ORACLE = f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(floor((epoch(o_orderdate) - epoch(lag(o_orderdate) OVER w))
+                        / 86400) AS BIGINT) AS g,
+             (lead(o_orderdate) OVER w IS NULL) AS is_last
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), obs AS (
+      SELECT 'event' AS kind, g FROM seq WHERE g IS NOT NULL
+      UNION ALL
+      SELECT 'censor' AS kind,
+             CAST(floor((epoch(TIMESTAMP '{STUDY_END} 00:00:00')
+                         - epoch(o_orderdate)) / 86400) AS BIGINT) AS g
+      FROM seq WHERE is_last
+    ), hist AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN kind = 'event' THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(SUM(CASE WHEN kind = 'censor' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+      FROM obs GROUP BY g
+    ), risk AS (
+      SELECT g, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY g DESC) AS BIGINT) AS n_at_risk
+      FROM hist
+    )
+    SELECT g AS gap_days, d AS n_events, c AS n_censored, n_at_risk,
+           CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+    FROM risk WHERE g <= {LIFETABLE_MAX_GAP}
+    ORDER BY gap_days
+    """
+
+
+@query("customer_censored_lifetable", oracle=_LIFE_ORACLE)
+def customer_censored_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored discrete-time lifetable of repurchase — the
+    statistically honest version of ``customer_repurchase_hazard``:
+    every customer's OPEN interval (last order to the {END}
+    administrative study end) enters the at-risk denominator as a
+    censored observation, so the hazard is no longer biased upward by
+    pretending customers who simply ran out of observation window had
+    no exposure (the Kaplan-Meier correction; the caller chains
+    survival as the running product of (1 - hazard)). Events and
+    censorings stream from the SAME per-customer window pass — lag
+    for gaps, lead-is-null for the last order — so the fact is
+    scanned once.
+
+    Scale: one customer-keyed shuffle (the shared cohort/gap
+    exchange); both observation kinds collapse to a calendar-bounded
+    day histogram, and the at-risk suffix sum windows over that
+    bounded frame. All counts exact integers; one hazard division."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_orderdate",
+        F.floor(
+            (
+                F.col("o_orderdate").cast("long")
+                - F.lag("o_orderdate").over(w).cast("long")
+            )
+            / 86400
+        )
+        .cast("bigint")
+        .alias("g"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_last"),
+    )
+    censor_g = (
+        F.floor(
+            (
+                F.lit(f"{STUDY_END} 00:00:00").cast("timestamp").cast("long")
+                - F.col("o_orderdate").cast("long")
+            )
+            / 86400
+        )
+        .cast("bigint")
+    )
+    obs = seq.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("event").alias("kind"), F.col("g").alias("g")
+                    ),
+                    F.struct(
+                        F.lit("censor").alias("kind"),
+                        F.when(F.col("is_last"), censor_g).alias("g"),
+                    ),
+                ),
+                lambda x: x["g"].isNotNull(),
+            )
+        ).alias("o")
+    ).select("o.kind", "o.g")
+    hist = obs.groupBy("g").agg(
+        F.sum((F.col("kind") == "event").cast("int"))
+        .cast("bigint")
+        .alias("d"),
+        F.sum((F.col("kind") == "censor").cast("int"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    wr = Window.orderBy(F.col("g").desc())
+    return (
+        hist.select(
+            F.col("g").alias("gap_days"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.sum(F.col("d") + F.col("c"))
+            .over(wr)
+            .cast("bigint")
+            .alias("n_at_risk"),
+        )
+        .where(F.col("gap_days") <= LIFETABLE_MAX_GAP)
+        .withColumn(
+            "hazard",
+            F.col("n_events").cast("double")
+            / F.col("n_at_risk").cast("double"),
+        )
+        .orderBy("gap_days")
+    )
+
+
+customer_censored_lifetable.__doc__ = (
+    customer_censored_lifetable.__doc__ or ""
+).replace("{END}", STUDY_END)
