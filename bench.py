@@ -224,6 +224,8 @@ HEADLINE = [
     "user_ab_experiment_audit",
     "purchase_linear_attribution",
     "event_value_conformal_bands",
+    "orders_revenue_bootstrap_ci",
+    "customer_censored_lifetable",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
