@@ -2587,3 +2587,79 @@ def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("candidate")
     )
+
+
+# --- order-total value reconciliation --------------------------------------
+
+_LINE_CENTS = (
+    "CAST(ROUND(l_extendedprice * (1 + l_tax) * (1 - l_discount) * 100)"
+    " AS BIGINT)"
+)
+
+_RECON_ORACLE = f"""
+    WITH lines AS (
+      SELECT l_orderkey, CAST(SUM({_LINE_CENTS}) AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS hdr_cents,
+             lines.line_cents
+      FROM orders LEFT JOIN lines ON o_orderkey = lines.l_orderkey
+    )
+    SELECT CASE WHEN line_cents IS NULL THEN CAST(NULL AS BIGINT)
+                ELSE CAST((100 * line_cents) // hdr_cents AS BIGINT) END
+             AS pct_band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_cents = hdr_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact
+    FROM j GROUP BY 1 ORDER BY pct_band NULLS FIRST
+    """
+
+
+@query("orders_total_reconciliation", oracle=_RECON_ORACLE)
+def orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail value reconciliation — the finance-grade audit
+    behind every invoicing pipeline: recompute each order's charge
+    from its line items (extendedprice x (1+tax) x (1-discount), in
+    cents) and band the ratio to the header total in integer percent.
+    A healthy warehouse concentrates at band 100 with n_exact == n;
+    the NULL band counts headers with no lines at all (this synthetic
+    fixture's totals are independent of its lines, so the audit
+    correctly reports a broken invariant — which is the point of
+    shipping the audit). Complements ``fk_orphan_audit``: that checks
+    key EXISTENCE, this checks value CONSISTENCY.
+
+    Scale: the detail side partial-aggregates to one row per order
+    key BEFORE the join (map-side combine on the fact scan), so the
+    header join is key-to-key, never row-to-row; the band rollup is
+    bounded by the ratio domain."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(_LINE_CENTS).alias("lc")
+    )
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum("lc").cast("bigint").alias("line_cents")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+            "hdr_cents"
+        ),
+    )
+    j = o.join(lines, o["o_orderkey"] == lines["l_orderkey"], "left")
+    band = F.when(
+        F.col("line_cents").isNotNull(),
+        F.expr("(100 * line_cents) div hdr_cents"),
+    ).cast("bigint")
+    return (
+        j.groupBy(band.alias("pct_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(F.col("line_cents") == F.col("hdr_cents"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_exact"),
+        )
+        .orderBy(F.col("pct_band").asc_nulls_first())
+    )

@@ -1011,3 +1011,75 @@ docs_hybrid_rrf_search.__doc__ = (
     .replace("{K}", str(RRF_K))
     .replace("{POOL}", str(RRF_SEM_POOL))
 )
+
+
+# --- 4-4-5 fiscal calendar rollup -----------------------------------------
+
+FISCAL_EPOCH = "1995-01-01"  # fiscal year 1 begins here (corpus start)
+SPARK_IDIV = "div"  # Spark integer division; DuckDB uses //
+
+# week-in-year -> 4-4-5 period, as pure integer arithmetic both
+# engines share: 13-week quarters split 4/4/5
+_F445 = (
+    "(CAST({wiy} AS BIGINT) {idiv} 13) * 3"
+    " + (CASE WHEN {wiy} % 13 < 4 THEN 0"
+    "         WHEN {wiy} % 13 < 8 THEN 1 ELSE 2 END) + 1"
+)
+
+
+def _fiscal_oracle() -> str:
+    d = f"date_diff('day', DATE '{FISCAL_EPOCH}', CAST(o_orderdate AS DATE))"
+    wiy = f"(({d}) // 7) % 52"
+    return f"""
+    SELECT CAST(({d}) // 7 // 52 + 1 AS BIGINT) AS fiscal_year,
+           CAST({_F445.format(wiy=wiy, idiv="//")} AS BIGINT) AS fiscal_period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("orders_fiscal_445_rollup", oracle=_fiscal_oracle())
+def orders_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by 4-4-5 fiscal period — the retail-standard fiscal
+    calendar (twelve periods of 4, 4, then 5 weeks per 13-week
+    quarter, 52-week years anchored at {EPOCH}) that comparable-sales
+    reporting uses because every period spans whole weeks and periods
+    align year-over-year. The mapping is pure integer arithmetic on
+    the day index (div 7 -> week, div 52 -> year, a 13-week quarter
+    split), identical in both engines — no calendar UDF, no lookup
+    dimension to maintain (the dimension-table variant materializes
+    exactly this expression).
+
+    Scale: one map-side-combined rollup bounded by fiscal periods —
+    the fiscal-period expression rides the scan, so partition pruning
+    on o_orderdate ranges still applies upstream."""
+    d = f"datediff(o_orderdate, DATE'{FISCAL_EPOCH}')"
+    wiy = f"(({d}) div 7) % 52"
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(f"CAST(({d}) div 7 div 52 + 1 AS BIGINT)").alias(
+                "fiscal_year"
+            ),
+            F.expr(
+                f"CAST({_F445.format(wiy=wiy, idiv=SPARK_IDIV)} AS BIGINT)"
+            ).alias(
+                "fiscal_period"
+            ),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+                "rev_cents"
+            ),
+        )
+        .orderBy("fiscal_year", "fiscal_period")
+    )
+
+
+orders_fiscal_445_rollup.__doc__ = (
+    orders_fiscal_445_rollup.__doc__ or ""
+).replace("{EPOCH}", FISCAL_EPOCH)

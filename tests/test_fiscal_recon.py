@@ -1,0 +1,71 @@
+"""Fiscal-calendar and reconciliation invariants beyond the hash
+oracle: Python replays, 4-4-5 period-structure laws, and audit
+conservation."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from datetime import date
+
+import __spark_entry__ as entrymod
+from end2end_data_pipeline_spark.operators.reporting_ext import FISCAL_EPOCH
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fiscal(d: date) -> tuple[int, int]:
+    days = (d - date.fromisoformat(FISCAL_EPOCH)).days
+    week = days // 7
+    fy = week // 52 + 1
+    wiy = week % 52
+    q, wq = divmod(wiy, 13)
+    period = q * 3 + (0 if wq < 4 else 1 if wq < 8 else 2) + 1
+    return fy, period
+
+
+def test_fiscal_rollup_matches_python(spark):
+    rows = entrymod.queries()["orders_fiscal_445_rollup"](spark, SF).collect()
+    assert rows
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .selectExpr("CAST(o_orderdate AS DATE) AS d", "o_totalprice")
+        .collect()
+    )
+    counts: Counter = Counter()
+    cents = defaultdict(int)
+    for r in orders:
+        key = _fiscal(r["d"])
+        counts[key] += 1
+        cents[key] += round(r["o_totalprice"] * 100)
+    got = {
+        (r["fiscal_year"], r["fiscal_period"]): (r["n_orders"], r["rev_cents"])
+        for r in rows
+    }
+    assert got == {k: (counts[k], cents[k]) for k in counts}
+    # structural laws: periods live in 1..12, years are contiguous
+    assert all(1 <= p <= 12 for _, p in got)
+    years = sorted({y for y, _ in got})
+    assert years == list(range(years[0], years[-1] + 1))
+
+
+def test_reconciliation_partitions_orders(spark):
+    rows = entrymod.queries()["orders_total_reconciliation"](
+        spark, SF
+    ).collect()
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    # the band histogram partitions the order table exactly
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    # the NULL band is exactly the childless-order count
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
+    childless = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).count()
+    null_rows = [r for r in rows if r["pct_band"] is None]
+    assert (null_rows[0]["n_orders"] if null_rows else 0) == childless
+    # n_exact never exceeds the band population, and exact rows can
+    # only sit in band 100
+    for r in rows:
+        assert 0 <= r["n_exact"] <= r["n_orders"]
+        if r["n_exact"] > 0:
+            assert r["pct_band"] == 100
