@@ -214,3 +214,87 @@ def docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- Horvitz-Thompson estimation audit -------------------------------------
+
+HT_PCT = 20  # inclusion probability, percent
+HT_SALT = "ht"
+
+
+def _order_hash_pct(salt: str, dialect: str) -> str:
+    key = (
+        f"concat('{salt}:', CAST(o_orderkey AS STRING))"
+        if dialect == th.SPARK
+        else f"concat('{salt}:', CAST(o_orderkey AS VARCHAR))"
+    )
+    return f"({th.md5h(key, dialect)} % 100)"
+
+
+_HT_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ({_order_hash_pct(HT_SALT, th.DUCK)} < {HT_PCT}) AS sampled
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_population,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(cents) AS BIGINT) AS true_cents,
+           CAST(SUM(CASE WHEN sampled THEN cents ELSE 0 END) * 100
+                // {HT_PCT} AS BIGINT) AS ht_estimate_cents,
+           CAST(SUM(CASE WHEN sampled THEN cents ELSE 0 END) * 100
+                // {HT_PCT} - SUM(cents) AS BIGINT) AS error_cents,
+           CAST(SUM(CASE WHEN sampled THEN cents ELSE 0 END) * 100
+                // {HT_PCT} - SUM(cents) AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE) AS rel_error
+    FROM base
+    """
+
+
+@query("orders_ht_estimate_audit", oracle=_HT_ORACLE)
+def orders_ht_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation audit: estimate total revenue from
+    the deterministic {PCT}% hash sample by inverse-probability
+    weighting (each sampled order counts 100/{PCT} times), and report
+    the exact error against the true total — the design-based
+    estimator every sampling pipeline owes its users, and the audit
+    that tells you whether the hash sample is trustworthy for sums,
+    not just row counts. The estimate is exact integer arithmetic
+    (scale-then-floor-divide, both engines identical); the one double
+    is the relative error.
+
+    Scale: a single fact pass into a 1-row aggregate — the sampled
+    and population sums ride the same map-side combine, so auditing
+    the estimator costs one scan, not a sample materialization plus a
+    second pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    sampled = F.expr(f"{_order_hash_pct(HT_SALT, th.SPARK)} < {HT_PCT}")
+    base = orders.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        sampled.alias("sampled"),
+    )
+    s_cents = F.sum(F.when(F.col("sampled"), F.col("cents")).otherwise(0))
+    return base.agg(
+        F.count("*").cast("bigint").alias("n_population"),
+        F.sum(F.col("sampled").cast("int")).cast("bigint").alias("n_sampled"),
+        F.sum("cents").cast("bigint").alias("true_cents"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN sampled THEN cents ELSE 0 END) * 100"
+            f" div {HT_PCT} AS BIGINT)"
+        ).alias("ht_estimate_cents"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN sampled THEN cents ELSE 0 END) * 100"
+            f" div {HT_PCT} - SUM(cents) AS BIGINT)"
+        ).alias("error_cents"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN sampled THEN cents ELSE 0 END) * 100"
+            f" div {HT_PCT} - SUM(cents) AS DOUBLE)"
+            f" / CAST(SUM(cents) AS DOUBLE)"
+        ).alias("rel_error"),
+    )
+
+
+orders_ht_estimate_audit.__doc__ = (
+    orders_ht_estimate_audit.__doc__ or ""
+).replace("{PCT}", str(HT_PCT))
