@@ -1937,3 +1937,114 @@ knn_ranking_eval.__doc__ = (
     .replace("{K}", str(TOP_K))
     .replace("{S}", str(RR_SCALE))
 )
+
+
+# --- embedding split-drift audit -------------------------------------------
+
+DRIFT_SALT = 909  # half-split salt
+
+
+def _drift_split(dialect: str) -> str:
+    key = (
+        "CAST(vec_id AS STRING)"
+        if dialect == th.SPARK
+        else "CAST(vec_id AS VARCHAR)"
+    )
+    return f"({th.salted_md5h(DRIFT_SALT, key, dialect)} % 2 = 0)"
+
+
+_DRIFT_ORACLE = f"""
+    WITH q AS (
+      SELECT label, {_drift_split(th.DUCK)} AS in_a,
+             {vec.quantize("embedding", th.DUCK)} AS qv
+      FROM embeddings
+    ), sums AS (
+      SELECT label, pos,
+             CAST(SUM(CASE WHEN in_a THEN v ELSE 0 END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE v END) AS BIGINT) AS sb,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM (
+        SELECT label, in_a, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+        FROM q
+      ) GROUP BY 1, 2
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CASE WHEN SUM(sa * sa) = 0 OR SUM(sb * sb) = 0 THEN NULL
+                ELSE CAST(SUM(sa * sb) AS DOUBLE)
+                  / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
+                     * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) END
+             AS centroid_cosine
+    FROM sums GROUP BY label ORDER BY label
+    """
+
+
+@query("embedding_split_drift", oracle=_DRIFT_ORACLE)
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space stability audit: split each label's vectors
+    into two deterministic hash halves and report the cosine between
+    the half-centroids — a homogeneous, well-labeled cluster scores
+    ~1.0, while label noise, multimodal clusters, or an upstream
+    encoder change drag it down. The two-half self-consistency check
+    run before trusting per-label centroids for routing or drift
+    baselines. The 1/n mean factors cancel inside cosine, so the
+    whole computation stays in exact integer SUM vectors (the
+    ``centroid_separation`` contract) with one sqrt-division at the
+    boundary.
+
+    Scale: one pass over vectors, posexploded to (label, dim) partial
+    sums — O(labels x dim) rows after the map-side combine; the
+    cosine reduces those per label. No vector ever crosses the
+    shuffle un-aggregated."""
+    emb = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "label",
+        F.expr(_drift_split(th.SPARK)).alias("in_a"),
+        F.expr(vec.quantize("embedding", th.SPARK)).alias("qv"),
+    )
+    sums = (
+        q.select(
+            "label", "in_a", F.posexplode("qv").alias("pos0", "v")
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.sum(F.when(F.col("in_a"), F.col("v")).otherwise(0))
+            .cast("bigint")
+            .alias("sa"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(F.col("v")))
+            .cast("bigint")
+            .alias("sb"),
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("na"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("nb"),
+        )
+    )
+    return (
+        sums.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            # empty-half guard: a label whose vectors all hash to one
+            # half has a zero norm on the other side — NULL, not a
+            # divide-by-zero (ANSI Spark raises where DuckDB NULLs)
+            F.when(
+                (F.sum(F.col("sa") * F.col("sa")) == 0)
+                | (F.sum(F.col("sb") * F.col("sb")) == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.sum(F.col("sa") * F.col("sb")).cast("double")
+                / (
+                    F.sqrt(F.sum(F.col("sa") * F.col("sa")).cast("double"))
+                    * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
+                )
+            )
+            .alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )

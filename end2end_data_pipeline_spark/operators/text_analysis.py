@@ -958,3 +958,103 @@ docs_pmi_collocations.__doc__ = (
     .replace("{PMI_TOP_K}", str(PMI_TOP_K))
     .replace("{PMI_MIN_SUPPORT}", str(PMI_MIN_SUPPORT))
 )
+
+
+# --- vocabulary coverage curve ---------------------------------------------
+
+VOCAB_KS = (5, 10, 20, 30)  # vocabulary sizes audited
+
+
+def _coverage_oracle() -> str:
+    ks = ", ".join(str(k) for k in VOCAB_KS)
+    return f"""
+    WITH uc AS (
+      SELECT unnest({th.tokens('text', th.DUCK)}) AS w FROM documents
+    ), counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY w
+    ), ranked AS (
+      SELECT c,
+             CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rk,
+             CAST(SUM(c) OVER (ORDER BY c DESC, w
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS n_vocab
+      FROM counts
+    )
+    SELECT CAST(k.k AS BIGINT) AS vocab_k,
+           CAST(max(n_vocab) AS BIGINT) AS n_vocab,
+           CAST(max(total) AS BIGINT) AS n_tokens,
+           CAST(max(CASE WHEN rk <= k.k THEN cum END) AS BIGINT)
+             AS covered_tokens,
+           CAST(max(CASE WHEN rk <= k.k THEN cum END) AS DOUBLE)
+             / CAST(max(total) AS DOUBLE) AS coverage
+    FROM ranked CROSS JOIN (SELECT unnest([{ks}]) AS k) k
+    WHERE rk <= k.k
+    GROUP BY k.k ORDER BY vocab_k
+    """
+
+
+@query("vocab_coverage_curve", oracle=_coverage_oracle())
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size
+    k, the share of all token OCCURRENCES covered by the k most
+    frequent types (ties broken lexicographically, so the "vocabulary"
+    is deterministic on both engines) — the curve a tokenizer budget
+    is read off of, and the denominator of every OOV-rate target: a
+    vocab of size k leaves 1-coverage(k) of the stream as unknowns.
+    Complements ``vocab_top_tokens`` (the list) and
+    ``vocab_heavy_hitters`` (the sketch) with the sizing curve.
+
+    Scale: token counting is the vocab-bounded map-side-combined
+    shuffle; ranking and cumulative shares are windows over the
+    vocab-bounded count table; the k-grid fan-out joins {NK} literal
+    rows. Raw text is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    uc = (
+        fan_out(spark, docs)
+        .select(F.explode(F.expr(th.tokens("text", th.SPARK))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wo = Window.orderBy(F.col("c").desc(), "w")
+    ranked = uc.select(
+        "c",
+        F.row_number().over(wo).cast("bigint").alias("rk"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("total"),
+        F.count("*")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n_vocab"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in VOCAB_KS])
+    ).alias("vocab_k")
+    grid = ranked.select("rk", "cum", "total", "n_vocab", ks).where(
+        F.col("rk") <= F.col("vocab_k")
+    )
+    return (
+        grid.groupBy(F.col("vocab_k").cast("bigint").alias("vocab_k"))
+        .agg(
+            F.max("n_vocab").cast("bigint").alias("n_vocab"),
+            F.max("total").cast("bigint").alias("n_tokens"),
+            F.max(F.when(F.col("rk") <= F.col("vocab_k"), F.col("cum")))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            (
+                F.max(
+                    F.when(F.col("rk") <= F.col("vocab_k"), F.col("cum"))
+                ).cast("double")
+                / F.max("total").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_k")
+    )
+
+
+vocab_coverage_curve.__doc__ = (vocab_coverage_curve.__doc__ or "").replace(
+    "{NK}", str(len(VOCAB_KS))
+)
