@@ -1095,3 +1095,107 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("in_lsh").cast("double")
         ).alias("precision"),
     )
+
+
+# --- LSH S-curve validation -------------------------------------------------
+
+SCURVE_BANDS = 20  # jaccard bands of width 1/20
+
+
+def _scurve_analytic(band: int) -> str:
+    """Analytic LSH detection probability 1-(1-s^r)^b at the band's
+    LOWER edge s = band/SCURVE_BANDS, with r = N_MINHASH // N_BANDS
+    rows per band and b = N_BANDS bands — emitted as an EXACT integer
+    fraction cast to double once (a float literal is NOT portable:
+    DuckDB parses long decimal literals through DECIMAL and can land
+    one ulp away from Python/Spark's repr round-trip)."""
+    r = N_MINHASH // N_BANDS
+    m = SCURVE_BANDS**r
+    den = m**N_BANDS
+    num = den - (m - band**r) ** N_BANDS
+    return f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+
+
+def _scurve_oracle() -> str:
+    analytic = " ".join(
+        f"WHEN {band} THEN {_scurve_analytic(band)}"
+        for band in range(SCURVE_BANDS // 2, SCURVE_BANDS + 1)
+    )
+    return f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(jaccard * {SCURVE_BANDS}) AS BIGINT) AS band
+      FROM ({ORACLE["dedup_ngram_jaccard_pairs"]}) t
+    ), lsh AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_minhash_pairs"]}) l
+    ), j AS (
+      SELECT t.band,
+             CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS detected
+      FROM truth t LEFT JOIN lsh l
+        ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    )
+    SELECT band AS jaccard_band,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(SUM(detected) AS BIGINT) AS n_detected,
+           CAST(SUM(detected) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS detect_rate,
+           CASE band {analytic} END AS analytic_floor_prob
+    FROM j GROUP BY band ORDER BY jaccard_band
+    """
+
+
+@query("dedup_lsh_scurve_eval", oracle=_scurve_oracle())
+def dedup_lsh_scurve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured against theory: true near-dup pairs
+    bucketed by exact Jaccard band, each band's measured detection
+    rate next to the analytic banding probability 1-(1-s^r)^b at the
+    band's lower edge — the plot every MinHash deployment draws to
+    pick (b, r). Detection should track the S-curve and exceed the
+    lower-edge bound as similarity rises; a band falling visibly
+    below it means the signature or banding implementation is broken
+    — this is the parameter-sweep companion to
+    ``dedup_lsh_recall_eval``'s single recall number. The analytic
+    curve is computed once in Python and embedded as identical
+    literals in both engines, so the whole row hashes exactly.
+
+    Scale: composes the two registered pair queries (hot-key-capped,
+    cached signatures); the comparison is one pair-keyed left join
+    into a band-bounded aggregate."""
+    truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("ta"),
+        F.col("doc_b").alias("tb"),
+        F.floor(F.col("jaccard") * SCURVE_BANDS).cast("bigint").alias("band"),
+    )
+    lsh = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+    )
+    j = truth.join(
+        lsh,
+        (F.col("ta") == F.col("la")) & (F.col("tb") == F.col("lb")),
+        "left",
+    ).select(
+        "band", F.col("la").isNotNull().cast("int").alias("detected")
+    )
+    analytic = F.expr(
+        "CASE band "
+        + " ".join(
+            f"WHEN {band} THEN {_scurve_analytic(band)}"
+            for band in range(SCURVE_BANDS // 2, SCURVE_BANDS + 1)
+        )
+        + " END"
+    )
+    return (
+        j.groupBy(F.col("band").alias("jaccard_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum("detected").cast("bigint").alias("n_detected"),
+            (
+                F.sum("detected").cast("double")
+                / F.count("*").cast("double")
+            ).alias("detect_rate"),
+        )
+        .withColumn("band", F.col("jaccard_band"))
+        .withColumn("analytic_floor_prob", analytic)
+        .drop("band")
+        .orderBy("jaccard_band")
+    )
