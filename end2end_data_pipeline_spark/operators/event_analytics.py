@@ -1616,3 +1616,82 @@ def user_ab_experiment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --- arrival burstiness (Fano factor) --------------------------------------
+
+_FANO_ORACLE = """
+    WITH counts AS (
+      SELECT event_type, date_trunc('minute', ts) AS m,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), spanned AS (
+      SELECT event_type, c,
+             min(m) OVER () AS gmin, max(m) OVER () AS gmax
+      FROM counts
+    )
+    SELECT event_type,
+           CAST((epoch(max(gmax)) - epoch(min(gmin))) // 60 + 1 AS BIGINT)
+             AS n_minutes,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+           (CAST((epoch(max(gmax)) - epoch(min(gmin))) // 60 + 1 AS DOUBLE)
+              * CAST(SUM(c * c) AS DOUBLE)
+            - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+             / (CAST((epoch(max(gmax)) - epoch(min(gmin))) // 60 + 1
+                     AS DOUBLE)
+                * CAST(SUM(c) AS DOUBLE)) AS fano_factor
+    FROM spanned GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("event_arrival_burstiness", oracle=_FANO_ORACLE)
+def event_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type as the Fano factor —
+    variance-to-mean ratio of per-minute counts over the DENSE minute
+    spine (zero minutes included; omitting them is the classic
+    burstiness-inflation bug). F = 1 marks a Poisson process; F > 1
+    is clumping (incident storms, batch jobs posing as users); F < 1
+    is smoother-than-random (rate limiting at work). The capacity
+    planner's one-number answer to "can I provision for the mean?".
+
+    The dense spine never materializes: zero minutes contribute
+    nothing to SUM(c) or SUM(c^2), so only the minute COUNT of the
+    global span enters the formula — carried as a min/max window over
+    the bounded (type x minute) count frame, no spine explode, no
+    type cross join. Every sum is an exact integer; the Fano factor
+    is ONE fixed-shape double expression (the n*SUMsq - SUM^2
+    variance form — no per-row float residuals).
+
+    Scale: one fact rollup to the (type, minute) grid; the global
+    span rides it as an unpartitioned window over that bounded frame;
+    the final reduce is O(types)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wall = Window.partitionBy()
+    spanned = counts.select(
+        "event_type",
+        "c",
+        F.min("m").over(wall).alias("gmin"),
+        F.max("m").over(wall).alias("gmax"),
+    )
+    n_min = (
+        "(CAST(max(gmax) AS BIGINT) - CAST(min(gmin) AS BIGINT)) div 60 + 1"
+    )
+    fano = (
+        f"(CAST({n_min} AS DOUBLE) * CAST(SUM(c * c) AS DOUBLE)"
+        f" - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))"
+        f" / (CAST({n_min} AS DOUBLE) * CAST(SUM(c) AS DOUBLE))"
+    )
+    return (
+        spanned.groupBy("event_type")
+        .agg(
+            F.expr(f"CAST({n_min} AS BIGINT)").alias("n_minutes"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+            F.expr(fano).alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )

@@ -1625,3 +1625,72 @@ def suppliers_serving_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_suppkey", "n_regions", "n_customers", "revenue_cents")
         .orderBy("s_suppkey")
     )
+
+
+# --- Gini coefficient of revenue concentration ------------------------------
+
+_GINI_ORACLE = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS i
+      FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           (CAST(2 AS DOUBLE)
+            * CAST(SUM(CAST(i AS DECIMAL(19,0)) * cents) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE)
+             AS gini
+    FROM ranked
+    """
+
+
+@query("customer_revenue_gini", oracle=_GINI_ORACLE)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the standard one-number inequality summary next to
+    ``customer_pareto_share``'s 80/20 slice: 0 is perfectly even
+    spend, 1 is a single whale. Computed by the rank formula
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over spend sorted ascending (ties
+    broken by customer key, so the ranking is a total order both
+    engines share); the rank-weighted sum accumulates in
+    DECIMAL(38,0) internally since rank times cents squares the row
+    count (the ge2 overflow rule) and crosses the output boundary
+    only inside the one fixed-shape double Gini expression.
+
+    Scale: one fact rollup to per-customer spend (map-side combined),
+    then a window over the customer-bounded frame and a single-row
+    exact aggregate. The global sort is over CUSTOMERS, not orders —
+    dim-bounded at any fact volume."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    wr = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "cents", F.row_number().over(wr).cast("bigint").alias("i")
+    )
+    gini = (
+        "(CAST(2 AS DOUBLE)"
+        " * CAST(SUM(CAST(i AS DECIMAL(19,0)) * cents) AS DOUBLE))"
+        " / (CAST(count(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))"
+        " - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE)"
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr(gini).alias("gini"),
+    )
