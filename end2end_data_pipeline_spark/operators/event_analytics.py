@@ -1437,25 +1437,10 @@ _BACKTEST_ORACLE = """
     ORDER BY event_type
     """
 
-@query("markov_backtest_hitrate", oracle=_BACKTEST_ORACLE)
-def markov_backtest_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-split backtest of the first-order Markov next-event model:
-    train on the first half of the clock (pairs whose SECOND event
-    precedes the midpoint of the corpus time range), predict each
-    type's most frequent successor (ties to the lexicographically
-    smallest, so the model is a deterministic function), score on
-    pairs fully inside the second half — per antecedent type the
-    prediction, train/test support, and hit rate. The
-    evaluate-before-you-ship step on top of
-    ``event_transition_matrix``; boundary-straddling pairs belong to
-    neither split, exactly like a leakage-safe temporal split.
-
-    Scale: one user-partitioned window pass over events (the
-    sessionization shuffle) reduced immediately to the O(|types|² x 3)
-    train/test/cross rollup, cached; model fit, train totals, and
-    scoring are all joins over that tiny frame. The split point is a
-    broadcast 1-row (min,max) aggregate — integer microseconds on
-    both engines."""
+def _backtest_roll(spark: SparkSession, sf_dir: str):
+    """The (prev, nxt, side) pair rollup behind the Markov backtest —
+    session-cached under one tag so the hit-rate and reliability
+    queries share a single build of the user-window pass."""
     import os
 
     ev = load_table(spark, sf_dir, "events")
@@ -1479,15 +1464,37 @@ def markov_backtest_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
-    # session_cached O(|types|² x 3) side rollup: the model/train-
+    # session_cached O(|types|^2 x 3) side rollup: the model/train-
     # total/test branches would each re-run the user window otherwise
-    roll = session_cached(
+    return session_cached(
         spark,
         f"backtest_roll_{sf_tag(os.path.abspath(sf_dir))}",
         pairs.groupBy("prev", "nxt", "side")
         .agg(F.count("*").cast("bigint").alias("n"))
         .coalesce(1),
     )
+
+
+@query("markov_backtest_hitrate", oracle=_BACKTEST_ORACLE)
+def markov_backtest_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-split backtest of the first-order Markov next-event model:
+    train on the first half of the clock (pairs whose SECOND event
+    precedes the midpoint of the corpus time range), predict each
+    type's most frequent successor (ties to the lexicographically
+    smallest, so the model is a deterministic function), score on
+    pairs fully inside the second half — per antecedent type the
+    prediction, train/test support, and hit rate. The
+    evaluate-before-you-ship step on top of
+    ``event_transition_matrix``; boundary-straddling pairs belong to
+    neither split, exactly like a leakage-safe temporal split.
+
+    Scale: one user-partitioned window pass over events (the
+    sessionization shuffle) reduced immediately to the O(|types|² x 3)
+    train/test/cross rollup, cached; model fit, train totals, and
+    scoring are all joins over that tiny frame. The split point is a
+    broadcast 1-row (min,max) aggregate — integer microseconds on
+    both engines."""
+    roll = _backtest_roll(spark, sf_dir)
     train = roll.where(F.col("side") == "train")
     rk_w = Window.partitionBy("prev").orderBy(F.col("n").desc(), "nxt")
     model = (
@@ -1692,6 +1699,93 @@ def event_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_events"),
             F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
             F.expr(fano).alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Markov model reliability (calibration) ---------------------------------
+
+_RELIABILITY_ORACLE = (
+    _BACKTEST_ORACLE.split("SELECT t.prev AS event_type")[0]
+    + """SELECT t.prev AS event_type, m.pred_type, tt.n_train,
+           r2.n AS n_pred_train,
+           CAST(r2.n AS DOUBLE) / tt.n_train AS confidence,
+           t.n_test, t.n_hits,
+           CAST(t.n_hits AS DOUBLE) / t.n_test AS hit_rate,
+           CAST(r2.n AS DOUBLE) / tt.n_train
+             - CAST(t.n_hits AS DOUBLE) / t.n_test AS calibration_gap
+    FROM test_agg t
+    JOIN model m ON t.prev = m.prev
+    JOIN train_tot tt ON t.prev = tt.prev
+    JOIN roll r2 ON r2.prev = t.prev AND r2.nxt = m.pred_type
+                AND r2.side = 'train'
+    ORDER BY event_type
+    """
+)
+
+
+@query("markov_reliability", oracle=_RELIABILITY_ORACLE)
+def markov_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) of the Markov next-event model: per
+    antecedent type, the model's TRAIN-SIDE confidence in its argmax
+    prediction (the empirical transition probability it would report)
+    next to the TEST-SIDE hit rate it actually achieves, and their
+    gap — positive means overconfident, negative underconfident. The
+    one-line reliability diagram behind ``markov_backtest_hitrate``'s
+    accuracy number: a model can be accurate AND badly calibrated,
+    and serving layers that threshold on confidence need this, not
+    the hit rate. Confidence is an exact count ratio (one division),
+    so the gap is a fixed-shape difference of two such ratios.
+
+    Scale: shares the session-cached (prev, nxt, side) rollup with
+    the backtest — this query adds only joins over that O(|types|^2)
+    frame."""
+    roll = _backtest_roll(spark, sf_dir)
+    train = roll.where(F.col("side") == "train")
+    rk_w = Window.partitionBy("prev").orderBy(F.col("n").desc(), "nxt")
+    model = (
+        train.withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") == 1)
+        .select(
+            "prev",
+            F.col("nxt").alias("pred_type"),
+            F.col("n").alias("n_pred_train"),
+        )
+    )
+    train_tot = train.groupBy("prev").agg(
+        F.sum("n").cast("bigint").alias("n_train")
+    )
+    test_agg = (
+        roll.where(F.col("side") == "test")
+        .join(model.select("prev", "pred_type"), "prev")
+        .groupBy("prev")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("nxt") == F.col("pred_type"), F.col("n")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    conf = "CAST(n_pred_train AS DOUBLE) / n_train"
+    hit = "CAST(n_hits AS DOUBLE) / n_test"
+    return (
+        test_agg.join(model, "prev")
+        .join(train_tot, "prev")
+        .select(
+            F.col("prev").alias("event_type"),
+            "pred_type",
+            "n_train",
+            "n_pred_train",
+            F.expr(conf).alias("confidence"),
+            "n_test",
+            "n_hits",
+            F.expr(hit).alias("hit_rate"),
+            F.expr(f"{conf} - {hit}").alias("calibration_gap"),
         )
         .orderBy("event_type")
     )

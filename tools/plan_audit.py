@@ -64,6 +64,9 @@ WAIVERS: dict[str, str] = {
     # ranking eval composes knn_bruteforce (waived broadcast-query
     # BNLJ); its own joins are broadcast label lookups.
     "knn_ranking_eval": "bnlj-over-two-scans",
+    # reliability shares the backtest's cached roll and inherits its
+    # waived broadcast 1-row split-point crossJoin.
+    "markov_reliability": "bnlj-over-two-scans",
     # hybrid fusion composes docs_bm25_search (waived broadcast-totals
     # crossJoin) and the knn-style single-query cosine scan (the query
     # row is a 1-row broadcast; the corpus side never shuffles) — both
