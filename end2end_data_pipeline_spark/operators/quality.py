@@ -2663,3 +2663,58 @@ def orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pct_band").asc_nulls_first())
     )
+
+
+# --- return-rate hotspots by brand ------------------------------------------
+
+RETURN_MIN_LINES = 50  # support floor: rates over tiny counts are noise
+
+_RETURN_ORACLE = f"""
+    SELECT p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS return_rate
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand HAVING count(*) >= {RETURN_MIN_LINES}
+    ORDER BY return_rate DESC, brand
+    """
+
+
+@query("brand_return_rates", oracle=_RETURN_ORACLE)
+def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate hotspots by part brand — the supply-chain QA
+    screen: share of line items flagged returned per brand, support-
+    floored at {MIN} lines so a brand with three shipments cannot top
+    the leaderboard on one return (the same small-sample guard every
+    rate ranking needs). Ranked worst-first with a deterministic
+    brand tiebreak. Exact integer counts; one rate division.
+
+    Scale: one fact scan with the part dim broadcast (brand is the
+    only column read from part — column pruning reaches the scan),
+    reduced map-side to the O(brands) rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    returned = (F.col("l_returnflag") == "R").cast("bigint")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(returned).cast("bigint").alias("n_returned"),
+            (
+                F.sum(returned).cast("double")
+                / F.count("*").cast("double")
+            ).alias("return_rate"),
+        )
+        .where(F.col("n_lines") >= RETURN_MIN_LINES)
+        .orderBy(F.col("return_rate").desc(), "brand")
+    )
+
+
+brand_return_rates.__doc__ = (brand_return_rates.__doc__ or "").replace(
+    "{MIN}", str(RETURN_MIN_LINES)
+)

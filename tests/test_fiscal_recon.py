@@ -69,3 +69,38 @@ def test_reconciliation_partitions_orders(spark):
         assert 0 <= r["n_exact"] <= r["n_orders"]
         if r["n_exact"] > 0:
             assert r["pct_band"] == 100
+
+
+def test_brand_return_rates_matches_python(spark):
+    from collections import defaultdict
+
+    from end2end_data_pipeline_spark.operators.quality import (
+        RETURN_MIN_LINES,
+    )
+
+    rows = entrymod.queries()["brand_return_rates"](spark, SF).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey", "l_returnflag")
+        .collect()
+    )
+    parts = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for r in li:
+        e = agg[parts[r["l_partkey"]]]
+        e[0] += 1
+        e[1] += r["l_returnflag"] == "R"
+    expect = {
+        b: (n, k) for b, (n, k) in agg.items() if n >= RETURN_MIN_LINES
+    }
+    got = {r["brand"]: (r["n_lines"], r["n_returned"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert abs(r["return_rate"] - r["n_returned"] / r["n_lines"]) < 1e-12
+    # ranked worst-first
+    rates = [r["return_rate"] for r in rows]
+    assert rates == sorted(rates, reverse=True)
