@@ -226,6 +226,17 @@ HEADLINE = [
     "event_value_conformal_bands",
     "orders_revenue_bootstrap_ci",
     "customer_censored_lifetable",
+    # round-9 session-4 third wave. (Excluded: dedup_lsh_scurve_eval —
+    # composes the bench-excluded intentionally-quadratic exact-pairs
+    # query, like dedup_lsh_recall_eval.)
+    "orders_fiscal_445_rollup",
+    "orders_total_reconciliation",
+    "orders_ht_estimate_audit",
+    "embedding_split_drift",
+    "vocab_coverage_curve",
+    "event_arrival_burstiness",
+    "customer_revenue_gini",
+    "markov_reliability",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
