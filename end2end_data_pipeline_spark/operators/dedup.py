@@ -1116,11 +1116,18 @@ def _scurve_analytic(band: int) -> str:
     return f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
 
 
-def _scurve_oracle() -> str:
-    analytic = " ".join(
+def _scurve_case() -> str:
+    """The band -> analytic-probability CASE ladder, generated ONCE and
+    used verbatim by both engines; the start band derives from
+    JACCARD_THRESHOLD so the coverage tracks the truth query."""
+    start = int(JACCARD_THRESHOLD * SCURVE_BANDS)
+    return "CASE band " + " ".join(
         f"WHEN {band} THEN {_scurve_analytic(band)}"
-        for band in range(SCURVE_BANDS // 2, SCURVE_BANDS + 1)
-    )
+        for band in range(start, SCURVE_BANDS + 1)
+    ) + " END"
+
+
+def _scurve_oracle() -> str:
     return f"""
     WITH truth AS (
       SELECT doc_a, doc_b,
@@ -1139,7 +1146,7 @@ def _scurve_oracle() -> str:
            CAST(SUM(detected) AS BIGINT) AS n_detected,
            CAST(SUM(detected) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              AS detect_rate,
-           CASE band {analytic} END AS analytic_floor_prob
+           {_scurve_case()} AS analytic_floor_prob
     FROM j GROUP BY band ORDER BY jaccard_band
     """
 
@@ -1176,14 +1183,7 @@ def dedup_lsh_scurve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "band", F.col("la").isNotNull().cast("int").alias("detected")
     )
-    analytic = F.expr(
-        "CASE band "
-        + " ".join(
-            f"WHEN {band} THEN {_scurve_analytic(band)}"
-            for band in range(SCURVE_BANDS // 2, SCURVE_BANDS + 1)
-        )
-        + " END"
-    )
+    analytic = F.expr(_scurve_case())
     return (
         j.groupBy(F.col("band").alias("jaccard_band"))
         .agg(

@@ -1385,7 +1385,9 @@ events_cusum_drift.__doc__ = events_cusum_drift.__doc__.replace(
 
 # --- Markov next-event backtest ----------------------------------------
 
-_BACKTEST_ORACLE = """
+# the WITH-prefix shared by the backtest and reliability oracles — one
+# constant so the two final SELECTs can never drift from the CTEs
+_BACKTEST_CTES = """
     WITH bounds AS (
       SELECT (epoch_us(date_trunc('microseconds', min(ts)))
               + epoch_us(date_trunc('microseconds', max(ts)))) // 2
@@ -1428,7 +1430,9 @@ _BACKTEST_ORACLE = """
       FROM roll r JOIN model m ON r.prev = m.prev
       WHERE r.side = 'test' GROUP BY 1
     )
-    SELECT t.prev AS event_type, m.pred_type, tt.n_train,
+    """
+
+_BACKTEST_ORACLE = _BACKTEST_CTES + """SELECT t.prev AS event_type, m.pred_type, tt.n_train,
            t.n_test, t.n_hits,
            CAST(t.n_hits AS DOUBLE) / t.n_test AS hit_rate
     FROM test_agg t
@@ -1707,7 +1711,7 @@ def event_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Markov model reliability (calibration) ---------------------------------
 
 _RELIABILITY_ORACLE = (
-    _BACKTEST_ORACLE.split("SELECT t.prev AS event_type")[0]
+    _BACKTEST_CTES
     + """SELECT t.prev AS event_type, m.pred_type, tt.n_train,
            r2.n AS n_pred_train,
            CAST(r2.n AS DOUBLE) / tt.n_train AS confidence,

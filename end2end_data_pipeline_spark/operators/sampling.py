@@ -29,15 +29,19 @@ SPLIT_VAL_PCT = 10
 PER_KEY_K = 5  # per-source uniform sample size
 
 
-def _doc_hash_pct(salt: str, dialect: str) -> str:
-    """Portable per-doc percentile in [0, 100): md5 of the salted
-    doc_id, reduced mod 100. Content-keyed -> stable across runs,
-    engines, and partitionings."""
-    if dialect == th.SPARK:
-        key = f"concat('{salt}:', CAST(doc_id AS STRING))"
-    else:
-        key = f"concat('{salt}:', CAST(doc_id AS VARCHAR))"
+def _hash_pct(salt: str, key_col: str, dialect: str) -> str:
+    """Portable per-row percentile in [0, 100): md5 of the salted key
+    column, reduced mod 100. Content-keyed -> stable across runs,
+    engines, and partitionings. ONE recipe for every hash-sampled
+    surface (doc sampling, the HT audit) so the scheme cannot
+    diverge."""
+    cast = "STRING" if dialect == th.SPARK else "VARCHAR"
+    key = f"concat('{salt}:', CAST({key_col} AS {cast}))"
     return f"({th.md5h(key, dialect)} % 100)"
+
+
+def _doc_hash_pct(salt: str, dialect: str) -> str:
+    return _hash_pct(salt, "doc_id", dialect)
 
 
 @query(
@@ -223,12 +227,7 @@ HT_SALT = "ht"
 
 
 def _order_hash_pct(salt: str, dialect: str) -> str:
-    key = (
-        f"concat('{salt}:', CAST(o_orderkey AS STRING))"
-        if dialect == th.SPARK
-        else f"concat('{salt}:', CAST(o_orderkey AS VARCHAR))"
-    )
-    return f"({th.md5h(key, dialect)} % 100)"
+    return _hash_pct(salt, "o_orderkey", dialect)
 
 
 _HT_ORACLE = f"""

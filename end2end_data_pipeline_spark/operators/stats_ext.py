@@ -1549,14 +1549,14 @@ def _boot_base(dialect: str) -> str:
     this ONCE into its own column; the affine replicate family
     references the column so the md5 runs once per row, not once per
     (row, replicate)."""
-    from end2end_data_pipeline_spark.functions.texthash import salted_md5h
+    from end2end_data_pipeline_spark.functions.texthash import BASE_MOD
 
     key = (
         "CAST(o_orderkey AS STRING)"
         if dialect == SPARK
         else "CAST(o_orderkey AS VARCHAR)"
     )
-    return f"({salted_md5h(BOOT_SALT, key, dialect)} % {1 << 30})"
+    return f"({salted_md5h(BOOT_SALT, key, dialect)} % {BASE_MOD})"
 
 
 def _boot_coeff_rows() -> list[tuple[int, int, int]]:
@@ -1579,9 +1579,10 @@ def _boot_w_expr() -> str:
 
 
 def _boot_oracle() -> str:
-    js = ",".join(str(j) for j, _, _ in _boot_coeff_rows())
-    avs = ",".join(str(a) for _, a, _ in _boot_coeff_rows())
-    bvs = ",".join(str(b) for _, _, b in _boot_coeff_rows())
+    rows = _boot_coeff_rows()
+    js = ",".join(str(j) for j, _, _ in rows)
+    avs = ",".join(str(a) for _, a, _ in rows)
+    bvs = ",".join(str(b) for _, _, b in rows)
     return f"""
     WITH hashed AS MATERIALIZED (
       SELECT {_boot_base("duck")} AS h0,

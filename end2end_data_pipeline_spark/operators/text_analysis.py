@@ -984,9 +984,8 @@ def _coverage_oracle() -> str:
     SELECT CAST(k.k AS BIGINT) AS vocab_k,
            CAST(max(n_vocab) AS BIGINT) AS n_vocab,
            CAST(max(total) AS BIGINT) AS n_tokens,
-           CAST(max(CASE WHEN rk <= k.k THEN cum END) AS BIGINT)
-             AS covered_tokens,
-           CAST(max(CASE WHEN rk <= k.k THEN cum END) AS DOUBLE)
+           CAST(max(cum) AS BIGINT) AS covered_tokens,
+           CAST(max(cum) AS DOUBLE)
              / CAST(max(total) AS DOUBLE) AS coverage
     FROM ranked CROSS JOIN (SELECT unnest([{ks}]) AS k) k
     WHERE rk <= k.k
@@ -1041,13 +1040,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_vocab").cast("bigint").alias("n_vocab"),
             F.max("total").cast("bigint").alias("n_tokens"),
-            F.max(F.when(F.col("rk") <= F.col("vocab_k"), F.col("cum")))
-            .cast("bigint")
-            .alias("covered_tokens"),
+            F.max("cum").cast("bigint").alias("covered_tokens"),
             (
-                F.max(
-                    F.when(F.col("rk") <= F.col("vocab_k"), F.col("cum"))
-                ).cast("double")
+                F.max("cum").cast("double")
                 / F.max("total").cast("double")
             ).alias("coverage"),
         )

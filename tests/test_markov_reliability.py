@@ -26,11 +26,10 @@ def test_reliability_reconciles_with_backtest(spark):
         assert r["n_test"] == b["n_test"]
         assert r["n_hits"] == b["n_hits"]
         assert abs(r["hit_rate"] - b["hit_rate"]) < 1e-15
-        # confidence is the argmax train share; the argmax can't be
-        # smaller than the uniform share or exceed 1
+        # confidence is exactly the argmax train share, in (0, 1]
         assert 0 < r["n_pred_train"] <= r["n_train"]
         assert abs(r["confidence"] - r["n_pred_train"] / r["n_train"]) < 1e-15
-        assert r["confidence"] >= r["n_pred_train"] / r["n_train"] - 1e-15
+        assert 0.0 < r["confidence"] <= 1.0
         assert (
             abs(r["calibration_gap"] - (r["confidence"] - r["hit_rate"]))
             < 1e-15
