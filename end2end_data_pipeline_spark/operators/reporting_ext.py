@@ -1083,3 +1083,93 @@ def orders_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 orders_fiscal_445_rollup.__doc__ = (
     orders_fiscal_445_rollup.__doc__ or ""
 ).replace("{EPOCH}", FISCAL_EPOCH)
+
+
+# --- month-over-month revenue waterfall -------------------------------------
+
+_WATERFALL_ORACLE = """
+    WITH cells AS (
+      SELECT date_diff('month', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS month_idx,
+             c_mktsegment AS segment,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), lagged AS (
+      SELECT month_idx, segment, cents,
+             CAST(COALESCE(lag(cents) OVER (PARTITION BY segment
+                                            ORDER BY month_idx), 0)
+               AS BIGINT) AS prev_cents
+      FROM cells
+    )
+    SELECT CAST(month_idx AS BIGINT) AS month_idx, segment, cents,
+           prev_cents,
+           CAST(cents - prev_cents AS BIGINT) AS delta_cents,
+           CAST(SUM(cents - prev_cents) OVER (PARTITION BY month_idx)
+             AS BIGINT) AS total_delta_cents
+    FROM lagged WHERE month_idx > 0
+    ORDER BY month_idx, segment
+    """
+
+
+@query("revenue_mom_waterfall", oracle=_WATERFALL_ORACLE)
+def revenue_mom_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue waterfall: each month's total revenue
+    delta decomposed into exact per-segment contributions — the
+    "which segment moved the number" chart every revenue review opens
+    with. Because the cells are exact integer cents, the per-segment
+    deltas sum EXACTLY to the month's total delta (carried alongside
+    for the conservation check) — a float pipeline can't promise
+    that, and a waterfall that doesn't reconcile is worse than none.
+    A segment absent in the prior month contributes its full amount
+    (prev coalesced to 0); a segment vanishing ENTIRELY mid-series
+    would need the zero-filled grid (the gapfill device) to carry its
+    negative contribution — on this schema every segment transacts
+    every month, and the test pins the reconciliation.
+
+    Scale: one fact rollup to the O(months x segments) cell grid
+    (customer dim broadcast); the lag and the month-total both window
+    over that bounded grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("datediff(MONTH, DATE'1995-01-01', o_orderdate)")
+        .cast("bigint")
+        .alias("month_idx"),
+        "o_custkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents0"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("month_idx", F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum("cents0").cast("bigint").alias("cents"))
+    )
+    wl = Window.partitionBy("segment").orderBy("month_idx")
+    lagged = cells.select(
+        "month_idx",
+        "segment",
+        "cents",
+        F.coalesce(F.lag("cents").over(wl), F.lit(0))
+        .cast("bigint")
+        .alias("prev_cents"),
+    )
+    wm = Window.partitionBy("month_idx")
+    return (
+        lagged.where(F.col("month_idx") > 0)
+        .select(
+            "month_idx",
+            "segment",
+            "cents",
+            "prev_cents",
+            (F.col("cents") - F.col("prev_cents"))
+            .cast("bigint")
+            .alias("delta_cents"),
+            F.sum(F.col("cents") - F.col("prev_cents"))
+            .over(wm)
+            .cast("bigint")
+            .alias("total_delta_cents"),
+        )
+        .orderBy("month_idx", "segment")
+    )

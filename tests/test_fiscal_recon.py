@@ -104,3 +104,27 @@ def test_brand_return_rates_matches_python(spark):
     # ranked worst-first
     rates = [r["return_rate"] for r in rows]
     assert rates == sorted(rates, reverse=True)
+
+
+def test_waterfall_reconciles(spark):
+    rows = entrymod.queries()["revenue_mom_waterfall"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_month = defaultdict(list)
+    for r in rows:
+        by_month[r["month_idx"]].append(r)
+    months = sorted(by_month)
+    # per-month: segment deltas sum exactly to the carried total
+    for m, rs in by_month.items():
+        assert sum(r["delta_cents"] for r in rs) == rs[0]["total_delta_cents"]
+        for r in rs:
+            assert r["delta_cents"] == r["cents"] - r["prev_cents"]
+    # chain consistency: prev_cents equals the prior month's cents for
+    # every (segment, month) pair present in both
+    cells = {(r["month_idx"], r["segment"]): r["cents"] for r in rows}
+    for r in rows:
+        key = (r["month_idx"] - 1, r["segment"])
+        if key in cells:
+            assert r["prev_cents"] == cells[key]
+    assert months == list(range(months[0], months[-1] + 1))
