@@ -237,6 +237,8 @@ HEADLINE = [
     "event_arrival_burstiness",
     "customer_revenue_gini",
     "markov_reliability",
+    "brand_return_rates",
+    "revenue_mom_waterfall",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
