@@ -720,32 +720,35 @@ MG_COUNTERS = 256
 
 
 def _mg_candidates(frames):
-    """Per-partition Misra-Gries summary over the token stream.
+    """Per-partition Misra-Gries summary over the token stream,
+    batched: each Arrow batch is exact-counted with vectorized
+    ``value_counts`` (itself a valid MG summary of the batch), then
+    MERGED into the running state the standard mergeable-summaries
+    way — add counters, and if more than k survive, subtract the
+    (k+1)-th largest count from all and drop the non-positives.
+    Merging preserves the superset guarantee (every token with global
+    share > 1/k survives some chain of merges), and the r9 per-token
+    Python loop (1.3 s single-task at sf0.1) becomes O(unique) C-side
+    work per batch (~0.1 s).
 
     Emits one row per surviving counter (token, n=0) plus a single
     sentinel row (token=NULL, n=partition token count) so the global
-    total comes out of the SAME scan. Decrement-all is O(k) but fires
-    at most n/k times per partition - amortized O(1) per token.
+    total comes out of the SAME scan.
     """
     import pandas as pd
 
     counters: dict[str, int] = {}
     n_part = 0
     for pdf in frames:
-        for tok in pdf["token"]:
-            n_part += 1
-            if tok in counters:
-                counters[tok] += 1
-            elif len(counters) < MG_COUNTERS:
-                counters[tok] = 1
-            else:
-                dead = []
-                for key in counters:
-                    counters[key] -= 1
-                    if counters[key] == 0:
-                        dead.append(key)
-                for key in dead:
-                    del counters[key]
+        vc = pdf["token"].value_counts()
+        n_part += int(vc.sum())
+        for tok, cnt in vc.items():
+            counters[tok] = counters.get(tok, 0) + int(cnt)
+        if len(counters) > MG_COUNTERS:
+            cut = sorted(counters.values(), reverse=True)[MG_COUNTERS]
+            counters = {
+                t: c - cut for t, c in counters.items() if c > cut
+            }
     yield pd.DataFrame(
         {
             "token": list(counters) + [None],
