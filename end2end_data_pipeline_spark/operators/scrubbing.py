@@ -199,3 +199,112 @@ def docs_normalized_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Right-to-be-forgotten cascade: share of each table a deletion
+# request set would remove. The request set is a deterministic
+# content-keyed sample of customers (the shared _hash_pct recipe from
+# operators/sampling.py — ONE hashing scheme for every sampled
+# surface), so both engines and every partitioning elect the same
+# keys. 2% models a realistic erasure-request backlog.
+from end2end_data_pipeline_spark.operators.sampling import _hash_pct
+
+FORGET_PCT = 2
+_FORGET_DUCK = _hash_pct("forget", "c_custkey", DUCK)
+
+
+@query(
+    "gdpr_delete_cascade_audit",
+    oracle=f"""
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE {_FORGET_DUCK} < {FORGET_PCT}
+    ), del_o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM keys)
+    ), per_table AS (
+      SELECT 'customer' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_forget
+      FROM customer
+      UNION ALL
+      SELECT 'orders', CAST(count(*) AS BIGINT),
+             CAST((SELECT count(*) FROM del_o) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(count(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_o)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+    )
+    SELECT table_name, n_rows, n_forget,
+           CAST(n_forget AS DOUBLE) / CAST(n_rows AS DOUBLE) AS forget_share
+    FROM per_table ORDER BY table_name
+    """,
+)
+def gdpr_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR / right-to-be-forgotten impact audit: given the customer
+    erasure keyset, count the rows each table loses through the
+    foreign-key cascade (customer -> orders -> lineitem) plus the
+    share of the table affected — the planning query a pipeline runs
+    BEFORE executing deletes, to size rewrite cost and pick rewrite
+    granularity (events is excluded: its user_id is a separate
+    identity domain in this fixture).
+
+    Scale: the keyset predicate is pure column arithmetic (md5 mod
+    100) — no keyset materialization for the orders pass at all; the
+    lineitem pass joins on the deleted ORDER keys (left join against
+    the unique o_orderkey side, so no row duplication), the standard
+    shuffle-on-fk shape. Each table is scanned exactly once; output
+    is O(3) rows."""
+    forget = F.expr(_hash_pct("forget", "c_custkey", SPARK)) < FORGET_PCT
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    c_row = cust.agg(
+        F.lit("customer").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(forget, 1).otherwise(0)).cast("bigint").alias("n_forget"),
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    keys = cust.where(forget)
+    o_flag = orders.join(
+        keys.withColumn("f", F.lit(1)),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    o_row = o_flag.agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.coalesce(F.col("f"), F.lit(0))).cast("bigint").alias("n_forget"),
+    )
+
+    del_orders = (
+        orders.join(
+            keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        )
+        .select("o_orderkey")
+        .withColumn("f", F.lit(1))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    l_row = li.join(
+        del_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.coalesce(F.col("f"), F.lit(0))).cast("bigint").alias("n_forget"),
+    )
+
+    return (
+        c_row.unionByName(o_row)
+        .unionByName(l_row)
+        .select(
+            "table_name",
+            "n_rows",
+            "n_forget",
+            (F.col("n_forget").cast("double") / F.col("n_rows").cast("double"))
+            .alias("forget_share"),
+        )
+        .orderBy("table_name")
+    )

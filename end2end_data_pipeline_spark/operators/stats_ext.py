@@ -44,6 +44,7 @@ from end2end_data_pipeline_spark.functions.texthash import (
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
     load_table,
+    register_views,
     session_cached,
     sf_tag,
 )
@@ -1824,3 +1825,85 @@ def customer_censored_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
 customer_censored_lifetable.__doc__ = (
     customer_censored_lifetable.__doc__ or ""
 ).replace("{END}", STUDY_END)
+
+
+# Seasonal-naive backtest horizon: forecast each day's revenue with
+# the value 7 days earlier (weekly seasonality), benchmarked against
+# the 1-day naive via MASE. Pure integer-cents sums; the only double
+# is one final division of exact BIGINTs.
+MASE_SEASON_DAYS = 7
+
+
+def _mase_sql(dialect: str) -> str:
+    day_fmt = (
+        "date_format(day, 'yyyy-MM-dd')"
+        if dialect == "spark"
+        else "strftime(day, '%Y-%m-%d')"
+    )
+    spine = (
+        "SELECT explode(sequence(dmin, dmax, interval 1 day)) AS day"
+        if dialect == "spark"
+        else "SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS day"
+    )
+    s = MASE_SEASON_DAYS
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS dmin,
+             CAST(max(o_orderdate) AS DATE) AS dmax
+      FROM orders
+    ), spine AS (
+      {spine} FROM bounds
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ), dense AS (
+      SELECT {day_fmt} AS day, COALESCE(rev_cents, 0) AS rev_cents
+      FROM spine LEFT JOIN daily USING (day)
+    ), lagged AS (
+      SELECT day, rev_cents,
+             lag(rev_cents, {s}) OVER w AS seasonal_fc,
+             lag(rev_cents, 1) OVER w AS naive_fc,
+             row_number() OVER w AS rn
+      FROM dense
+      WINDOW w AS (ORDER BY day)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days_eval,
+           CAST(SUM(abs(rev_cents - seasonal_fc)) AS BIGINT)
+             AS sae_seasonal_cents,
+           CAST(SUM(abs(rev_cents - naive_fc)) AS BIGINT)
+             AS sae_naive_cents,
+           CAST(SUM(abs(rev_cents - seasonal_fc)) AS DOUBLE)
+             / CAST(SUM(abs(rev_cents - naive_fc)) AS DOUBLE) AS mase
+    FROM lagged WHERE rn > {s}
+    """
+
+
+@query("orders_seasonal_naive_mase", oracle=_mase_sql("duck"))
+def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue
+    with the revenue {S} days earlier and score it with MASE (the
+    scale-free forecast metric — seasonal absolute error over 1-day
+    naive absolute error). MASE < 1 means weekly seasonality carries
+    real signal over pure persistence; the one-number go/no-go before
+    investing in a heavier forecaster, complementing
+    ``orders_seasonality_dow`` (descriptive) and
+    ``orders_daily_ewma16`` (smoothing). Errors are exact integer
+    cents on a DENSE calendar spine (missing days count as zero
+    revenue — the honest backtest; lag over observed days only would
+    silently skip gaps); both engines evaluate the same rows because
+    the first {S} spine days are excluded by row number, not by
+    NULL-ness.
+
+    Scale: one date-keyed partial agg collapses the fact table to
+    O(#days) rows before the single ordered window; the spine join and
+    window are calendar-bounded (~2.5k rows), one task. No empty-frame
+    SUM: lag() rows with no history are excluded by the rn filter."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_mase_sql("spark"))
+
+
+orders_seasonal_naive_mase.__doc__ = orders_seasonal_naive_mase.__doc__.replace(
+    "{S}", str(MASE_SEASON_DAYS)
+)

@@ -63,66 +63,65 @@ def test_checked_window_contract():
     assert set(QUERIES) == set(RAW)
     assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
-        # round-9 second-window composition: ALL 32 awaiting r9
-        # registrations first (tools/rotate_window.py puts every
-        # awaiting query at the head), then the stalest greens — map
-        # re-aligned to THIS window per the rotation rule.
-        "docs_shard_skew_profile": "distributed shard-writer audit",
-        "avro_ocf_roundtrip": "Avro OCF serde parity",
-        "orc_roundtrip": "ORC format parity",
-        "xml_roundtrip": "XML format parity",
-        "csv_": "csv quarantine ingest parity (batch + stream)",
-        "image_png_parity": "image codec parity",
-        "ann_pq_topk": "PQ asymmetric-distance search",
-        "ann_ivfpq_topk": "IVF-PQ composed search",
-        "warehouse_compaction_audit": "small-file compaction audit",
-        "event_dedup_stream_replay": "streaming dedup replay",
-        "view_purchase_stream_join_replay": "stream-stream join replay",
-        "error_streak_stream_replay": "custom stateful streak replay",
-        "first_seen_stream_replay": "stateful first-seen replay",
-        "sliding_window_stream_replay": "sliding-window replay",
-        "enrich_stream_static_replay": "stream-static join replay",
-        "upsert_sink_stream_replay": "foreachBatch upsert sink",
-        "state_store_audit": "state-store introspection",
-        "vocab_heavy_hitters": "Misra-Gries heavy hitters",
-        "part_copurchase_triangles": "oriented triangle counting",
-        "dedup_prefixfilter_pairs": "prefix-filter near-dup join",
-        "lineitem_zorder_zonemap": "z-order zone-map audit",
-        "lineitem_corr_matrix": "correlation profiling",
-        "orders_daily_ols_trend": "OLS trend",
-        "props_variant_profile": "VARIANT semi-structured tier",
-        "python_datasource_parity": "custom Python source (batch)",
-        "python_datasource_stream_parity": "custom Python source (stream)",
-        "nation_cosupply_bfs_recursive": "recursive CTE",
-        "nation_top2_customers_lateral": "LATERAL subquery",
-        "snapshot_reconcile_audit": "digest-diff snapshot reconcile",
-        "bloom_prefilter_audit": "bloom semi-join prefilter",
-        "order_allocation_proration": "largest-remainder allocation",
-        "udtf_token_runs": "Arrow Python UDTF",
-        "scd2_customer_tier_history": "SCD Type-2 dimension build",
-        "region_nation_revenue_share": "share-of-parent rollup",
-        "scd2_point_in_time_join": "SCD2 as-of consumption join",
-        "customer_spend_rank_bands": "ntile/percent_rank/cume_dist",
-        "orders_daily_ewma16": "exact EWMA smoother",
-        # round-9 third window: the reporting/serving tier fills the
-        # last 9 slots (all 50 now await their first driver green —
-        # a green run closes the union at 249/249)
-        "session_concurrency_timeline": "sweep-line concurrency",
-        "user_activity_bitmap": "day-activity bitmap index",
-        "user_count_cms_audit": "count-min sketch audit",
-        "part_price_size_skyline": "2-D Pareto skyline",
-        "orders_keyset_pagination": "keyset pagination parity",
-        "nation_customer_listagg": "deterministic LISTAGG",
-        "segment_nation_chisq": "chi-square contingency",
-        "customer_order_gap_median": "exact median order gap",
-        "docs_conjunctive_search": "conjunctive posting search",
+        # round-10 window composition: the 50 never-driver-checked
+        # queries (r9's WINDOW_OVERFLOW backlog), rotated to the head
+        # by tools/rotate_window.py — map re-aligned to THIS window
+        # per the rotation rule.
+        "markov_backtest_hitrate": "Markov next-event backtest",
+        "markov_reliability": "Markov calibration reliability",
+        "user_ab_experiment_audit": "deterministic A/B bucketing audit",
+        "event_arrival_burstiness": "Fano-factor burstiness",
+        "embedding_triplet_mining": "triplet mining",
+        "knn_ranking_eval": "kNN ranking eval (integer MRR)",
+        "embedding_split_drift": "embedding split-drift audit",
+        "part_itemitem_cosine_topk": "item-item CF cosine top-k",
+        "part_copurchase_communities": "LPA communities",
+        "part_copurchase_kcore": "k-core peeling",
+        "part_copurchase_assortativity": "degree assortativity",
+        "docs_quantile_norm_by_lang": "per-language quantile normalization",
+        "dedup_lsh_recall_eval": "LSH recall eval",
+        "dedup_lsh_scurve_eval": "LSH S-curve validation",
+        "nation_supply_latency_paths": "supply latency path rollup",
+        "parquet_schema_evolution_parity": "schema-evolution merge parity",
+        "orders_capacity_queue_sim": "capacity queue simulation",
+        "event_minute_value_lerp": "linear interpolation densify",
+        "event_minute_crosscorr_lags": "lagged cross-correlation",
+        "customer_kanonymity_profile": "k-anonymity histogram",
+        "orders_fd_audit": "functional-dependency audit",
+        "orders_total_reconciliation": "header-detail reconciliation",
+        "brand_return_rates": "brand return-rate hotspots",
+        "orders_cohort_ltv": "cohort LTV curves",
+        "suppliers_serving_all_regions": "relational division",
+        "customer_revenue_gini": "revenue Gini coefficient",
+        "docs_phrase_search": "positional phrase search",
+        "docs_bm25_search": "BM25 ranked search",
+        "docs_hybrid_rrf_search": "hybrid RRF fusion search",
+        "orders_fiscal_445_rollup": "4-4-5 fiscal calendar rollup",
+        "revenue_mom_waterfall": "MoM revenue waterfall",
+        "orders_ht_estimate_audit": "Horvitz-Thompson estimate audit",
+        "orders_weekly_mann_kendall": "Mann-Kendall trend test",
+        "orders_weekly_kendall_tau": "Kendall tau",
+        "segment_price_ks_distance": "KS distance",
+        "returnflag_quantity_mwu": "Mann-Whitney U / AUC",
+        "orders_daily_runs_test": "Wald-Wolfowitz runs test",
+        "partkey_selfjoin_cms_estimate": "CMS join-size estimate",
+        "orders_daily_drawdown_records": "drawdown records",
+        "orders_weekly_theilsen_trend": "Theil-Sen slope",
+        "orders_daily_mad_anomalies": "MAD anomaly bands",
+        "ship_latency_percentiles_by_nation": "exact group percentiles",
+        "customer_repurchase_hazard": "repurchase hazard lifetable",
+        "orders_weekly_isotonic_fit": "weighted isotonic regression",
+        "event_value_conformal_bands": "split-conformal bands",
+        "orders_revenue_bootstrap_ci": "Poisson bootstrap CI",
+        "customer_censored_lifetable": "right-censored lifetable",
+        "purchase_linear_attribution": "linear multi-touch attribution",
+        "nation_median_spend_udaf": "pandas UDAF exact median",
+        "docs_pmi_collocations": "PMI collocations",
         # cross-cutting families still represented in this window
-        # (the image_png_parity entry above carries the
-        # multimodal-codec family)
         "dedup_": "dedup",
         "event_": "event analytics",
-        "ann_": "similarity",
         "doc": "text/corpus analysis",
+        "part_": "graph/affinity analytics",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
