@@ -239,6 +239,9 @@ HEADLINE = [
     "markov_reliability",
     "brand_return_rates",
     "revenue_mom_waterfall",
+    # round-10 additions
+    "gdpr_delete_cascade_audit",
+    "orders_seasonal_naive_mase",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
