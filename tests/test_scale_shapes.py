@@ -121,3 +121,40 @@ def test_udaf_stays_on_arrow_path(spark):
     # (older releases: AggregateInPandas) — either is the Arrow path
     assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gdpr_cascade_scans_each_table_once_per_branch(spark):
+    """The cascade audit scans customer twice (total row + keyset
+    branches share the union), orders twice (flag + deleted-keys),
+    lineitem once — 5 parquet scans total, and the erasure keyset is
+    a pushed predicate, never a collected list."""
+    df = entrymod.queries()["gdpr_delete_cascade_audit"](spark, SF)
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", fmt)
+    assert len(scans) <= 6, f"scan blowup: {len(scans)}"
+    assert "BatchEvalPython" not in fmt
+
+
+def test_mase_single_fact_scan_then_days_window(spark):
+    """The MASE backtest collapses orders to O(#days) in one pass:
+    one parquet scan of the fact table feeding the daily rollup (the
+    bounds pass scans once more for min/max), then a single ordered
+    window over the calendar spine."""
+    df = entrymod.queries()["orders_seasonal_naive_mase"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", fmt)
+    assert len(scans) <= 2, f"scan blowup: {len(scans)}"
+    assert "Window" in plan
