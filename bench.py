@@ -242,6 +242,8 @@ HEADLINE = [
     # round-10 additions
     "gdpr_delete_cascade_audit",
     "orders_seasonal_naive_mase",
+    "customer_golden_record",
+    "parquet_footer_health",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
@@ -319,6 +321,13 @@ def main() -> None:
     queries["event_report_totals"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the Python worker pool: the first Arrow-batched query
+    # otherwise pays the per-core daemon forks (~1 s at local[32]) —
+    # session infrastructure, not that query's plan (r10: it landed on
+    # vocab_heavy_hitters as a phantom 6.5x first/min spread)
+    spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # SPARK_GRAFT_BENCH_REPEAT=N times each query N times. Default 3
     # since r8 (VERDICT r7 #6: load spikes on the shared container

@@ -221,3 +221,117 @@ def lineitem_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
 lineitem_zorder_zonemap.__doc__ = lineitem_zorder_zonemap.__doc__.replace(
     "{BOX_LO}", str(BOX_LO)
 ).replace("{BOX_HI}", str(BOX_HI))
+
+
+# Parquet footer introspection: the fixture's lineitem columns, used
+# to enumerate the oracle's expected per-column rows (the oracle
+# cannot open footers through a view, so it asserts the reconciliation
+# INVARIANTS — footer value counts equal the logical row count, byte
+# accounting sane — the docs_shard_skew_profile idiom: engine audits
+# the physical artifact, oracle pins what the artifact must agree
+# with).
+FOOTER_TABLE = "lineitem"
+FOOTER_COLUMNS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+)
+
+
+def _footer_chunks(frames):
+    """mapInPandas over a (path) manifest: open each parquet footer
+    with pyarrow (metadata only — no data pages touched) and emit one
+    row per row-group x column chunk. File-granular map work, the
+    shape a 100 TB lake audit runs at: one footer read per file, no
+    data I/O."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for pdf in frames:
+        out = {
+            "column_name": [], "n_values": [],
+            "compressed_bytes": [], "uncompressed_bytes": [],
+        }
+        for path in pdf["path"]:
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    out["column_name"].append(col.path_in_schema)
+                    out["n_values"].append(col.num_values)
+                    out["compressed_bytes"].append(col.total_compressed_size)
+                    out["uncompressed_bytes"].append(col.total_uncompressed_size)
+        yield pd.DataFrame(out)
+
+
+_FOOTER_ORACLE_COLS = ", ".join(f"('{c}')" for c in FOOTER_COLUMNS)
+
+
+@query(
+    "parquet_footer_health",
+    oracle=f"""
+    WITH cols(column_name) AS (VALUES {_FOOTER_ORACLE_COLS}),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM {FOOTER_TABLE})
+    SELECT column_name,
+           n_rows AS n_values,
+           CAST(1 AS BIGINT) AS footer_rows_match,
+           CAST(1 AS BIGINT) AS bytes_positive
+    FROM cols, n ORDER BY column_name
+    """,
+)
+def parquet_footer_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-health audit from parquet FOOTERS: per column, the
+    total value count, whether footer accounting reconciles with the
+    logical row count (a torn write, a truncated file, or a buggy
+    writer breaks this first), and whether every chunk reports
+    positive byte sizes. The footer pass reads metadata only — the
+    audit a lakehouse runs over millions of files before trusting a
+    snapshot, at one footer fetch per file.
+
+    Scale: the manifest (one row per file) is the only driver-side
+    state; footer reads are Arrow-batched map work over the manifest
+    partitions; the rollup shuffles O(#columns) rows. The logical
+    row count joins in as a broadcast single-row frame — the audit
+    never scans data pages."""
+    import glob as globmod
+    import os
+
+    roots = globmod.glob(os.path.join(sf_dir, f"{FOOTER_TABLE}.parquet"))
+    paths = sorted(
+        part
+        for root in roots
+        for part in (
+            globmod.glob(os.path.join(root, "*.parquet"))
+            if os.path.isdir(root)
+            else [root]
+        )
+    )
+    manifest = spark.createDataFrame([(p,) for p in paths], "path string")
+    chunks = manifest.repartition(max(len(paths) // 16, 1)).mapInPandas(
+        _footer_chunks,
+        "column_name string, n_values long, compressed_bytes long,"
+        " uncompressed_bytes long",
+    )
+    per_col = chunks.groupBy("column_name").agg(
+        F.sum("n_values").cast("bigint").alias("n_values"),
+        F.min(
+            ((F.col("compressed_bytes") > 0)
+             & (F.col("uncompressed_bytes") > 0)).cast("int")
+        ).alias("bytes_positive_i"),
+    )
+    n_rows = load_table(spark, sf_dir, FOOTER_TABLE).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    return (
+        per_col.crossJoin(F.broadcast(n_rows))
+        .select(
+            "column_name",
+            "n_values",
+            (F.col("n_values") == F.col("n_rows"))
+            .cast("bigint")
+            .alias("footer_rows_match"),
+            F.col("bytes_positive_i").cast("bigint").alias("bytes_positive"),
+        )
+        .orderBy("column_name")
+    )

@@ -285,3 +285,85 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 bloom_prefilter_audit.__doc__ = bloom_prefilter_audit.__doc__.replace(
     "{K}", str(BLOOM_K)
 )
+
+
+# MDM survivorship: the fixture has no duplicate customers, so the op
+# synthesizes 1-3 "CRM copies" per customer with deterministic
+# field-level staleness and nulls (the scrubbing-tier pattern: inject
+# the mess with pure column arithmetic replicated in the oracle, then
+# prove the cleanup). Freshness (c_custkey*31 + r*17) % 100 is
+# tie-free within a customer for r in 0..2.
+GOLDEN_MAX_COPIES = 3
+
+
+def _golden_sql(dialect: str) -> str:
+    if dialect == "spark":
+        copies = (
+            "SELECT c_custkey, c_name, c_mktsegment, c_acctbal,"
+            " explode(sequence(0, CAST(c_custkey % {m} AS INT))) AS r"
+            " FROM customer"
+        )
+        cents = "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+        sstr = "STRING"
+    else:
+        copies = (
+            "SELECT c_custkey, c_name, c_mktsegment, c_acctbal,"
+            " unnest(generate_series(0, CAST(c_custkey % {m} AS INT))) AS r"
+            " FROM customer"
+        )
+        cents = "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+        sstr = "VARCHAR"
+    copies = copies.format(m=GOLDEN_MAX_COPIES)
+    agg = "max_by" if dialect == "spark" else "arg_max"
+    return f"""
+    WITH copies AS ({copies}),
+    versions AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 31 + r * 17) % 100 AS BIGINT) AS freshness,
+             CASE WHEN (c_custkey + r) % 4 = 0 THEN NULL
+                  ELSE concat(c_name, '-v', CAST(r AS {sstr})) END AS name_v,
+             CASE WHEN (c_custkey + r) % 5 = 0 THEN NULL
+                  ELSE concat(c_mktsegment, '/v', CAST(r AS {sstr})) END AS seg_v,
+             CASE WHEN (c_custkey + r) % 7 = 0 THEN NULL
+                  ELSE {cents} + r END AS bal_v_cents
+      FROM copies
+    )
+    SELECT c_custkey,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           {agg}(name_v, freshness) FILTER (WHERE name_v IS NOT NULL)
+             AS name_golden,
+           {agg}(seg_v, freshness) FILTER (WHERE seg_v IS NOT NULL)
+             AS seg_golden,
+           CAST({agg}(bal_v_cents, freshness)
+                FILTER (WHERE bal_v_cents IS NOT NULL) AS BIGINT)
+             AS bal_golden_cents,
+           CAST((CASE WHEN count(name_v) = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN count(seg_v) = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN count(bal_v_cents) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dead_fields
+    FROM versions GROUP BY c_custkey ORDER BY c_custkey
+    """
+
+
+@query("customer_golden_record", oracle=_golden_sql("duck"))
+def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM golden-record election (survivorship): collapse each
+    customer's CRM copies to one record by taking, PER FIELD, the
+    value from the freshest copy where that field is non-null — the
+    standard master-data-management merge rule ("most recent non-null
+    wins"), with a per-record count of fields no copy could supply.
+    Field-level election (not record-level) is the point: the golden
+    record routinely mixes fields from different source copies.
+
+    Scale: the copy fan-out is a map-side explode (bounded x{M}); the
+    election is ONE partial-aggregable groupBy(custkey) — max_by and
+    the null-aware counts all combine map-side, so the shuffle
+    carries one slim row per customer, not per copy. No window, no
+    self-join."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(_golden_sql("spark"))
+
+
+customer_golden_record.__doc__ = customer_golden_record.__doc__.replace(
+    "{M}", str(GOLDEN_MAX_COPIES)
+)
