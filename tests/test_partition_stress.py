@@ -56,10 +56,15 @@ def test_stress_queries_match_oracle_under_hostile_partitioning(spark):
     try:
         for name in STRESS_QUERIES:
             r = compare_query(queries[name](spark, SF_DIR), con, oracles[name])
-            if not (r["rows_match"] and r["cols_match"] and r["values_match"]):
+            if not (
+                r["rows_match"]
+                and r["cols_match"]
+                and r["values_match"]
+                and r["types_safe"]
+            ):
                 failures.append((name, {k: r[k] for k in
                                         ("rows_match", "cols_match",
-                                         "values_match")}))
+                                         "values_match", "types_safe")}))
     finally:
         con.close()
         for k, v in saved.items():

@@ -124,10 +124,13 @@ def test_udaf_stays_on_arrow_path(spark):
 
 
 def test_gdpr_cascade_scans_each_table_once_per_branch(spark):
-    """The cascade audit scans customer twice (total row + keyset
-    branches share the union), orders twice (flag + deleted-keys),
-    lineitem once — 5 parquet scans total, and the erasure keyset is
-    a pushed predicate, never a collected list."""
+    """The cascade audit is 6 single-column parquet scans — customer
+    three times (the total-count row plus the keyset predicate in the
+    orders-flag and deleted-orders branches), orders twice (flag +
+    deleted-keys), lineitem once — and the erasure keyset is a pushed
+    md5 predicate, never a collected list. Pinned EXACTLY so the
+    first extra-scan regression (e.g. the keyset branch losing reuse)
+    trips the probe."""
     df = entrymod.queries()["gdpr_delete_cascade_audit"](spark, SF)
     fmt = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -137,7 +140,7 @@ def test_gdpr_cascade_scans_each_table_once_per_branch(spark):
     import re
 
     scans = re.findall(r"\(\d+\) Scan parquet", fmt)
-    assert len(scans) <= 6, f"scan blowup: {len(scans)}"
+    assert len(scans) == 6, f"scan count changed: {len(scans)}"
     assert "BatchEvalPython" not in fmt
 
 

@@ -99,3 +99,48 @@ def compare_query(
         diffs = [(a, b) for a, b in zip(sr, dr) if a != b]
         out["first_diffs"] = diffs[:3]
     return out
+
+
+def run_sweep(spark, sf_dir: str, names: list[str] | None = None,
+              label: str = "strict") -> int:
+    """The shared sweep harness behind ``tools/sf_sweep.py``,
+    ``tools/partition_stress.py`` and ``tools/skew_stress.py`` (one
+    comparator contract, one report shape — r10 code review: three
+    near-verbatim copies had already diverged in what they checked).
+    Runs every named (default: all oracle-paired) registered query
+    through ``compare_query`` against the DuckDB views on ``sf_dir``
+    and prints MISMATCH/ERROR lines plus a one-line summary. Returns
+    the number of failures."""
+    import time
+
+    import __spark_entry__ as entrymod
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    todo = names or [n for n in queries if n in oracles]
+    con = duckdb_connection(sf_dir)
+    t0 = time.time()
+    bad: list[tuple[str, object]] = []
+    try:
+        for name in todo:
+            try:
+                r = compare_query(queries[name](spark, sf_dir), con, oracles[name])
+                ok = (
+                    r["rows_match"]
+                    and r["cols_match"]
+                    and r["values_match"]
+                    and r["types_safe"]
+                )
+                if not ok:
+                    keys = ("rows_match", "cols_match", "values_match", "types_safe")
+                    bad.append((name, {k: r[k] for k in keys}))
+                    print(f"MISMATCH {name}: {bad[-1][1]}")
+            except Exception as exc:  # noqa: BLE001 — sweeping for a report
+                bad.append((name, f"{type(exc).__name__}: {str(exc)[:200]}"))
+                print(f"ERROR {name}: {bad[-1][1]}")
+    finally:
+        con.close()
+    print(
+        f"{len(todo) - len(bad)}/{len(todo)} {label}-match "
+        f"at {sf_dir} in {int(time.time() - t0)}s"
+    )
+    return len(bad)

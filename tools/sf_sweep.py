@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,7 +26,7 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    from tools.oracle_check import compare_query, duckdb_connection
+    from tools.oracle_check import run_sweep
 
     args = sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else DEFAULT_SF_DIR
@@ -40,38 +39,7 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-
-    import __spark_entry__ as entrymod
-
-    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
-    todo = names or [n for n in queries if n in oracles]
-    con = duckdb_connection(sf_dir)
-    t0 = time.time()
-    bad: list[tuple[str, object]] = []
-    try:
-        for name in todo:
-            try:
-                r = compare_query(queries[name](spark, sf_dir), con, oracles[name])
-                ok = (
-                    r["rows_match"]
-                    and r["cols_match"]
-                    and r["values_match"]
-                    and r["types_safe"]
-                )
-                if not ok:
-                    keys = ("rows_match", "cols_match", "values_match", "types_safe")
-                    bad.append((name, {k: r[k] for k in keys}))
-                    print(f"MISMATCH {name}: {bad[-1][1]}")
-            except Exception as exc:  # noqa: BLE001 — sweeping for a report
-                bad.append((name, f"{type(exc).__name__}: {str(exc)[:200]}"))
-                print(f"ERROR {name}: {bad[-1][1]}")
-    finally:
-        con.close()
-    print(
-        f"{len(todo) - len(bad)}/{len(todo)} strict-match at {sf_dir} "
-        f"in {int(time.time() - t0)}s"
-    )
-    return 1 if bad else 0
+    return 1 if run_sweep(spark, sf_dir, names, label="strict") else 0
 
 
 if __name__ == "__main__":

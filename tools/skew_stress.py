@@ -83,7 +83,7 @@ def build_skewed_fixture(sf_dir: str) -> str:
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    from tools.oracle_check import compare_query, duckdb_connection
+    from tools.oracle_check import run_sweep
 
     args = sys.argv[1:]
     src = args[0] if args and os.path.isdir(args[0]) else DEFAULT_SF_DIR
@@ -99,38 +99,13 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-
-    import __spark_entry__ as entrymod
-
-    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
-    todo = names or [n for n in queries if n in oracles]
-    con = duckdb_connection(sf_dir)
-    t0 = time.time()
-    bad: list[tuple[str, object]] = []
     try:
-        for name in todo:
-            try:
-                r = compare_query(queries[name](spark, sf_dir), con, oracles[name])
-                ok = (
-                    r["rows_match"]
-                    and r["cols_match"]
-                    and r["values_match"]
-                    and r["types_safe"]
-                )
-                if not ok:
-                    keys = ("rows_match", "cols_match", "values_match", "types_safe")
-                    bad.append((name, {k: r[k] for k in keys}))
-                    print(f"MISMATCH {name}: {bad[-1][1]}")
-            except Exception as exc:  # noqa: BLE001 — sweeping for a report
-                bad.append((name, f"{type(exc).__name__}: {str(exc)[:200]}"))
-                print(f"ERROR {name}: {bad[-1][1]}")
+        n_bad = run_sweep(
+            spark, sf_dir, names, label="skew-stress(whale keys) strict"
+        )
     finally:
-        con.close()
-    print(
-        f"{len(todo) - len(bad)}/{len(todo)} skew-stress strict-match "
-        f"(whale keys on events/orders from {src}) in {int(time.time() - t0)}s"
-    )
-    return 1 if bad else 0
+        shutil.rmtree(sf_dir, ignore_errors=True)
+    return 1 if n_bad else 0
 
 
 if __name__ == "__main__":

@@ -107,22 +107,29 @@ def propose_schedule(
     ``overflow``: when MORE queries await a green row than the window
     holds (the registry outgrew one round's driver check budget),
     the excess is returned as an explicit queue instead of an error.
-    Awaiting members of the CURRENT window keep their slots (the
-    committed, rehearsed plan doesn't churn mid-round); newcomers
-    queue behind them in registration order and lead the NEXT
-    rotation — so an over-budget query is never silently stranded,
-    it is visibly scheduled one round out
-    (``__spark_entry__.WINDOW_OVERFLOW``, enforced by
-    ``tests/test_union_check.py``)."""
+    Priority is FIFO seniority: awaiting members of the CURRENT
+    window keep their slots (the committed, rehearsed plan doesn't
+    churn mid-round), then the DECLARED overflow queue in queue
+    order, then newcomers in registration order. Queue order (not
+    registry order) is what prevents starvation: with registry-order
+    tie-breaking, import-order-late queries lost their slot to every
+    later registration wave and could be deferred indefinitely (r10
+    code review: two queries spent two consecutive rounds queued)."""
     import __spark_entry__ as entrymod
 
     registry = list(entrymod.queries())
     union = green_union(repo_root)
     current = set(entrymod.CHECKED_FIRST)
+    queued = {q: i for i, q in enumerate(entrymod.WINDOW_OVERFLOW)}
     awaiting = [q for q in registry if q not in union]
-    awaiting = [q for q in awaiting if q in current] + [
-        q for q in awaiting if q not in current
-    ]
+    awaiting = (
+        [q for q in awaiting if q in current]
+        + sorted(
+            (q for q in awaiting if q not in current and q in queued),
+            key=queued.__getitem__,
+        )
+        + [q for q in awaiting if q not in current and q not in queued]
+    )
     stale_order = sorted(
         (q for q in registry if q in union), key=lambda q: (union[q], q)
     )
