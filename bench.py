@@ -244,6 +244,7 @@ HEADLINE = [
     "orders_seasonal_naive_mase",
     "customer_golden_record",
     "parquet_footer_health",
+    "purchase_attribution_model_compare",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -412,3 +412,192 @@ purchase_linear_attribution.__doc__ = (
     .replace("{WIN}", str(ATTR_WINDOW_S))
     .replace("{SCALE}", str(ATTR_SCALE))
 )
+
+
+_ATTR_COMPARE_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS em
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ), scanned AS (
+      -- COALESCE only the SUMs (empty-frame SUM is NULL in both
+      -- engines); the MIN/MAX NULLs are meaningful (no touch of that
+      -- type in the window) and feed the CASE ladders directly
+      SELECT user_id, em,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END) OVER w, 0)
+               AS BIGINT) AS nv,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                    THEN 1 ELSE 0 END) OVER w, 0)
+               AS BIGINT) AS nc,
+             MIN(CASE WHEN event_type = 'view' THEN em END) OVER w AS fv,
+             MIN(CASE WHEN event_type = 'click' THEN em END) OVER w AS fc,
+             MAX(CASE WHEN event_type = 'view' THEN em END) OVER w AS lv,
+             MAX(CASE WHEN event_type = 'click' THEN em END) OVER w AS lc
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY em
+                   RANGE BETWEEN {ATTR_WINDOW_S * 1_000_000} PRECEDING
+                             AND 1 PRECEDING)
+      QUALIFY event_type = 'purchase'
+    ), modeled AS (
+      SELECT nv, nc, nv + nc AS n,
+             CASE WHEN nv + nc > 0 THEN {ATTR_SCALE} // (nv + nc)
+                  ELSE 0 END AS mc,
+             CASE WHEN fv IS NULL AND fc IS NULL THEN 'unattributed'
+                  WHEN fv IS NULL THEN 'click'
+                  WHEN fc IS NULL THEN 'view'
+                  WHEN fc <= fv THEN 'click' ELSE 'view' END AS first_ch,
+             CASE WHEN lv IS NULL AND lc IS NULL THEN 'unattributed'
+                  WHEN lv IS NULL THEN 'click'
+                  WHEN lc IS NULL THEN 'view'
+                  WHEN lc >= lv THEN 'click' ELSE 'view' END AS last_ch
+      FROM scanned
+    ), rows_out AS (
+      SELECT 'first_touch' AS model, first_ch AS channel,
+             CAST({ATTR_SCALE} AS BIGINT) AS credits FROM modeled
+      UNION ALL
+      SELECT 'last_touch', last_ch, CAST({ATTR_SCALE} AS BIGINT)
+      FROM modeled
+      UNION ALL
+      SELECT 'linear', 'view', CAST(nv * mc AS BIGINT)
+      FROM modeled WHERE nv > 0
+      UNION ALL
+      SELECT 'linear', 'click', CAST(nc * mc AS BIGINT)
+      FROM modeled WHERE nc > 0
+      UNION ALL
+      SELECT 'linear', 'unattributed', CAST({ATTR_SCALE} AS BIGINT)
+      FROM modeled WHERE n = 0
+    )
+    SELECT model, channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(credits) AS BIGINT) AS millicredits
+    FROM rows_out GROUP BY model, channel ORDER BY model, channel
+    """
+
+
+@query("purchase_attribution_model_compare", oracle=_ATTR_COMPARE_ORACLE)
+def purchase_attribution_model_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch vs last-touch vs linear attribution from ONE
+    window pass — the model-sensitivity table a marketing team reads
+    before trusting any channel ROI number. Per purchase, the same
+    {WIN}-second lookback frame yields the touch counts (linear
+    credit, integer millicredits as in ``purchase_linear_attribution``)
+    plus the first/last touch CHANNEL via per-type MIN/MAX of the
+    touch timestamp — a simultaneous view+click microsecond resolves
+    to 'click' by a fixed rule, so both engines elect identically.
+    Purchases with an empty lookback land in 'unattributed' under
+    every model, keeping total credit conserved per model.
+
+    Scale: identical shape to the linear op — one user_id shuffle,
+    six aggregates over the SAME range frame (one window scan),
+    zero row explosion, O(models x channels) output."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    em = F.expr("unix_micros(ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("em")
+        .rangeBetween(-ATTR_WINDOW_S * 1_000_000, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    scanned = (
+        ev.select("user_id", "event_type", em.alias("em"))
+        .select(
+            "event_type",
+            F.coalesce(F.sum(is_view.cast("int")).over(w), F.lit(0))
+            .cast("bigint")
+            .alias("nv"),
+            F.coalesce(F.sum(is_click.cast("int")).over(w), F.lit(0))
+            .cast("bigint")
+            .alias("nc"),
+            F.min(F.when(is_view, F.col("em"))).over(w).alias("fv"),
+            F.min(F.when(is_click, F.col("em"))).over(w).alias("fc"),
+            F.max(F.when(is_view, F.col("em"))).over(w).alias("lv"),
+            F.max(F.when(is_click, F.col("em"))).over(w).alias("lc"),
+        )
+        .where(F.col("event_type") == "purchase")
+    )
+
+    def _elect(view_em: str, click_em: str) -> F.Column:
+        return (
+            F.when(
+                F.col(view_em).isNull() & F.col(click_em).isNull(),
+                F.lit("unattributed"),
+            )
+            .when(F.col(view_em).isNull(), F.lit("click"))
+            .when(F.col(click_em).isNull(), F.lit("view"))
+        )
+
+    modeled = scanned.select(
+        "nv",
+        "nc",
+        (F.col("nv") + F.col("nc")).alias("n"),
+        F.when(
+            F.col("nv") + F.col("nc") > 0,
+            F.expr(f"{ATTR_SCALE} div (nv + nc)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("mc"),
+        _elect("fv", "fc")
+        .when(F.col("fc") <= F.col("fv"), F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("first_ch"),
+        _elect("lv", "lc")
+        .when(F.col("lc") >= F.col("lv"), F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("last_ch"),
+    )
+    scale = F.lit(ATTR_SCALE).cast("bigint")
+    rows_out = modeled.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_ch").alias("channel"),
+                    scale.alias("credits"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_ch").alias("channel"),
+                    scale.alias("credits"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.lit("view").alias("channel"),
+                    F.when(F.col("nv") > 0, F.col("nv") * F.col("mc"))
+                    .cast("bigint")
+                    .alias("credits"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.lit("click").alias("channel"),
+                    F.when(F.col("nc") > 0, F.col("nc") * F.col("mc"))
+                    .cast("bigint")
+                    .alias("credits"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.lit("unattributed").alias("channel"),
+                    F.when(F.col("n") == 0, scale).cast("bigint").alias("credits"),
+                ),
+            )
+        ).alias("r")
+    ).where(F.col("r.credits").isNotNull())
+    return (
+        rows_out.groupBy(
+            F.col("r.model").alias("model"), F.col("r.channel").alias("channel")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("r.credits").cast("bigint").alias("millicredits"),
+        )
+        .orderBy("model", "channel")
+    )
+
+
+purchase_attribution_model_compare.__doc__ = (
+    purchase_attribution_model_compare.__doc__ or ""
+).replace("{WIN}", str(ATTR_WINDOW_S))
