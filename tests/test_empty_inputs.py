@@ -30,12 +30,16 @@ def empty_sf_dir(spark, tmp_path_factory) -> str:
     return str(path)
 
 
-# The two operator families the sweep caught, kept fast so the guard
-# runs every suite invocation.
+# The operator families the sweep caught, kept fast so the guard
+# runs every suite invocation. parquet_footer_health joined in r10:
+# its manifest walk must descend into directory-shaped tables (the
+# empty fixture writes Spark directories, not single files) and
+# tolerate zero row groups.
 REGRESSION_QUERIES = [
     "warehouse_minute_dpp_extract",
     "kmeans_assignments",
     "kmeans_cluster_profile",
+    "parquet_footer_health",
 ]
 
 
