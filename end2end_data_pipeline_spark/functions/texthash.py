@@ -138,6 +138,14 @@ def reduced_token_hashes(toks_expr: str, dialect: str) -> str:
     return f"list_transform({toks_expr}, t -> {h})"
 
 
+def shingle_coeffs(n: int) -> list[int]:
+    """Fixed md5-derived combination constants shared by
+    ``shingle_combine`` and ``shingle_hashes_pos`` (and any replay
+    test that re-derives shingle hashes in pure Python)."""
+    assert n <= 4, "combination overflows int64 beyond n=4"
+    return [_py_md5_int(f"shingle_c_{k}") % BASE_MOD for k in range(n)]
+
+
 def shingle_combine(th_col: str, n: int, dialect: str) -> str:
     """Distinct hashed word-n-gram shingles WITHOUT materializing
     shingle strings: each shingle's hash is an affine combination of
@@ -151,8 +159,7 @@ def shingle_combine(th_col: str, n: int, dialect: str) -> str:
     dialects. Overflow-safe: n terms of (c < 2^30) * (h < 2^30) sum
     below n * 2^62 for n <= 4.
     """
-    assert n <= 4, "combination overflows int64 beyond n=4"
-    cs = [_py_md5_int(f"shingle_c_{k}") % BASE_MOD for k in range(n)]
+    cs = shingle_coeffs(n)
     if dialect == SPARK:
         terms = " + ".join(
             f"{cs[k]}L * element_at({th_col}, i + {k})" for k in range(n)
@@ -167,6 +174,32 @@ def shingle_combine(th_col: str, n: int, dialect: str) -> str:
     return (
         f"list_distinct(list_transform(range(1, len({th_col}) - {n - 2}), "
         f"i -> ({terms}) % {MINHASH_P}))"
+    )
+
+
+def shingle_hashes_pos(th_col: str, n: int, dialect: str) -> str:
+    """Positional (non-distinct) hashed word-n-gram shingles: element
+    i of the result (1-based) is the affine-combined hash of the
+    n-gram starting at token i. Same constants and modulus as
+    ``shingle_combine``, WITHOUT the distinct — multiset consumers
+    (repeated-span coverage, hashed-n-gram bucket counts) must see
+    every occurrence, and positional consumers rely on index == start
+    position."""
+    cs = shingle_coeffs(n)
+    if dialect == SPARK:
+        terms = " + ".join(
+            f"{cs[k]}L * element_at({th_col}, i + {k})" for k in range(n)
+        )
+        return (
+            f"CASE WHEN size({th_col}) >= {n} THEN "
+            f"transform(sequence(1, size({th_col}) - {n - 1}), "
+            f"i -> ({terms}) % {MINHASH_P}) "
+            f"ELSE array() END"
+        )
+    terms = " + ".join(f"{cs[k]} * {th_col}[i + {k}]" for k in range(n))
+    return (
+        f"list_transform(range(1, len({th_col}) - {n - 2}), "
+        f"i -> ({terms}) % {MINHASH_P})"
     )
 
 

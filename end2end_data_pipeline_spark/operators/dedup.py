@@ -1199,3 +1199,141 @@ def dedup_lsh_scurve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("band")
         .orderBy("jaccard_band")
     )
+
+
+# --- exact-substring duplication profile ----------------------------
+
+DUPSPAN_N = 4  # word n-gram width; 4 splits the fixture corpus well
+# (n=3 marks 65% of occurrences duplicated, n=4 ~12% — measured)
+
+
+def _dupspan_base_sql() -> str:
+    """DuckDB side of the positional shingle-hash base: one row per
+    document with its token count and the positional (non-distinct)
+    n-gram hash list."""
+    toks = th.tokens("text", th.DUCK)
+    th_arr = th.reduced_token_hashes("t", th.DUCK)
+    ph = th.shingle_hashes_pos("th_arr", DUPSPAN_N, th.DUCK)
+    return f"""
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, {ph} AS ph
+      FROM (SELECT doc_id, t, {th_arr} AS th_arr
+            FROM (SELECT doc_id, {toks} AS t FROM documents))
+    """
+
+
+@query(
+    "dedup_repeated_ngram_coverage",
+    oracle=f"""
+    WITH base AS ({_dupspan_base_sql()}),
+    occ AS (
+      SELECT doc_id, unnest(range(1, len(ph) + 1)) AS pos, unnest(ph) AS h
+      FROM base
+    ), dup AS (
+      SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup_occ AS (
+      SELECT doc_id, pos FROM occ JOIN dup USING (h)
+    ), covered AS (
+      SELECT doc_id, count(*) AS covered_tokens FROM (
+        SELECT DISTINCT doc_id, p FROM (
+          SELECT doc_id, unnest(range(pos, pos + {DUPSPAN_N})) AS p
+          FROM dup_occ
+        )
+      ) GROUP BY doc_id
+    ), starts AS (
+      SELECT doc_id, count(*) AS n_dup_ngrams FROM dup_occ GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(len(b.ph) AS BIGINT) AS n_positions,
+           CAST(COALESCE(s.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+           CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           COALESCE(c.covered_tokens, 0) / CAST(b.n_tokens AS DOUBLE)
+               AS dup_coverage
+    FROM base b
+    LEFT JOIN starts s USING (doc_id)
+    LEFT JOIN covered c USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (the span-level view of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): for every document, how many of its word-{DUPSPAN_N}-gram
+    start positions carry an n-gram that occurs at >= 2 positions in
+    >= 2 DISTINCT documents, and what fraction of the document's tokens
+    is covered by the union of those duplicated spans — the signal that
+    drives span-level (rather than whole-document) dedup cuts.
+
+    Reference scope: the reference pipeline has no text dedup at all
+    (SURVEY.md §0) — this extends the dedup suite the LLM-training
+    brief demands.
+
+    Scale: positional shingle hashes are pure integer math over token
+    hashes (one md5 pass per token, shared via the cached base); the
+    duplicated-shingle set is a hash-keyed partial aggregate (8-byte
+    keys, map-side combined); occurrences rejoin it with a LEFT SEMI
+    on the same key — never all-pairs, and hot boilerplate n-grams
+    cost O(their occurrences), not O(occurrences^2). Span-union
+    coverage explodes each duplicated start into {DUPSPAN_N} positions
+    (bounded fan-out) and distinct-counts per doc_id — all shuffles
+    are keyed by hash or doc_id and scale linearly with corpus tokens.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = th.tokens("text", th.SPARK)
+    base = session_cached(
+        spark,
+        f"dupspan_base:{sf_dir}",
+        docs.select(
+            "doc_id",
+            F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+            F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr"),
+        ).select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                th.shingle_hashes_pos("th_arr", DUPSPAN_N, th.SPARK)
+            ).alias("ph"),
+        ),
+        # cached: consumed by occ (explode) AND the final per-doc join
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("ph").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_occ = occ.join(dup, "h", "left_semi")
+    covered = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (DUPSPAN_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    starts = dup_occ.groupBy("doc_id").agg(F.count("*").alias("n_dup_ngrams"))
+    return (
+        base.join(starts, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("ph").cast("bigint").alias("n_positions"),
+            F.coalesce(F.col("n_dup_ngrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_ngrams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
