@@ -574,3 +574,182 @@ def docs_quantile_norm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "raw_value")
     )
+
+
+# --- hashed-n-gram domain affinity (DSIR-style selection) -----------
+
+DSIR_B = 4096  # feature-hash buckets
+DSIR_N = 2  # word n-gram width of the hashed features
+DSIR_TARGET_LANG = "en"  # the "target domain" the selector aims at
+# Selection cutoff on the affinity ratio. Laplace smoothing and the
+# frequency-weighted bucket draw bias every document's ratio below 1
+# (corpus-wide mean ~0.85), so the keep-set is defined by a calibrated
+# threshold, not by ratio > 1 — at 0.87 the fixture target language
+# selects at ~0.83 vs <=0.11 for every other language (measured at
+# sf0.001; same device as NEARDUP_COSINE's fixture-calibrated value —
+# the plan shape is threshold-independent). Production DSIR picks the
+# cutoff as a weight quantile on a sample instead of a literal.
+DSIR_TAU = 0.87
+
+
+def _dsir_base_sql() -> str:
+    toks = th.tokens("text", th.DUCK)
+    th_arr = th.reduced_token_hashes("t", th.DUCK)
+    ph = th.shingle_hashes_pos("th_arr", DSIR_N, th.DUCK)
+    return f"""
+      SELECT doc_id, lang, {ph} AS ph
+      FROM (SELECT doc_id, lang, {th_arr} AS th_arr
+            FROM (SELECT doc_id, lang, {toks} AS t FROM documents))
+    """
+
+
+@query(
+    "docs_dsir_domain_affinity",
+    oracle=f"""
+    WITH base AS ({_dsir_base_sql()}),
+    occ AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(ph, h -> h % {DSIR_B})) AS b
+      FROM base
+    ), rcounts AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS r FROM occ GROUP BY b
+    ), tcounts AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS t FROM occ
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+    ), totals AS (
+      SELECT CAST(COALESCE((SELECT SUM(r) FROM rcounts), 0) AS BIGINT)
+                 AS raw_total,
+             CAST(COALESCE((SELECT SUM(t) FROM tcounts), 0) AS BIGINT)
+                 AS target_total
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(SUM(COALESCE(t, 0)) AS BIGINT) AS target_hits,
+             CAST(SUM(r) AS BIGINT) AS raw_hits
+      FROM occ
+      JOIN rcounts USING (b)
+      LEFT JOIN tcounts USING (b)
+      GROUP BY doc_id
+    )
+    SELECT base.doc_id, base.lang,
+           CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(p.target_hits, 0) AS BIGINT) AS target_hits,
+           CAST(COALESCE(p.raw_hits, 0) AS BIGINT) AS raw_hits,
+           CASE WHEN COALESCE(p.n_feats, 0) = 0 THEN NULL
+                ELSE (CAST(p.target_hits + p.n_feats AS DOUBLE)
+                      * CAST(tt.raw_total + {DSIR_B} AS DOUBLE))
+                   / (CAST(p.raw_hits + p.n_feats AS DOUBLE)
+                      * CAST(tt.target_total + {DSIR_B} AS DOUBLE))
+           END AS affinity,
+           CAST(CASE WHEN COALESCE(p.n_feats, 0) > 0
+                      AND (CAST(p.target_hits + p.n_feats AS DOUBLE)
+                           * CAST(tt.raw_total + {DSIR_B} AS DOUBLE))
+                        / (CAST(p.raw_hits + p.n_feats AS DOUBLE)
+                           * CAST(tt.target_total + {DSIR_B} AS DOUBLE))
+                          >= {DSIR_TAU}
+                     THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM base
+    LEFT JOIN perdoc p USING (doc_id)
+    CROSS JOIN totals tt
+    ORDER BY base.doc_id
+    """,
+)
+def docs_dsir_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, arithmetic-mean
+    variant (Xie et al. 2023): hash every word {DSIR_N}-gram into
+    {DSIR_B} buckets, model the target domain (lang =
+    '{DSIR_TARGET_LANG}') and the raw corpus as Laplace-smoothed
+    bucket-frequency tables, and score each document by the ratio of
+    its expected target-bucket mass to its expected raw-bucket mass.
+    ``selected`` marks documents whose affinity clears the calibrated
+    {DSIR_TAU} cutoff — the resampling keep-set (see DSIR_TAU's note
+    on why the cutoff sits below 1).
+    The published estimator sums per-feature log-ratios; this variant
+    compares the per-document arithmetic means of the same smoothed
+    frequencies, because ln() is not bit-stable across engines while
+    exact-integer sums and one fixed-shape double expression are
+    (same house rule as bigram_surprise_profile's log-free surprise).
+
+    Reference scope: the reference has no data-selection stage at all
+    (SURVEY.md §0) — this is LLM-pipeline surface the brief demands.
+
+    Scale: both frequency tables are bounded by {DSIR_B} buckets —
+    broadcast joins, so the exploded feature stream shuffles ONLY for
+    the per-doc aggregate (doc_id-keyed, map-side combined). The
+    affinity is one fixed-shape double expression over exact BIGINT
+    inputs (deterministic IEEE at any corpus size — no overflow
+    ceiling). No all-pairs anywhere; the scalar totals row is a 1-row
+    broadcast, same device as source_mix_rebalance."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = th.tokens("text", th.SPARK)
+    base = session_cached(
+        spark,
+        f"dsir_base:{sf_dir}",
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr"),
+        ).select(
+            "doc_id",
+            "lang",
+            F.expr(th.shingle_hashes_pos("th_arr", DSIR_N, th.SPARK)).alias(
+                "ph"
+            ),
+        ),
+        # cached: consumed by the feature explode AND the final join
+    )
+    occ = base.select(
+        "doc_id", "lang", F.explode("ph").alias("h")
+    ).select("doc_id", "lang", (F.col("h") % DSIR_B).alias("b"))
+    rcounts = occ.groupBy("b").agg(F.count("*").cast("bigint").alias("r"))
+    tcounts = (
+        occ.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    totals = rcounts.join(tcounts, "b", "left").agg(
+        F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("raw_total"),
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("target_total"),
+    )
+    perdoc = (
+        occ.join(F.broadcast(rcounts), "b")
+        .join(F.broadcast(tcounts), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum(F.coalesce(F.col("t"), F.lit(0)))
+            .cast("bigint")
+            .alias("target_hits"),
+            F.sum("r").cast("bigint").alias("raw_hits"),
+        )
+    )
+    nf = F.coalesce(F.col("n_feats"), F.lit(0))
+    num = (F.col("target_hits") + F.col("n_feats")).cast("double") * (
+        F.col("raw_total") + F.lit(DSIR_B)
+    ).cast("double")
+    den = (F.col("raw_hits") + F.col("n_feats")).cast("double") * (
+        F.col("target_total") + F.lit(DSIR_B)
+    ).cast("double")
+    sel = (num / den) >= F.lit(DSIR_TAU)
+    return (
+        base.join(perdoc, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "lang",
+            nf.cast("bigint").alias("n_feats"),
+            F.coalesce(F.col("target_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("target_hits"),
+            F.coalesce(F.col("raw_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("raw_hits"),
+            F.when(nf == 0, F.lit(None).cast("double"))
+            .otherwise(num / den)
+            .alias("affinity"),
+            F.when((nf > 0) & sel, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

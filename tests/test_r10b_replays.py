@@ -38,6 +38,73 @@ def _positional_shingle_hashes(text: str, n: int) -> tuple[int, list[int]]:
 
 
 @pytest.mark.slow
+def test_dsir_domain_affinity_matches_replay(spark):
+    from end2end_data_pipeline_spark.operators.corpus_ops import (
+        DSIR_B,
+        DSIR_N,
+        DSIR_TARGET_LANG,
+        DSIR_TAU,
+    )
+
+    got = {
+        r["doc_id"]: (
+            r["lang"],
+            r["n_feats"],
+            r["target_hits"],
+            r["raw_hits"],
+            r["affinity"],
+            r["selected"],
+        )
+        for r in entrymod.queries()["docs_dsir_domain_affinity"](
+            spark, SF
+        ).collect()
+    }
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    feats: dict[int, tuple[str, list[int]]] = {}
+    for r in docs.itertuples():
+        _, ph = _positional_shingle_hashes(r.text, DSIR_N)
+        feats[int(r.doc_id)] = (r.lang, [h % DSIR_B for h in ph])
+
+    rcounts: dict[int, int] = {}
+    tcounts: dict[int, int] = {}
+    for lang, bs in feats.values():
+        for b in bs:
+            rcounts[b] = rcounts.get(b, 0) + 1
+            if lang == DSIR_TARGET_LANG:
+                tcounts[b] = tcounts.get(b, 0) + 1
+    raw_total, target_total = sum(rcounts.values()), sum(tcounts.values())
+
+    assert len(got) == len(feats)
+    for doc_id, (lang, bs) in feats.items():
+        nf = len(bs)
+        t_hits = sum(tcounts.get(b, 0) for b in bs)
+        r_hits = sum(rcounts[b] for b in bs)
+        if nf == 0:
+            affinity, selected = None, 0
+        else:
+            affinity = (float(t_hits + nf) * float(raw_total + DSIR_B)) / (
+                float(r_hits + nf) * float(target_total + DSIR_B)
+            )
+            selected = int(affinity >= DSIR_TAU)
+        assert got[doc_id] == (lang, nf, t_hits, r_hits, affinity, selected), (
+            doc_id,
+            got[doc_id],
+        )
+    # the selector must actually separate the target domain: the
+    # target language's selection rate exceeds every other language's
+    rates: dict[str, list[int]] = {}
+    for _, (lang, *_rest, sel) in got.items():
+        rates.setdefault(lang, []).append(sel)
+    mean = {lang: sum(v) / len(v) for lang, v in rates.items()}
+    assert all(
+        mean[DSIR_TARGET_LANG] > r
+        for lang, r in mean.items()
+        if lang != DSIR_TARGET_LANG
+    ), mean
+
+
+@pytest.mark.slow
 def test_repeated_ngram_coverage_matches_replay(spark):
     from end2end_data_pipeline_spark.operators.dedup import DUPSPAN_N
 

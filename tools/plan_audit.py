@@ -104,6 +104,7 @@ WAIVERS: dict[str, str] = {
     "customer_rfm_segments_bucketed": "bnlj-over-two-scans",
     "event_type_cooccurrence": "bnlj-over-two-scans",
     "source_mix_rebalance": "bnlj-over-two-scans",
+    "docs_dsir_domain_affinity": "bnlj-over-two-scans",
     "nation_trade_pagerank": "bnlj-over-two-scans",
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
