@@ -25,7 +25,7 @@ a data collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
@@ -113,7 +113,9 @@ def _fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (s + n * SHIFT) // n - SHIFT
                     for _, (s, n) in sorted(comp.items())
                 ]
-    return _assign(base, centroids).select("vec_id", "label", "cluster", "dist2")
+    return _assign(base, centroids).select(
+        "vec_id", "label", "qv", "cluster", "dist2"
+    )
 
 
 def _kmeans_ctes() -> str:
@@ -172,7 +174,11 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector cluster assignment after {ITERS} exact-integer
     Lloyd's iterations (K={K}, init = vectors with vec_id < K), with
     the final squared distance to the winning centroid."""
-    return _fit(spark, sf_dir).orderBy("vec_id")
+    return (
+        _fit(spark, sf_dir)
+        .select("vec_id", "label", "cluster", "dist2")
+        .orderBy("vec_id")
+    )
 
 
 @query(
@@ -199,4 +205,142 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dist2").cast("bigint").alias("inertia"),
         )
         .orderBy("cluster")
+    )
+
+
+# --- SemDeDup: within-cluster semantic near-dup pruning -------------
+
+SEMDEDUP_W = 64  # exemplars compared per cluster (nearest-to-centroid)
+# Prune cutoff on within-cluster cosine. The fixture corpus is near-
+# random 64-dim (within-cluster max-cosine median ~0.30), so 0.35
+# prunes ~16%; real embedding corpora run ~0.95 — the plan shape is
+# threshold-independent (same device as NEARDUP_COSINE).
+SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_sql() -> str:
+    """Oracle: the k-means CTE chain, then within-cluster ranking and
+    the exemplar-restricted cosine screen."""
+    dot = vec.dot_q("m.qv", "e.qv", th.DUCK)
+    cos = (
+        f"CASE WHEN m.n2 = 0 OR e.n2 = 0 THEN NULL "
+        f"ELSE CAST({dot} AS DOUBLE) / "
+        f"(sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE))) END"
+    )
+    n2 = vec.dot_q("qv", "qv", th.DUCK)
+    return (
+        _kmeans_ctes()
+        + f""",
+    ranked AS (
+      SELECT vec_id, cid, dist2, qv, {n2} AS n2,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY dist2, vec_id) AS rk
+      FROM a{ITERS}
+    ), ex AS (
+      SELECT * FROM ranked WHERE rk <= {SEMDEDUP_W}
+    ), pairs AS (
+      SELECT m.vec_id, {cos} AS cos
+      FROM ranked m JOIN ex e
+        ON m.cid = e.cid
+       AND (e.dist2 < m.dist2
+            OR (e.dist2 = m.dist2 AND e.vec_id < m.vec_id))
+    ), agg AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             MAX(cos) AS max_cos
+      FROM pairs GROUP BY vec_id
+    )
+    SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster,
+           CAST(r.rk AS BIGINT) AS keep_rank,
+           CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+           a.max_cos,
+           CAST(CASE WHEN a.max_cos >= {SEMDEDUP_TAU} THEN 1 ELSE 0 END
+                AS BIGINT) AS pruned
+    FROM ranked r LEFT JOIN agg a USING (vec_id)
+    ORDER BY r.vec_id
+    """
+    )
+
+
+@query("semdedup_prune_decisions", oracle=_semdedup_sql())
+def semdedup_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning
+    INSIDE k-means clusters — cluster the embedding space (the
+    exact-integer Lloyd's fit above), then within each cluster prune
+    every vector whose cosine to a cluster exemplar that precedes it
+    in the keep order (smaller distance-to-centroid, vec_id
+    tie-break) reaches {SEMDEDUP_TAU}. Exemplars are the
+    {SEMDEDUP_W} members nearest the centroid, so the screen costs
+    O(n x W) — with W >= cluster size (true at sf0.001) this IS the
+    paper's exact within-cluster pairwise screen; beyond that it is
+    the standard bounded approximation.
+
+    Reference scope: the reference has no embedding stage at all
+    (SURVEY.md §0) — LLM-pipeline surface, complementing the
+    LSH-bucketed global screen in dedup_embedding_neardup (which
+    pairs across clusters but needs a bucket collision; SemDeDup
+    pairs anything within a cluster, no collision required).
+
+    Scale: the k-means fit moves only O(K x dim) model rows per
+    iteration; the exemplar table is K x {SEMDEDUP_W} rows —
+    broadcast — so the corpus joins it hash-on-cluster without
+    shuffling itself; per-vector aggregation is vec_id-keyed. The
+    within-cluster row_number window is K-way parallel: at 100 TB, K
+    scales with corpus size (the paper uses sqrt-scale K), keeping
+    both the window groups and the per-cluster candidate count
+    bounded. Cosines are single double divisions over exact integer
+    dot/norms — bit-identical cross-engine, zero-norm guarded."""
+    fit = _fit(spark, sf_dir)
+    ranked = fit.select(
+        "vec_id",
+        "cluster",
+        "dist2",
+        "qv",
+        F.expr(vec.dot_q("qv", "qv", th.SPARK)).alias("n2"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy("dist2", "vec_id")
+        ),
+    )
+    ex = ranked.where(F.col("rk") <= SEMDEDUP_W).select(
+        F.col("cluster").alias("e_cluster"),
+        F.col("vec_id").alias("e_vec_id"),
+        F.col("dist2").alias("e_dist2"),
+        F.col("qv").alias("qe"),
+        F.col("n2").alias("ne"),
+    )
+    cos = F.when(
+        (F.col("n2") == 0) | (F.col("ne") == 0), F.lit(None).cast("double")
+    ).otherwise(F.expr(vec.cosine_q("qv", "qe", "n2", "ne", th.SPARK)))
+    pairs = ranked.join(
+        F.broadcast(ex),
+        (F.col("cluster") == F.col("e_cluster"))
+        & (
+            (F.col("e_dist2") < F.col("dist2"))
+            | (
+                (F.col("e_dist2") == F.col("dist2"))
+                & (F.col("e_vec_id") < F.col("vec_id"))
+            )
+        ),
+    ).select("vec_id", cos.alias("cos"))
+    agg = pairs.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.max("cos").alias("max_cos"),
+    )
+    return (
+        ranked.join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("rk").cast("bigint").alias("keep_rank"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            "max_cos",
+            F.when(F.col("max_cos") >= SEMDEDUP_TAU, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pruned"),
+        )
+        .orderBy("vec_id")
     )

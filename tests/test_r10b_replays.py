@@ -146,3 +146,91 @@ def test_repeated_ngram_coverage_matches_replay(spark):
             len(covered) / n_tokens,
         )
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+@pytest.mark.slow
+def test_semdedup_matches_numpy_replay(spark):
+    """Third engine for SemDeDup: the whole chain — integer quantize,
+    4 Lloyd's rounds with the shifted floor division, (dist2, vec_id)
+    keep-order, exemplar screen, IEEE cosine — re-derived in
+    numpy/plain Python from the written spec."""
+    import math
+
+    import numpy as np
+
+    from end2end_data_pipeline_spark.operators.kmeans import (
+        ITERS,
+        K,
+        SEMDEDUP_TAU,
+        SEMDEDUP_W,
+        SHIFT,
+    )
+
+    got = {
+        r["vec_id"]: (
+            r["cluster"],
+            r["keep_rank"],
+            r["n_candidates"],
+            r["max_cos"],
+            r["pruned"],
+        )
+        for r in entrymod.queries()["semdedup_prune_decisions"](
+            spark, SF
+        ).collect()
+    }
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    q = np.array(
+        [
+            np.round(np.asarray(v, dtype=np.float64) * 10_000).astype(
+                np.int64
+            )
+            for v in emb.embedding
+        ]
+    )
+    cent = {int(i): q[ids == i][0].copy() for i in range(K)}
+
+    def assign():
+        c = np.stack([cent[i] for i in sorted(cent)])
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)  # ties break to the smaller centroid id
+        return cid, d[np.arange(len(q)), cid]
+
+    for _ in range(ITERS):
+        cid, _ = assign()
+        for c in range(K):
+            m = cid == c
+            if m.sum():
+                s, n = q[m].sum(axis=0), int(m.sum())
+                cent[c] = (s + n * SHIFT) // n - SHIFT
+    cid, d2 = assign()
+
+    n2 = (q.astype(np.float64) ** 2).sum(axis=1)
+    assert len(got) == len(ids)
+    for c in range(K):
+        idx = np.where(cid == c)[0]
+        order = idx[np.lexsort((ids[idx], d2[idx]))]
+        ex = order[:SEMDEDUP_W]
+        for rank, x in enumerate(order, start=1):
+            prev = [
+                e
+                for e in ex
+                if (d2[e], ids[e]) < (d2[x], ids[x])
+            ]
+            if prev:
+                mc = max(
+                    float(q[x] @ q[e])
+                    / (math.sqrt(n2[x]) * math.sqrt(n2[e]))
+                    for e in prev
+                )
+            else:
+                mc = None
+            want = (
+                c,
+                rank,
+                len(prev),
+                mc,
+                int(mc is not None and mc >= SEMDEDUP_TAU),
+            )
+            assert got[int(ids[x])] == want, (int(ids[x]), got[int(ids[x])], want)
