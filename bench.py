@@ -245,6 +245,10 @@ HEADLINE = [
     "customer_golden_record",
     "parquet_footer_health",
     "purchase_attribution_model_compare",
+    # round-10 second wave: LLM data-selection / span-dedup tier
+    "dedup_repeated_ngram_coverage",
+    "docs_dsir_domain_affinity",
+    "semdedup_prune_decisions",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -1337,3 +1337,112 @@ def dedup_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# --- train/val/test near-dup leakage audit --------------------------
+
+
+def _split_leakage_sql() -> str:
+    from end2end_data_pipeline_spark.operators.sampling import split_case_sql
+
+    return f"""
+    WITH pairs AS ({ORACLE["dedup_minhash_pairs"]}),
+    assigned AS (
+      SELECT doc_id, {split_case_sql(th.DUCK)} AS split FROM documents
+    ), labeled AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             LEAST(sa.split, sb.split) AS split_lo,
+             GREATEST(sa.split, sb.split) AS split_hi
+      FROM pairs p
+      JOIN assigned sa ON p.doc_a = sa.doc_id
+      JOIN assigned sb ON p.doc_b = sb.doc_id
+    ), pair_stats AS (
+      SELECT split_lo, split_hi,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             MAX(jaccard) AS max_jaccard
+      FROM labeled GROUP BY split_lo, split_hi
+    ), involved AS (
+      SELECT split_lo, split_hi,
+             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
+      FROM (
+        SELECT split_lo, split_hi, doc_a AS doc FROM labeled
+        UNION ALL
+        SELECT split_lo, split_hi, doc_b AS doc FROM labeled
+      ) GROUP BY split_lo, split_hi
+    )
+    SELECT p.split_lo, p.split_hi, p.n_pairs, i.n_docs_involved,
+           p.max_jaccard
+    FROM pair_stats p JOIN involved i USING (split_lo, split_hi)
+    ORDER BY p.split_lo, p.split_hi
+    """
+
+
+@query("split_leakage_neardup_audit", oracle=_split_leakage_sql())
+def split_leakage_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination census: label both ends of every
+    verified MinHash near-dup pair with the canonical content-keyed
+    train/val/test assignment and count pairs (plus the distinct
+    documents involved and the worst Jaccard) per unordered split
+    combination. The (train, test) and (train, val) rows are the
+    leakage a contamination screen against EXTERNAL eval sets never
+    sees: eval examples whose near-copies sit inside the training
+    split itself. Composes dedup_minhash_pairs (cached signatures,
+    bucket-capped banding) with sampling.split_case_sql — one rule
+    for every split-aware surface.
+
+    Scale: the pair set is the LSH output (bucket-capped, far smaller
+    than the corpus); both split lookups are doc_id-keyed equi-joins
+    of that pair set against a 2-column projection of documents; the
+    census is an O(#split-combos) aggregate. max_jaccard is a MAX
+    over per-pair doubles that are themselves exact-integer ratios —
+    selection, not accumulation, so engine-portable."""
+    from end2end_data_pipeline_spark.operators.sampling import split_case_sql
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    assigned = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(split_case_sql(th.SPARK)).alias("split")
+    )
+    labeled = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+    )
+    pair_stats = labeled.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    involved = (
+        labeled.select("split_lo", "split_hi", F.col("doc_a").alias("doc"))
+        .unionAll(
+            labeled.select("split_lo", "split_hi", F.col("doc_b").alias("doc"))
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count_distinct("doc").cast("bigint").alias("n_docs_involved"))
+    )
+    return (
+        pair_stats.join(involved, ["split_lo", "split_hi"])
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            "n_docs_involved",
+            "max_jaccard",
+        )
+        .orderBy("split_lo", "split_hi")
+    )

@@ -44,6 +44,18 @@ def _doc_hash_pct(salt: str, dialect: str) -> str:
     return _hash_pct(salt, "doc_id", dialect)
 
 
+def split_case_sql(dialect: str) -> str:
+    """The canonical train/val/test CASE over the content-keyed hash —
+    ONE builder for every split-aware surface (assignment rollup,
+    leakage audits) so the split rule cannot diverge between them."""
+    pct = _doc_hash_pct("split", dialect)
+    return (
+        f"CASE WHEN {pct} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {pct} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
 @query(
     "docs_stratified_sample",
     oracle=f"""
@@ -81,14 +93,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_split_assign",
     oracle=f"""
     WITH assigned AS (
-      SELECT lang,
-             CASE WHEN {_doc_hash_pct('split', th.DUCK)} < {SPLIT_TRAIN_PCT}
-                  THEN 'train'
-                  WHEN {_doc_hash_pct('split', th.DUCK)}
-                       < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
-                  THEN 'val'
-                  ELSE 'test' END AS split,
-             n_chars
+      SELECT lang, {split_case_sql(th.DUCK)} AS split, n_chars
       FROM documents
     )
     SELECT lang, split,
@@ -103,12 +108,7 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     a document NEVER changes split when the corpus grows (the property
     random assignment loses), and the split needs no stored state."""
     docs = load_table(spark, sf_dir, "documents")
-    pct = F.expr(_doc_hash_pct("split", th.SPARK))
-    split = (
-        F.when(pct < SPLIT_TRAIN_PCT, "train")
-        .when(pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    split = F.expr(split_case_sql(th.SPARK))
     return (
         docs.select("lang", split.alias("split"), "n_chars")
         .groupBy("lang", "split")

@@ -234,3 +234,53 @@ def test_semdedup_matches_numpy_replay(spark):
                 int(mc is not None and mc >= SEMDEDUP_TAU),
             )
             assert got[int(ids[x])] == want, (int(ids[x]), got[int(ids[x])], want)
+
+
+@pytest.mark.slow
+def test_split_leakage_audit_matches_replay(spark):
+    """Replays the leakage census: split labels re-derived from the
+    spec (md5('split:'||doc_id) % 100 against the 80/10 cutpoints),
+    pair labeling and the per-combination census in plain Python.
+    The pair layer itself (signatures, banding, caps, verification)
+    is covered by the dedup suite's own golden tests — this replay
+    feeds on the engine's verified pair list by design."""
+    from end2end_data_pipeline_spark.operators.sampling import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    got = {
+        (r["split_lo"], r["split_hi"]): (
+            r["n_pairs"],
+            r["n_docs_involved"],
+            r["max_jaccard"],
+        )
+        for r in entrymod.queries()["split_leakage_neardup_audit"](
+            spark, SF
+        ).collect()
+    }
+
+    def split_of(doc_id: int) -> str:
+        pct = _md5_int(f"split:{doc_id}") % 100
+        if pct < SPLIT_TRAIN_PCT:
+            return "train"
+        if pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT:
+            return "val"
+        return "test"
+
+    pairs = entrymod.queries()["dedup_minhash_pairs"](spark, SF).collect()
+    assert pairs, "fixture must produce near-dup pairs for the census"
+    census: dict[tuple[str, str], list] = {}
+    for r in pairs:
+        sa, sb = split_of(r["doc_a"]), split_of(r["doc_b"])
+        key = (min(sa, sb), max(sa, sb))
+        cell = census.setdefault(key, [0, set(), None])
+        cell[0] += 1
+        cell[1].update((r["doc_a"], r["doc_b"]))
+        cell[2] = (
+            r["jaccard"] if cell[2] is None else max(cell[2], r["jaccard"])
+        )
+    want = {
+        k: (n, len(docs), mj) for k, (n, docs, mj) in census.items()
+    }
+    assert got == want
