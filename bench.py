@@ -249,6 +249,7 @@ HEADLINE = [
     "dedup_repeated_ngram_coverage",
     "docs_dsir_domain_affinity",
     "semdedup_prune_decisions",
+    "split_leakage_neardup_audit",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

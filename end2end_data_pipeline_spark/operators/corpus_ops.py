@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
-from end2end_data_pipeline_spark.registry import query
+from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
     fan_out,
     load_table,
@@ -179,6 +179,13 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train side is a scan + explode + broadcast-hash semi-probe + one
     doc_id-partitioned count — the train corpus never shuffles its
     text, only (doc_id, matched) pairs."""
+    return _contam_perdoc(spark, sf_dir).orderBy("doc_id")
+
+
+def _contam_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered per-train-doc contamination frame — shared by the
+    registered query (sorted output) and the curation funnel (joined
+    by doc_id, no sort wanted)."""
     # cache: train is consumed twice (explode probe + final join) and
     # its shingle column is an expensive md5-pass expression — without
     # materialization Catalyst's projection collapse re-inlines the
@@ -225,7 +232,6 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -679,6 +685,13 @@ def docs_dsir_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs (deterministic IEEE at any corpus size — no overflow
     ceiling). No all-pairs anywhere; the scalar totals row is a 1-row
     broadcast, same device as source_mix_rebalance."""
+    return _dsir_perdoc(spark, sf_dir).orderBy("doc_id")
+
+
+def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered per-document DSIR frame — shared by the registered
+    query (which adds the output sort) and the curation funnel (which
+    joins it by doc_id and must not pay a wasted global sort)."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
     base = session_cached(
@@ -751,5 +764,140 @@ def docs_dsir_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("selected"),
         )
-        .orderBy("doc_id")
+    )
+
+
+# --- end-to-end curation funnel -------------------------------------
+
+
+def _funnel_sql() -> str:
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        _quality_exprs,
+    )
+
+    q_ok = _quality_exprs(th.DUCK)["quality_ok"]
+    return f"""
+    WITH fun_scored AS (
+      SELECT doc_id, source, n_chars, md5(text) AS h,
+             {q_ok} AS quality_ok,
+             CASE WHEN doc_id % {EVAL_MOD} != 0 THEN 1 ELSE 0 END AS train_ok
+      FROM documents
+    ), fun_surv AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)
+    ), fun_contam AS (
+      SELECT doc_id, contaminated
+      FROM ({ORACLE["eval_contamination"]})
+    ), fun_sel AS (
+      SELECT doc_id, selected
+      FROM ({ORACLE["docs_dsir_domain_affinity"]})
+    ), fun_flags AS (
+      SELECT s.source, s.n_chars,
+             s.quality_ok AS q,
+             CASE WHEN v.keep_id = s.doc_id THEN 1 ELSE 0 END AS u,
+             s.train_ok AS tr,
+             CASE WHEN COALESCE(c.contaminated, 0) = 1 THEN 0 ELSE 1 END
+                 AS cl,
+             CAST(COALESCE(d.selected, 0) AS INT) AS sel
+      FROM fun_scored s
+      JOIN fun_surv v ON s.h = v.h
+      LEFT JOIN fun_contam c ON s.doc_id = c.doc_id
+      LEFT JOIN fun_sel d ON s.doc_id = d.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(q) AS BIGINT) AS n_quality,
+           CAST(SUM(q * u) AS BIGINT) AS n_unique,
+           CAST(SUM(q * u * tr) AS BIGINT) AS n_train,
+           CAST(SUM(q * u * tr * cl) AS BIGINT) AS n_clean,
+           CAST(SUM(q * u * tr * cl * sel) AS BIGINT) AS n_selected,
+           CAST(SUM(q * u * tr * cl * sel * n_chars) AS BIGINT)
+               AS kept_chars
+    FROM fun_flags GROUP BY source ORDER BY source
+    """
+
+
+@query("corpus_curation_funnel", oracle=_funnel_sql())
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as ONE Spark plan —
+    per source, the cumulative keep counts through five stages:
+    quality gate -> exact-dedup survivorship -> train-split membership
+    (doc_id % {EVAL_MOD} != 0) -> benchmark decontamination (shared
+    eval shingles < {CONTAM_MIN_SHARED}) -> DSIR domain selection
+    (affinity >= {DSIR_TAU}) — plus the characters the final corpus
+    keeps. This is the drop-reason waterfall a data team reads before
+    every pretraining run, and the integration proof that the dedup,
+    contamination, and selection tiers compose in one lazy plan
+    (extends training_corpus_filter, which chains quality/lang-ID/
+    dedup only).
+
+    Scale: the per-row stages (quality, split hash) ride the scan;
+    survivorship is the md5-keyed partial aggregate; the
+    contamination and DSIR flag frames come from their cached
+    builders and join back by doc_id — document text is never moved
+    more than the component operators already move it, and the final
+    rollup is O(|sources|)."""
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        _quality_exprs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.expr(_quality_exprs(th.SPARK)["quality_ok"]).alias("q"),
+        F.when(F.col("doc_id") % EVAL_MOD != 0, 1).otherwise(0).alias("tr"),
+    )
+    surv = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    contam = _contam_perdoc(spark, sf_dir).select("doc_id", "contaminated")
+    dsel = _dsir_perdoc(spark, sf_dir).select("doc_id", "selected")
+    flags = (
+        scored.join(surv, "h")
+        .join(contam, "doc_id", "left")
+        .join(dsel, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            "q",
+            F.when(F.col("keep_id") == F.col("doc_id"), 1)
+            .otherwise(0)
+            .alias("u"),
+            "tr",
+            F.when(F.coalesce(F.col("contaminated"), F.lit(0)) == 1, 0)
+            .otherwise(1)
+            .alias("cl"),
+            F.coalesce(F.col("selected"), F.lit(0)).cast("int").alias("sel"),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q").cast("bigint").alias("n_quality"),
+            F.sum(F.col("q") * F.col("u")).cast("bigint").alias("n_unique"),
+            F.sum(F.col("q") * F.col("u") * F.col("tr"))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.col("q") * F.col("u") * F.col("tr") * F.col("cl"))
+            .cast("bigint")
+            .alias("n_clean"),
+            F.sum(
+                F.col("q") * F.col("u") * F.col("tr") * F.col("cl") * F.col("sel")
+            )
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(
+                F.col("q")
+                * F.col("u")
+                * F.col("tr")
+                * F.col("cl")
+                * F.col("sel")
+                * F.col("n_chars")
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
     )

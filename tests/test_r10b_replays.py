@@ -284,3 +284,108 @@ def test_split_leakage_audit_matches_replay(spark):
         k: (n, len(docs), mj) for k, (n, docs, mj) in census.items()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_curation_funnel_matches_replay(spark):
+    """Replays the five-stage funnel end to end in plain Python:
+    quality gate (token count + stopword ratio), exact-dedup
+    survivorship (min doc_id per md5(text)), train-split membership,
+    shingle-overlap decontamination, and DSIR selection — every rule
+    re-derived from the spec, not from the engine builders."""
+    from end2end_data_pipeline_spark.operators.corpus_ops import (
+        CONTAM_MIN_SHARED,
+        CONTAM_N,
+        DSIR_B,
+        DSIR_N,
+        DSIR_TARGET_LANG,
+        DSIR_TAU,
+        EVAL_MOD,
+    )
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        MAX_STOP_RATIO,
+        MIN_TOKENS_OK,
+        STOPWORDS,
+    )
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_quality"],
+            r["n_unique"],
+            r["n_train"],
+            r["n_clean"],
+            r["n_selected"],
+            r["kept_chars"],
+        )
+        for r in entrymod.queries()["corpus_curation_funnel"](
+            spark, SF
+        ).collect()
+    }
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    # exact-dedup survivors
+    keep_id: dict[str, int] = {}
+    for r in docs.itertuples():
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        keep_id[h] = min(keep_id.get(h, int(r.doc_id)), int(r.doc_id))
+
+    # contamination: distinct 4-gram shingle hashes, eval inventory
+    def shingle_set(text: str) -> set[int]:
+        n_toks, ph = _positional_shingle_hashes(text, CONTAM_N)
+        return set(ph) if n_toks >= CONTAM_N else set()
+
+    eval_inventory: set[int] = set()
+    for r in docs.itertuples():
+        if int(r.doc_id) % EVAL_MOD == 0:
+            eval_inventory |= shingle_set(r.text)
+
+    # DSIR bucket tables
+    rcounts: dict[int, int] = {}
+    tcounts: dict[int, int] = {}
+    doc_buckets: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        _, ph = _positional_shingle_hashes(r.text, DSIR_N)
+        bs = [h % DSIR_B for h in ph]
+        doc_buckets[int(r.doc_id)] = bs
+        for b in bs:
+            rcounts[b] = rcounts.get(b, 0) + 1
+            if r.lang == DSIR_TARGET_LANG:
+                tcounts[b] = tcounts.get(b, 0) + 1
+    raw_total, target_total = sum(rcounts.values()), sum(tcounts.values())
+
+    want: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        doc_id = int(r.doc_id)
+        toks = r.text.split(" ")
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        q = int(
+            len(toks) >= MIN_TOKENS_OK
+            and n_stop / len(toks) <= MAX_STOP_RATIO
+        )
+        u = int(keep_id[hashlib.md5(r.text.encode()).hexdigest()] == doc_id)
+        tr = int(doc_id % EVAL_MOD != 0)
+        n_shared = len(shingle_set(r.text) & eval_inventory) if tr else 0
+        cl = int(n_shared < CONTAM_MIN_SHARED)
+        bs = doc_buckets[doc_id]
+        if bs:
+            nf = len(bs)
+            t_hits = sum(tcounts.get(b, 0) for b in bs)
+            r_hits = sum(rcounts[b] for b in bs)
+            aff = (float(t_hits + nf) * float(raw_total + DSIR_B)) / (
+                float(r_hits + nf) * float(target_total + DSIR_B)
+            )
+            sel = int(aff >= DSIR_TAU)
+        else:
+            sel = 0
+        cell = want.setdefault(r.source, [0] * 7)
+        cell[0] += 1
+        cell[1] += q
+        cell[2] += q * u
+        cell[3] += q * u * tr
+        cell[4] += q * u * tr * cl
+        cell[5] += q * u * tr * cl * sel
+        cell[6] += q * u * tr * cl * sel * int(r.n_chars)
+
+    assert got == {k: tuple(v) for k, v in want.items()}

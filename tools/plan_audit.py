@@ -105,6 +105,10 @@ WAIVERS: dict[str, str] = {
     "event_type_cooccurrence": "bnlj-over-two-scans",
     "source_mix_rebalance": "bnlj-over-two-scans",
     "docs_dsir_domain_affinity": "bnlj-over-two-scans",
+    # the funnel composes docs_dsir_domain_affinity and inherits its
+    # (waived) 1-row broadcast totals crossJoin; the funnel's own
+    # joins are doc_id/h-keyed equi-joins.
+    "corpus_curation_funnel": "bnlj-over-two-scans",
     "nation_trade_pagerank": "bnlj-over-two-scans",
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
