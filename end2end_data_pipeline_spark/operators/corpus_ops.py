@@ -901,3 +901,85 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- padding-waste sweep over candidate sequence lengths ------------
+
+PACK_SWEEP_LENS = (64, 128, 256, 512)
+
+
+@query(
+    "corpus_packing_efficiency_sweep",
+    oracle=f"""
+    WITH sized AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), lens AS (
+      SELECT unnest([{', '.join(str(l) for l in PACK_SWEEP_LENS)}])
+          AS max_len
+    ), celled AS (
+      SELECT max_len, n_tokens,
+             ((n_tokens + max_len - 1) // max_len) * max_len AS padded
+      FROM sized CROSS JOIN lens
+    )
+    SELECT CAST(max_len AS BIGINT) AS max_len,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+           CAST(SUM(padded - n_tokens) AS BIGINT) AS wasted_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(padded) AS DOUBLE)
+               AS efficiency
+    FROM celled GROUP BY max_len ORDER BY max_len
+    """,
+)
+def corpus_packing_efficiency_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padding-waste sweep for the document-per-sequence layout: for
+    each candidate max sequence length, the tokens a batch pays when
+    every document is padded up to its own ceil(len/L)*L cells —
+    against which the concat-and-chunk layout (corpus_pack_chunks,
+    ~100% fill by construction) is judged. efficiency = corpus tokens
+    / padded tokens; the L that maximizes it for THIS corpus's length
+    distribution is the training-config answer this sweep exists for.
+
+    Scale: one token-count scan, a CROSS JOIN against a
+    {len(PACK_SWEEP_LENS)}-row literal length table (broadcast,
+    bounded fan-out), exact-integer ceil division per row, and an
+    O(|lens|) rollup — no window, no data-sized shuffle; the padded
+    sums stay exact BIGINTs so efficiency is a single portable
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    sized = docs.select(
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens")
+    )
+    lens = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(l)) for l in PACK_SWEEP_LENS])
+        ).alias("max_len")
+    )
+    celled = sized.crossJoin(F.broadcast(lens)).select(
+        "max_len",
+        "n_tokens",
+        # exact integer ceil division, same form as the oracle's //
+        F.expr(
+            "((n_tokens + max_len - 1) div max_len) * max_len"
+        ).alias("padded"),
+    )
+    return (
+        celled.groupBy(F.col("max_len").cast("bigint").alias("max_len"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("corpus_tokens"),
+            F.sum("padded").cast("bigint").alias("padded_tokens"),
+            F.sum(F.col("padded") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("wasted_tokens"),
+            (
+                F.sum("n_tokens").cast("double")
+                / F.sum("padded").cast("double")
+            ).alias("efficiency"),
+        )
+        .orderBy("max_len")
+    )

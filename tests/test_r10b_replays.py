@@ -389,3 +389,38 @@ def test_curation_funnel_matches_replay(spark):
         cell[6] += q * u * tr * cl * sel * int(r.n_chars)
 
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@pytest.mark.slow
+def test_packing_efficiency_sweep_matches_replay(spark):
+    from end2end_data_pipeline_spark.operators.corpus_ops import (
+        PACK_SWEEP_LENS,
+    )
+
+    got = {
+        r["max_len"]: (
+            r["n_docs"],
+            r["corpus_tokens"],
+            r["padded_tokens"],
+            r["wasted_tokens"],
+            r["efficiency"],
+        )
+        for r in entrymod.queries()["corpus_packing_efficiency_sweep"](
+            spark, SF
+        ).collect()
+    }
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    lens = [len(t.split(" ")) for t in docs.text]
+    want = {}
+    for L in PACK_SWEEP_LENS:
+        padded = [-(-n // L) * L for n in lens]
+        want[L] = (
+            len(lens),
+            sum(lens),
+            sum(padded),
+            sum(padded) - sum(lens),
+            float(sum(lens)) / float(sum(padded)),
+        )
+    assert got == want
+    assert all(0 < v[4] <= 1 for v in got.values())
