@@ -983,3 +983,90 @@ def corpus_packing_efficiency_sweep(
         )
         .orderBy("max_len")
     )
+
+
+# --- temperature-sampled source mixture -----------------------------
+
+# alpha = 0.5 (weight ~ share^alpha) — the multilingual-pretraining
+# temperature that upsamples small sources (Conneau & Lample 2019
+# style). 0.5 specifically because share^0.5 = sqrt(share) and IEEE
+# sqrt is correctly rounded in every engine, while pow(x, a) for
+# general a is not bit-stable cross-engine.
+
+
+@query(
+    "source_temperature_mix",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total,
+             CASE WHEN count(*) = 0 THEN 0.0
+                  ELSE CAST(list_reduce(
+                         list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+                         (a, b) -> a + b) AS DOUBLE)
+             END AS z
+      FROM per_source
+    )
+    SELECT source, n_tokens,
+           n_tokens / CAST(total AS DOUBLE) AS token_share,
+           sqrt(CAST(n_tokens AS DOUBLE)) / z AS temp_weight,
+           (sqrt(CAST(n_tokens AS DOUBLE)) / z)
+             / (n_tokens / CAST(total AS DOUBLE)) AS upsample_factor
+    FROM per_source CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture (weight ~ token_share^0.5):
+    the standard multilingual/multi-domain pretraining reweighting
+    that upsamples small sources without letting them dominate —
+    the dial between proportional sampling (source_mix_rebalance's
+    share column) and uniform (its rebalance_weight). alpha is fixed
+    at 0.5 because sqrt is the one power IEEE guarantees correctly
+    rounded in both engines.
+
+    Portability: the normalizer sums per-source sqrt values through
+    an EXPLICIT sorted left-fold (Spark aggregate over array_sort,
+    DuckDB list_reduce over list_sort) — float addition is
+    order-sensitive, so the fold order is pinned instead of left to
+    the aggregate planner; 0.0 + x = x exactly, so the differing
+    fold seeds cannot diverge.
+
+    Scale: O(sources) aggregate; the fold materializes one
+    |sources|-length array on a single row — sources are a catalog
+    (hundreds), not data. The totals row is the waived 1-row
+    broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.expr(f"size({toks})")).cast("bigint").alias("n_tokens")
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = per_source.select(
+        "n_tokens", sq.alias("sq")
+    ).agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("total"),
+        F.coalesce(
+            F.expr(
+                "aggregate(array_sort(collect_list(sq)), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ),
+            F.lit(0.0),
+        ).alias("z"),
+    )
+    share = F.col("n_tokens") / F.col("total").cast("double")
+    weight = sq / F.col("z")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            share.alias("token_share"),
+            weight.alias("temp_weight"),
+            (weight / share).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )

@@ -424,3 +424,44 @@ def test_packing_efficiency_sweep_matches_replay(spark):
         )
     assert got == want
     assert all(0 < v[4] <= 1 for v in got.values())
+
+
+@pytest.mark.slow
+def test_source_temperature_mix_matches_replay(spark):
+    import math
+
+    got = {
+        r["source"]: (
+            r["n_tokens"],
+            r["token_share"],
+            r["temp_weight"],
+            r["upsample_factor"],
+        )
+        for r in entrymod.queries()["source_temperature_mix"](
+            spark, SF
+        ).collect()
+    }
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_source: dict[str, int] = {}
+    for r in docs.itertuples():
+        per_source[r.source] = per_source.get(r.source, 0) + len(
+            r.text.split(" ")
+        )
+    total = sum(per_source.values())
+    z = 0.0
+    for v in sorted(math.sqrt(float(n)) for n in per_source.values()):
+        z += v
+    want = {}
+    for s, n in per_source.items():
+        share = n / float(total)
+        w = math.sqrt(float(n)) / z
+        want[s] = (n, share, w, w / share)
+    assert got == want
+    # temperature must compress the mix: every weight sits between
+    # proportional share and uniform 1/|sources| (inclusive ends only
+    # when shares are equal)
+    u = 1.0 / len(per_source)
+    for s, (_, share, w, _) in want.items():
+        lo, hi = min(share, u), max(share, u)
+        assert lo - 1e-12 <= w <= hi + 1e-12, (s, share, w, u)

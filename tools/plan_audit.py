@@ -109,6 +109,7 @@ WAIVERS: dict[str, str] = {
     # (waived) 1-row broadcast totals crossJoin; the funnel's own
     # joins are doc_id/h-keyed equi-joins.
     "corpus_curation_funnel": "bnlj-over-two-scans",
+    "source_temperature_mix": "bnlj-over-two-scans",
     "nation_trade_pagerank": "bnlj-over-two-scans",
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
