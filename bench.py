@@ -250,6 +250,10 @@ HEADLINE = [
     "docs_dsir_domain_affinity",
     "semdedup_prune_decisions",
     "split_leakage_neardup_audit",
+    "corpus_curation_funnel",
+    "corpus_packing_efficiency_sweep",
+    "source_temperature_mix",
+    "dedup_span_cut_plan",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

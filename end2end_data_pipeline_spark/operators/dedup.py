@@ -25,7 +25,7 @@ reproduces results bit-for-bit (functions/texthash.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end2end_data_pipeline_spark.functions import texthash as th
@@ -1221,10 +1221,11 @@ def _dupspan_base_sql() -> str:
     """
 
 
-@query(
-    "dedup_repeated_ngram_coverage",
-    oracle=f"""
-    WITH base AS ({_dupspan_base_sql()}),
+def _dupspan_ctes() -> str:
+    """Shared CTE chain: positional base, occurrence explode, the
+    cross-doc duplicated hash set, and the duplicated start positions
+    — consumed by the coverage profile AND the span cut plan."""
+    return f"""base AS ({_dupspan_base_sql()}),
     occ AS (
       SELECT doc_id, unnest(range(1, len(ph) + 1)) AS pos, unnest(ph) AS h
       FROM base
@@ -1232,7 +1233,48 @@ def _dupspan_base_sql() -> str:
       SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2
     ), dup_occ AS (
       SELECT doc_id, pos FROM occ JOIN dup USING (h)
-    ), covered AS (
+    )"""
+
+
+def _dupspan_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(cached positional base, duplicated start positions) — the
+    Spark mirror of ``_dupspan_ctes``."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = th.tokens("text", th.SPARK)
+    base = session_cached(
+        spark,
+        f"dupspan_base:{sf_dir}",
+        docs.select(
+            "doc_id",
+            F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+            F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr"),
+        ).select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                th.shingle_hashes_pos("th_arr", DUPSPAN_N, th.SPARK)
+            ).alias("ph"),
+        ),
+        # cached: consumed by occ (explode) AND the final per-doc join
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("ph").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    return base, occ.join(dup, "h", "left_semi")
+
+
+@query(
+    "dedup_repeated_ngram_coverage",
+    oracle=f"""
+    WITH {_dupspan_ctes()}, covered AS (
       SELECT doc_id, count(*) AS covered_tokens FROM (
         SELECT DISTINCT doc_id, p FROM (
           SELECT doc_id, unnest(range(pos, pos + {DUPSPAN_N})) AS p
@@ -1277,34 +1319,7 @@ def dedup_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     (bounded fan-out) and distinct-counts per doc_id — all shuffles
     are keyed by hash or doc_id and scale linearly with corpus tokens.
     """
-    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    toks = th.tokens("text", th.SPARK)
-    base = session_cached(
-        spark,
-        f"dupspan_base:{sf_dir}",
-        docs.select(
-            "doc_id",
-            F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
-            F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr"),
-        ).select(
-            "doc_id",
-            "n_tokens",
-            F.expr(
-                th.shingle_hashes_pos("th_arr", DUPSPAN_N, th.SPARK)
-            ).alias("ph"),
-        ),
-        # cached: consumed by occ (explode) AND the final per-doc join
-    )
-    occ = base.select(
-        "doc_id", F.posexplode("ph").alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    dup = (
-        occ.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
-    )
-    dup_occ = occ.join(dup, "h", "left_semi")
+    base, dup_occ = _dupspan_frames(spark, sf_dir)
     covered = (
         dup_occ.select(
             "doc_id",
@@ -1445,4 +1460,97 @@ def split_leakage_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_jaccard",
         )
         .orderBy("split_lo", "split_hi")
+    )
+
+
+@query(
+    "dedup_span_cut_plan",
+    oracle=f"""
+    WITH {_dupspan_ctes()}, flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                             + {DUPSPAN_N}
+                  OR lag(pos) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) IS NULL
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dup_occ
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, span_id,
+             MIN(pos) AS span_start,
+             MAX(pos) + {DUPSPAN_N} - 1 AS span_end
+      FROM islands GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(SUM(span_end - span_start + 1) AS BIGINT)
+               AS tokens_to_cut,
+           CAST(MAX(span_end - span_start + 1) AS BIGINT)
+               AS longest_span
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_span_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of dedup_repeated_ngram_coverage: merge
+    each document's duplicated {DUPSPAN_N}-gram starts into maximal
+    contiguous cut spans (classic gaps-and-islands — a new span opens
+    when a start position clears the previous start by more than the
+    n-gram width, i.e. the covered intervals neither overlap nor
+    touch) and report, per affected document, how many spans a
+    span-level dedup pass would cut, how many tokens they remove, and
+    the longest single cut. tokens_to_cut equals the coverage
+    profile's covered_tokens by construction — the replay test pins
+    that invariant.
+
+    Scale: shares _dupspan_frames' cached base and hash-keyed
+    duplicated-start discovery; the only new shuffle is the
+    doc_id-partitioned window pair (lag + running sum — one exchange,
+    two window passes over it), and window groups are bounded by a
+    single document's positions. Output is one row per AFFECTED
+    document."""
+    _, dup_occ = _dupspan_frames(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup_occ.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + DUPSPAN_N),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("new_span")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("span_id"),
+    )
+    spans = islands.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (DUPSPAN_N - 1)).alias("span_end"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("tokens_to_cut"),
+            F.max(F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("longest_span"),
+        )
+        .orderBy("doc_id")
     )

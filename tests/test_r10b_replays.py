@@ -465,3 +465,55 @@ def test_source_temperature_mix_matches_replay(spark):
     for s, (_, share, w, _) in want.items():
         lo, hi = min(share, u), max(share, u)
         assert lo - 1e-12 <= w <= hi + 1e-12, (s, share, w, u)
+
+
+@pytest.mark.slow
+def test_span_cut_plan_matches_replay(spark):
+    """From-spec interval-merge replay, plus the cross-query
+    invariant: tokens_to_cut per doc must equal the coverage
+    profile's covered_tokens (the cut spans ARE the covered set)."""
+    from end2end_data_pipeline_spark.operators.dedup import DUPSPAN_N
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["tokens_to_cut"], r["longest_span"])
+        for r in entrymod.queries()["dedup_span_cut_plan"](
+            spark, SF
+        ).collect()
+    }
+    coverage = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in entrymod.queries()["dedup_repeated_ngram_coverage"](
+            spark, SF
+        ).collect()
+    }
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_doc = {
+        int(r.doc_id): _positional_shingle_hashes(r.text, DUPSPAN_N)[1]
+        for r in docs.itertuples()
+    }
+    docs_with: dict[int, set[int]] = {}
+    for doc_id, ph in per_doc.items():
+        for h in ph:
+            docs_with.setdefault(h, set()).add(doc_id)
+    dup = {h for h, ds in docs_with.items() if len(ds) >= 2}
+
+    want = {}
+    for doc_id, ph in per_doc.items():
+        starts = [i + 1 for i, h in enumerate(ph) if h in dup]
+        if not starts:
+            continue
+        spans = []
+        for pos in starts:
+            if spans and pos <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], pos + DUPSPAN_N - 1)
+            else:
+                spans.append([pos, pos + DUPSPAN_N - 1])
+        lens = [e - s + 1 for s, e in spans]
+        want[doc_id] = (len(spans), sum(lens), max(lens))
+    assert got == want
+    for doc_id, (_, cut, _) in got.items():
+        assert cut == coverage[doc_id], (doc_id, cut, coverage[doc_id])
+    assert all(
+        coverage[d] == 0 for d in coverage if d not in got
+    ), "docs absent from the plan must have zero coverage"
