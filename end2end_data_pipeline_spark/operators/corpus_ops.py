@@ -1070,3 +1070,152 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- streaming curation replay --------------------------------------
+
+_CURATION_REPLAY: dict[tuple, str] = {}
+_CURATION_REPLAY_IDS = __import__("itertools").count()
+
+
+@query("curation_stream_replay", oracle=ORACLE["corpus_curation_funnel"])
+def curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel ON THE STREAMING ENGINE: documents arrive
+    through a parquet file stream (availableNow drain, append-mode
+    memory sink) and every per-document decision is made per
+    micro-batch — quality gate and split membership as per-row
+    expressions ON the stream, survivorship / contamination / DSIR
+    selection as stream-static equi-joins against the corpus index
+    frames (exactly how incremental curation scores new arrivals
+    against yesterday's corpus state — the incr_dedup fingerprint-
+    store shape). The drained flag table then rolls up with the
+    identical per-source funnel aggregation and hash-matches the
+    batch funnel's oracle — proving arrival-time curation reproduces
+    the batch decision bit-for-bit.
+
+    Scale: the stream side is stateless (no watermark, no state
+    store) — each micro-batch pays per-row expressions plus three
+    hash joins against index frames that are themselves the batch
+    operators' outputs; the rollup runs on the drained sink. At 100
+    TB the index frames are the persisted curation index, not a
+    recomputation."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        _quality_exprs,
+    )
+
+    docs_path = _os.path.join(sf_dir, "documents.parquet")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    table = _CURATION_REPLAY.get(key)
+    if table is None or not spark.catalog.tableExists(table):
+        table = f"curation_stream_replay_{next(_CURATION_REPLAY_IDS)}"
+        ckpt = _os.path.join(
+            _tempfile.gettempdir(),
+            "spark_graft_curation_ckpt",
+            key[0],
+            table,
+        )
+        # corpus index frames — the STATIC side of the stream-static
+        # joins (deterministic batch frames; session-cached builders)
+        docs = load_table(spark, sf_dir, "documents")
+        surv = docs.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("keep_id")
+        )
+        contam = _contam_perdoc(spark, sf_dir).select(
+            "doc_id", "contaminated"
+        )
+        dsel = _dsir_perdoc(spark, sf_dir).select("doc_id", "selected")
+
+        # the file-stream source requires a DIRECTORY; the standard
+        # fixture ships documents.parquet as a single file, so expose
+        # it through a symlink dir (stress fixtures write directories
+        # and stream as-is)
+        if _os.path.isdir(docs_path):
+            stream_dir = docs_path
+        else:
+            stream_dir = _os.path.join(
+                _tempfile.gettempdir(),
+                "spark_graft_curation_src",
+                key[0],
+                table,
+            )
+            _os.makedirs(stream_dir, exist_ok=True)
+            link = _os.path.join(stream_dir, "documents.parquet")
+            if not _os.path.exists(link):
+                _os.symlink(_os.path.abspath(docs_path), link)
+        schema = spark.read.parquet(docs_path).schema
+        flagged_stream = (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            .select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.md5("text").alias("h"),
+                F.expr(_quality_exprs(th.SPARK)["quality_ok"]).alias("q"),
+                F.when(F.col("doc_id") % EVAL_MOD != 0, 1)
+                .otherwise(0)
+                .alias("tr"),
+            )
+            .join(surv, "h")
+            .join(contam, "doc_id", "left")
+            .join(dsel, "doc_id", "left")
+            .select(
+                "source",
+                "n_chars",
+                "q",
+                F.when(F.col("keep_id") == F.col("doc_id"), 1)
+                .otherwise(0)
+                .alias("u"),
+                "tr",
+                F.when(F.coalesce(F.col("contaminated"), F.lit(0)) == 1, 0)
+                .otherwise(1)
+                .alias("cl"),
+                F.coalesce(F.col("selected"), F.lit(0))
+                .cast("int")
+                .alias("sel"),
+            )
+        )
+        q = (
+            flagged_stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _CURATION_REPLAY[key] = table
+    return (
+        spark.table(table)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q").cast("bigint").alias("n_quality"),
+            F.sum(F.col("q") * F.col("u")).cast("bigint").alias("n_unique"),
+            F.sum(F.col("q") * F.col("u") * F.col("tr"))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.col("q") * F.col("u") * F.col("tr") * F.col("cl"))
+            .cast("bigint")
+            .alias("n_clean"),
+            F.sum(
+                F.col("q") * F.col("u") * F.col("tr") * F.col("cl") * F.col("sel")
+            )
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(
+                F.col("q")
+                * F.col("u")
+                * F.col("tr")
+                * F.col("cl")
+                * F.col("sel")
+                * F.col("n_chars")
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

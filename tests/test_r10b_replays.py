@@ -517,3 +517,13 @@ def test_span_cut_plan_matches_replay(spark):
     assert all(
         coverage[d] == 0 for d in coverage if d not in got
     ), "docs absent from the plan must have zero coverage"
+
+
+@pytest.mark.slow
+def test_curation_stream_replay_equals_batch_funnel(spark):
+    """The streaming drain (file stream -> stream-static index joins
+    -> memory sink) must reproduce the batch funnel row-for-row."""
+    batch = entrymod.queries()["corpus_curation_funnel"](spark, SF).collect()
+    stream = entrymod.queries()["curation_stream_replay"](spark, SF).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+    assert len(batch) > 0
