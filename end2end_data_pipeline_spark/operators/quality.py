@@ -2495,6 +2495,74 @@ customer_kanonymity_profile.__doc__ = (
 ).replace("{K}", str(KANON_K))
 
 
+# --- l-diversity audit ----------------------------------------------------
+
+LDIV_L = 3  # minimum distinct sensitive values per QI class
+
+_LDIV_ORACLE = f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                  AS BIGINT) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_customers,
+           CAST(CASE WHEN l < {LDIV_L} THEN 1 ELSE 0 END AS INT)
+             AS below_l
+    FROM classes GROUP BY l ORDER BY l
+    """
+
+
+@query("customer_ldiversity_profile", oracle=_LDIV_ORACLE)
+def customer_ldiversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007), the companion to the
+    k-anonymity histogram: under the quasi-identifier (nation, market
+    segment), how many DISTINCT values of the sensitive attribute
+    (account-balance band) each equivalence class contains — a class
+    can be k-anonymous yet still leak the sensitive value when every
+    member shares it (the homogeneity attack k-anonymity misses).
+    Classes with l < {LDIV_L} need suppression or band coarsening.
+
+    Scale: one two-level map-side-combined aggregate — the QI x band
+    rollup is bounded by the attribute domains (~25 x 5 x 11 cells),
+    the l histogram by distinct l values; no joins, no windows."""
+    c = load_table(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.count_distinct("band").cast("bigint").alias("l"),
+        )
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_customers"),
+        )
+        .select(
+            "l",
+            "n_classes",
+            "n_customers",
+            (F.col("l") < LDIV_L).cast("int").alias("below_l"),
+        )
+        .orderBy("l")
+    )
+
+
+customer_ldiversity_profile.__doc__ = (
+    customer_ldiversity_profile.__doc__ or ""
+).replace("{LDIV_L}", str(LDIV_L))
+
+
 # --- functional-dependency audit -----------------------------------------
 
 # candidate determinant -> dependent pairs audited over orders; only

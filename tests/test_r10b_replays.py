@@ -527,3 +527,34 @@ def test_curation_stream_replay_equals_batch_funnel(spark):
     stream = entrymod.queries()["curation_stream_replay"](spark, SF).collect()
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
     assert len(batch) > 0
+
+
+@pytest.mark.slow
+def test_ldiversity_matches_replay(spark):
+    import math
+
+    from end2end_data_pipeline_spark.operators.quality import LDIV_L
+
+    got = {
+        r["l"]: (r["n_classes"], r["n_customers"], r["below_l"])
+        for r in entrymod.queries()["customer_ldiversity_profile"](
+            spark, SF
+        ).collect()
+    }
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    classes: dict[tuple, tuple[int, set]] = {}
+    for r in cust.itertuples():
+        key = (r.c_nationkey, r.c_mktsegment)
+        n, bands = classes.get(key, (0, set()))
+        bands = set(bands)
+        bands.add(math.floor(float(r.c_acctbal) / 1000))
+        classes[key] = (n + 1, bands)
+    want: dict[int, list[int]] = {}
+    for n, bands in classes.values():
+        cell = want.setdefault(len(bands), [0, 0])
+        cell[0] += 1
+        cell[1] += n
+    assert got == {
+        l: (c, n, int(l < LDIV_L)) for l, (c, n) in want.items()
+    }
