@@ -254,6 +254,8 @@ HEADLINE = [
     "corpus_packing_efficiency_sweep",
     "source_temperature_mix",
     "dedup_span_cut_plan",
+    "curation_stream_replay",
+    "customer_ldiversity_profile",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
