@@ -1056,3 +1056,135 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 vocab_coverage_curve.__doc__ = (vocab_coverage_curve.__doc__ or "").replace(
     "{NK}", str(len(VOCAB_KS))
 )
+
+
+# --- code-switching profile -----------------------------------------
+
+
+def _codeswitch_exprs(dialect: str) -> dict[str, str]:
+    """Per-token language votes from the same marker trio the doc-level
+    lang-ID uses, then sequence statistics over the voted tokens.
+    All pure array expressions — one pass, no shuffle."""
+    toks = th.tokens("text", dialect)
+    # per-token vote: same argmax rule as _langid_exprs, at token level;
+    # tokens with no marker abstain (NULL, filtered out)
+    def cnt(marker: str) -> str:
+        rep = f"replace(t, '{marker}', '')"
+        return f"(length(t) - length({rep})) / {len(marker)}"
+
+    c_th, c_er, c_an = cnt("th"), cnt("er"), cnt("an")
+    vote = (
+        f"CASE WHEN {c_th} = 0 AND {c_er} = 0 AND {c_an} = 0 THEN NULL "
+        f"WHEN {c_th} >= {c_er} AND {c_th} >= {c_an} THEN 'en' "
+        f"WHEN {c_er} >= {c_an} THEN 'de' ELSE 'es' END"
+    )
+    if dialect == th.SPARK:
+        voted = f"filter(transform({toks}, t -> {vote}), v -> v IS NOT NULL)"
+        n_lang = "size(filter(voted, v -> v = '{lang}'))"
+        switches = (
+            "CASE WHEN size(voted) < 2 THEN 0 ELSE "
+            "aggregate(zip_with(slice(voted, 1, size(voted) - 1), "
+            "slice(voted, 2, size(voted) - 1), "
+            "(a, b) -> CASE WHEN a != b THEN 1 ELSE 0 END), "
+            "0, (acc, x) -> acc + x) END"
+        )
+    else:
+        voted = (
+            f"list_filter(list_transform({toks}, t -> {vote}), "
+            f"v -> v IS NOT NULL)"
+        )
+        n_lang = "len(list_filter(voted, v -> v = '{lang}'))"
+        switches = (
+            "CASE WHEN len(voted) < 2 THEN 0 ELSE "
+            "CAST(list_sum(list_transform(range(2, len(voted) + 1), "
+            "i -> CASE WHEN voted[i] != voted[i - 1] THEN 1 ELSE 0 END)) "
+            "AS INT) END"
+        )
+    return {"voted": voted, "n_lang": n_lang, "switches": switches}
+
+
+@query(
+    "docs_codeswitch_profile",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, lang, {_codeswitch_exprs(th.DUCK)['voted']} AS voted
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(len(voted) AS BIGINT) AS n_voted,
+             CAST({_codeswitch_exprs(th.DUCK)['n_lang'].format(lang='en')}
+                  AS BIGINT) AS n_en,
+             CAST({_codeswitch_exprs(th.DUCK)['n_lang'].format(lang='de')}
+                  AS BIGINT) AS n_de,
+             CAST({_codeswitch_exprs(th.DUCK)['n_lang'].format(lang='es')}
+                  AS BIGINT) AS n_es,
+             CAST({_codeswitch_exprs(th.DUCK)['switches']} AS BIGINT)
+                 AS n_switches
+      FROM v
+    )
+    SELECT doc_id, lang, n_voted, n_switches,
+           CASE WHEN n_voted = 0 THEN NULL
+                WHEN n_en >= n_de AND n_en >= n_es THEN 'en'
+                WHEN n_de >= n_es THEN 'de' ELSE 'es' END AS dominant_lang,
+           CASE WHEN n_voted = 0 THEN NULL
+                ELSE 1.0 - GREATEST(n_en, n_de, n_es)
+                           / CAST(n_voted AS DOUBLE)
+           END AS mixedness
+    FROM scored ORDER BY doc_id
+    """,
+)
+def docs_codeswitch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level code-switching profile: vote a language per token
+    with the same marker trio the doc-level lang-ID uses (abstaining
+    tokens drop out), then count vote SWITCHES along the token
+    sequence and the share of votes outside the dominant language —
+    the signal multilingual corpus builders use to separate genuinely
+    code-mixed documents from mislabeled monolingual ones (doc-level
+    lang-ID alone cannot tell them apart).
+
+    Scale: every column is a per-row array expression over one token
+    pass — no shuffle at all beyond the output sort; the vote, the
+    adjacent-pair switch count (zip_with over two slices), and the
+    per-language tallies all ride whole-stage codegen."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    ex = _codeswitch_exprs(th.SPARK)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(ex["voted"]).alias("voted"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(voted) AS BIGINT)").alias("n_voted"),
+        F.expr(f"CAST({ex['n_lang'].format(lang='en')} AS BIGINT)").alias(
+            "n_en"
+        ),
+        F.expr(f"CAST({ex['n_lang'].format(lang='de')} AS BIGINT)").alias(
+            "n_de"
+        ),
+        F.expr(f"CAST({ex['n_lang'].format(lang='es')} AS BIGINT)").alias(
+            "n_es"
+        ),
+        F.expr(f"CAST({ex['switches']} AS BIGINT)").alias("n_switches"),
+    )
+    dominant = (
+        F.when(F.col("n_voted") == 0, F.lit(None).cast("string"))
+        .when(
+            (F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_es")),
+            "en",
+        )
+        .when(F.col("n_de") >= F.col("n_es"), "de")
+        .otherwise("es")
+    )
+    mixedness = F.when(F.col("n_voted") == 0, F.lit(None).cast("double")).otherwise(
+        1.0
+        - F.greatest("n_en", "n_de", "n_es") / F.col("n_voted").cast("double")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_voted",
+        "n_switches",
+        dominant.alias("dominant_lang"),
+        mixedness.alias("mixedness"),
+    ).orderBy("doc_id")

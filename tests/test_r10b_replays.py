@@ -558,3 +558,55 @@ def test_ldiversity_matches_replay(spark):
     assert got == {
         l: (c, n, int(l < LDIV_L)) for l, (c, n) in want.items()
     }
+
+
+@pytest.mark.slow
+def test_codeswitch_profile_matches_replay(spark):
+    got = {
+        r["doc_id"]: (
+            r["lang"],
+            r["n_voted"],
+            r["n_switches"],
+            r["dominant_lang"],
+            r["mixedness"],
+        )
+        for r in entrymod.queries()["docs_codeswitch_profile"](
+            spark, SF
+        ).collect()
+    }
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def vote(tok: str):
+        c = {m: tok.count(m) for m in ("th", "er", "an")}
+        if not any(c.values()):
+            return None
+        if c["th"] >= c["er"] and c["th"] >= c["an"]:
+            return "en"
+        return "de" if c["er"] >= c["an"] else "es"
+
+    assert len(got) == len(docs)
+    n_mixed = 0
+    for r in docs.itertuples():
+        voted = [v for v in (vote(t) for t in r.text.split(" ")) if v]
+        switches = sum(
+            1 for a, b in zip(voted, voted[1:]) if a != b
+        )
+        counts = {
+            lang: sum(1 for v in voted if v == lang)
+            for lang in ("en", "de", "es")
+        }
+        if not voted:
+            want = (r.lang, 0, 0, None, None)
+        else:
+            if counts["en"] >= counts["de"] and counts["en"] >= counts["es"]:
+                dom = "en"
+            elif counts["de"] >= counts["es"]:
+                dom = "de"
+            else:
+                dom = "es"
+            mix = 1.0 - max(counts.values()) / float(len(voted))
+            want = (r.lang, len(voted), switches, dom, mix)
+            n_mixed += mix > 0
+        assert got[int(r.doc_id)] == want, (int(r.doc_id), got[int(r.doc_id)], want)
+    assert n_mixed > 0, "fixture must exercise the mixed-document path"
