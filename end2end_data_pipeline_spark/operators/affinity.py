@@ -920,3 +920,97 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 part_copurchase_communities.__doc__ = (
     part_copurchase_communities.__doc__ or ""
 ).replace("{LPA_ITERS}", str(LPA_ITERS))
+
+
+@query(
+    "typo_blocking_recall_eval",
+    oracle=f"""
+    WITH parts AS (
+      SELECT p_partkey, p_name, p_brand, p_size FROM part
+    ), relaxed AS (
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+             CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS tight,
+             CASE WHEN levenshtein(a.p_name, b.p_name) <= {TYPO_MAX_DIST}
+                  THEN 1 ELSE 0 END AS is_true
+      FROM parts a JOIN parts b
+        ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    )
+    SELECT (SELECT count(*) FROM parts) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_relaxed_candidates,
+           CAST(SUM(tight) AS BIGINT) AS n_tight_candidates,
+           CAST(SUM(is_true) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(tight * is_true) AS BIGINT) AS n_found,
+           CASE WHEN SUM(is_true) = 0 THEN NULL
+                ELSE SUM(tight * is_true) / CAST(SUM(is_true) AS DOUBLE)
+           END AS pair_completeness,
+           CASE WHEN count(*) = 0 THEN NULL
+                ELSE 1.0 - SUM(tight) / CAST(count(*) AS DOUBLE)
+           END AS candidate_reduction
+    FROM relaxed
+    """,
+)
+def typo_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation for the catalog-dedup blocking —
+    the entity-resolution analog of dedup_lsh_recall_eval: how many
+    <= {TYPO_MAX_DIST}-edit name pairs does adding p_brand to the
+    block key lose (pair completeness), and how many candidate
+    comparisons does it save (candidate reduction)? The reference
+    universe is the RELAXED size-only blocking — an equi-join
+    superset of the production (brand, size) key — so the truth side
+    is itself a sum-of-block-squares join, never an all-pairs
+    cartesian (the same reason LSH recall evals compare against an
+    inverted-index truth, not n^2).
+
+    Scale: one self-equi-join on p_size (blocks are bounded by the
+    size domain; AQE splits skewed blocks), levenshtein on in-block
+    candidates only, then a single global rollup row. Both ratio
+    columns are divisions of exact counts."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    relaxed = a.join(
+        b,
+        (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.when(F.col("a.p_brand") == F.col("b.p_brand"), 1)
+        .otherwise(0)
+        .alias("tight"),
+        F.when(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            <= TYPO_MAX_DIST,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_true"),
+    )
+    stats = relaxed.agg(
+        F.count("*").cast("bigint").alias("n_relaxed_candidates"),
+        F.sum("tight").cast("bigint").alias("n_tight_candidates"),
+        F.sum("is_true").cast("bigint").alias("n_true_pairs"),
+        F.sum(F.col("tight") * F.col("is_true"))
+        .cast("bigint")
+        .alias("n_found"),
+        F.when(F.sum("is_true") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.sum(F.col("tight") * F.col("is_true"))
+            / F.sum("is_true").cast("double")
+        )
+        .alias("pair_completeness"),
+        F.when(F.count("*") == 0, F.lit(None).cast("double"))
+        .otherwise(1.0 - F.sum("tight") / F.count("*").cast("double"))
+        .alias("candidate_reduction"),
+    )
+    # part count rides a 1-row broadcast scalar attach (the waived
+    # totals crossJoin pattern) instead of a driver-side count()
+    n_parts = p.agg(F.count("*").cast("bigint").alias("n_parts"))
+    return stats.crossJoin(F.broadcast(n_parts)).select(
+        "n_parts",
+        "n_relaxed_candidates",
+        "n_tight_candidates",
+        "n_true_pairs",
+        "n_found",
+        "pair_completeness",
+        "candidate_reduction",
+    )

@@ -610,3 +610,56 @@ def test_codeswitch_profile_matches_replay(spark):
             n_mixed += mix > 0
         assert got[int(r.doc_id)] == want, (int(r.doc_id), got[int(r.doc_id)], want)
     assert n_mixed > 0, "fixture must exercise the mixed-document path"
+
+
+@pytest.mark.slow
+def test_typo_blocking_eval_matches_replay(spark):
+    """From-spec replay of the blocking eval: a plain-Python
+    Levenshtein over the size-blocked pair universe."""
+    from end2end_data_pipeline_spark.operators.affinity import TYPO_MAX_DIST
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    row = entrymod.queries()["typo_blocking_recall_eval"](
+        spark, SF
+    ).collect()[0]
+
+    parts = pd.read_parquet(f"{SF}/part.parquet")[
+        ["p_partkey", "p_name", "p_brand", "p_size"]
+    ]
+    by_size: dict[int, list] = {}
+    for r in parts.itertuples():
+        by_size.setdefault(int(r.p_size), []).append(r)
+    n_relaxed = n_tight = n_true = n_found = 0
+    for block in by_size.values():
+        block = sorted(block, key=lambda r: r.p_partkey)
+        for i in range(len(block)):
+            for j in range(i + 1, len(block)):
+                a, b = block[i], block[j]
+                n_relaxed += 1
+                tight = a.p_brand == b.p_brand
+                true = lev(a.p_name, b.p_name) <= TYPO_MAX_DIST
+                n_tight += tight
+                n_true += true
+                n_found += tight and true
+    assert row["n_parts"] == len(parts)
+    assert row["n_relaxed_candidates"] == n_relaxed
+    assert row["n_tight_candidates"] == n_tight
+    assert row["n_true_pairs"] == n_true
+    assert row["n_found"] == n_found
+    assert n_true > 0, "fixture must contain near-duplicate names"
+    assert row["pair_completeness"] == n_found / n_true
+    assert row["candidate_reduction"] == 1.0 - n_tight / n_relaxed

@@ -110,6 +110,7 @@ WAIVERS: dict[str, str] = {
     # joins are doc_id/h-keyed equi-joins.
     "corpus_curation_funnel": "bnlj-over-two-scans",
     "source_temperature_mix": "bnlj-over-two-scans",
+    "typo_blocking_recall_eval": "bnlj-over-two-scans",
     "nation_trade_pagerank": "bnlj-over-two-scans",
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
