@@ -2563,6 +2563,136 @@ customer_ldiversity_profile.__doc__ = (
 ).replace("{LDIV_L}", str(LDIV_L))
 
 
+# --- t-closeness audit -----------------------------------------------------
+
+TCLOSE_T = 0.2  # max allowed EMD between class and global distribution
+
+_TCLOSE_ORACLE = f"""
+    WITH banded AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ), gl AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS cnt_g FROM banded GROUP BY band
+    ), gtot AS (
+      SELECT CAST(COALESCE(SUM(cnt_g), 0) AS BIGINT) AS total_g,
+             CAST(count(*) AS BIGINT) AS m
+      FROM gl
+    ), cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS total_c
+      FROM banded GROUP BY 1, 2
+    ), cell AS (
+      SELECT c_nationkey, c_mktsegment, band, CAST(count(*) AS BIGINT) AS cnt_c
+      FROM banded GROUP BY 1, 2, 3
+    ), spine AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.total_c, gl.band, gl.cnt_g,
+             COALESCE(cell.cnt_c, 0) AS cnt_c
+      FROM cls CROSS JOIN gl
+      LEFT JOIN cell ON cls.c_nationkey = cell.c_nationkey
+                    AND cls.c_mktsegment = cell.c_mktsegment
+                    AND gl.band = cell.band
+    ), cum AS (
+      SELECT c_nationkey, c_mktsegment, total_c, band,
+             SUM(cnt_c * (SELECT total_g FROM gtot)
+                 - cnt_g * total_c)
+               OVER (PARTITION BY c_nationkey, c_mktsegment
+                     ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_diff
+      FROM spine
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(total_c AS BIGINT) AS class_size,
+           CAST((SELECT m FROM gtot) AS BIGINT) AS n_bands,
+           CAST(SUM(ABS(cum_diff)) AS BIGINT)
+             / (CAST(total_c AS DOUBLE) * (SELECT total_g FROM gtot)
+                * ((SELECT m FROM gtot) - 1)) AS emd,
+           CAST(CASE WHEN
+                  CAST(SUM(ABS(cum_diff)) AS BIGINT)
+                  / (CAST(total_c AS DOUBLE) * (SELECT total_g FROM gtot)
+                     * ((SELECT m FROM gtot) - 1)) > {TCLOSE_T}
+                THEN 1 ELSE 0 END AS INT) AS above_t
+    FROM cum
+    GROUP BY c_nationkey, c_mktsegment, total_c
+    ORDER BY c_nationkey, c_mktsegment
+    """
+
+
+@query("customer_tcloseness_profile", oracle=_TCLOSE_ORACLE)
+def customer_tcloseness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), completing the privacy trio
+    with k-anonymity and l-diversity: per (nation, market segment)
+    equivalence class, the ordered earth-mover distance between the
+    class's account-balance-band distribution and the global one —
+    l-diverse classes still leak when their sensitive distribution is
+    SKEWED relative to the population (the skewness attack). EMD over
+    an ordered attribute is the mean |cumulative difference|, computed
+    here as exact cross-multiplied BIGINT cumulative sums over the
+    common denominator total_c * total_g, with ONE double division at
+    the end — engine-portable with no float accumulation.
+
+    Scale: every frame is domain-bounded (classes x bands ~ 125 x 11)
+    after two map-side-combined aggregates over the scan; the spine
+    cross join and the cumulative window run on those rollups, never
+    on customer rows."""
+    c = load_table(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    gl = banded.groupBy("band").agg(F.count("*").cast("bigint").alias("cnt_g"))
+    gtot = gl.agg(
+        F.coalesce(F.sum("cnt_g"), F.lit(0)).cast("bigint").alias("total_g"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    cls = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("total_c")
+    )
+    cell = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").cast("bigint").alias("cnt_c")
+    )
+    spine = (
+        cls.crossJoin(F.broadcast(gl))
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "total_c",
+            "band",
+            "total_g",
+            "m",
+            F.coalesce(F.col("cnt_c"), F.lit(0)).alias("cnt_c"),
+            "cnt_g",
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.withColumn(
+        "cum_diff",
+        F.sum(
+            F.col("cnt_c") * F.col("total_g") - F.col("cnt_g") * F.col("total_c")
+        ).over(w),
+    )
+    emd = F.sum(F.abs(F.col("cum_diff"))).cast("bigint") / (
+        F.first("total_c").cast("double")
+        * F.first("total_g")
+        * (F.first("m") - 1)
+    )
+    return (
+        cum.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.first("total_c").cast("bigint").alias("class_size"),
+            F.first("m").cast("bigint").alias("n_bands"),
+            emd.alias("emd"),
+            F.when(emd > TCLOSE_T, 1).otherwise(0).cast("int").alias("above_t"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
 # --- functional-dependency audit -----------------------------------------
 
 # candidate determinant -> dependent pairs audited over orders; only

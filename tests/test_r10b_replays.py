@@ -663,3 +663,51 @@ def test_typo_blocking_eval_matches_replay(spark):
     assert n_true > 0, "fixture must contain near-duplicate names"
     assert row["pair_completeness"] == n_found / n_true
     assert row["candidate_reduction"] == 1.0 - n_tight / n_relaxed
+
+
+@pytest.mark.slow
+def test_tcloseness_matches_replay(spark):
+    import math
+
+    from end2end_data_pipeline_spark.operators.quality import TCLOSE_T
+
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): (
+            r["class_size"],
+            r["n_bands"],
+            r["emd"],
+            r["above_t"],
+        )
+        for r in entrymod.queries()["customer_tcloseness_profile"](
+            spark, SF
+        ).collect()
+    }
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    bands = sorted(
+        {math.floor(float(b) / 1000) for b in cust.c_acctbal}
+    )
+    m = len(bands)
+    g = {b: 0 for b in bands}
+    classes: dict[tuple, dict] = {}
+    for r in cust.itertuples():
+        b = math.floor(float(r.c_acctbal) / 1000)
+        g[b] += 1
+        cl = classes.setdefault((r.c_nationkey, r.c_mktsegment), dict())
+        cl[b] = cl.get(b, 0) + 1
+    total_g = sum(g.values())
+
+    assert len(got) == len(classes)
+    for key, cl in classes.items():
+        total_c = sum(cl.values())
+        cum = 0
+        abs_sum = 0
+        for b in bands:
+            cum += cl.get(b, 0) * total_g - g[b] * total_c
+            abs_sum += abs(cum)
+        emd = abs_sum / (float(total_c) * total_g * (m - 1))
+        assert got[key] == (total_c, m, emd, int(emd > TCLOSE_T)), (
+            key,
+            got[key],
+        )
+    assert max(v[2] for v in got.values()) > 0, "EMD must discriminate" 

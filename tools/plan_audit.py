@@ -111,6 +111,9 @@ WAIVERS: dict[str, str] = {
     "corpus_curation_funnel": "bnlj-over-two-scans",
     "source_temperature_mix": "bnlj-over-two-scans",
     "typo_blocking_recall_eval": "bnlj-over-two-scans",
+    # t-closeness spine: classes x bands cross join of two bounded
+    # rollups plus the 1-row (total_g, m) attach — nothing data-sized.
+    "customer_tcloseness_profile": "bnlj-over-two-scans",
     "nation_trade_pagerank": "bnlj-over-two-scans",
     # lift denominator: the 1-row n_orders aggregate cross-joined onto
     # the (already support-filtered, top-k-bound) pair table.
