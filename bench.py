@@ -256,6 +256,9 @@ HEADLINE = [
     "dedup_span_cut_plan",
     "curation_stream_replay",
     "customer_ldiversity_profile",
+    "docs_codeswitch_profile",
+    "typo_blocking_recall_eval",
+    "customer_tcloseness_profile",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.
