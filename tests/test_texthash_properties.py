@@ -115,3 +115,32 @@ def test_simhash_matches_reference(toks):
             expect |= 1 << bit
     assert got == expect
     con.close()
+
+
+@given(toks=st.lists(TOKEN, min_size=0, max_size=12), n=st.integers(2, 4))
+@settings(max_examples=60, deadline=None)
+def test_shingle_hashes_pos_matches_reference(toks, n):
+    """Positional shingle hashes: the DuckDB expression must equal the
+    from-definition Python recompute, and its distinct set must equal
+    shingle_combine's output (the shared-constants contract the
+    dedup/DSIR consumers rely on)."""
+    con = duckdb.connect()
+    text = " ".join(toks) if toks else ""
+    t = th.tokens("'" + text.replace("'", "''") + "'", th.DUCK)
+    th_arr = th.reduced_token_hashes(t, th.DUCK)
+    pos = th.shingle_hashes_pos("th_arr", n, th.DUCK)
+    comb = th.shingle_combine("th_arr", n, th.DUCK)
+    got_pos, got_comb = con.execute(
+        f"SELECT {pos}, {comb} FROM (SELECT {th_arr} AS th_arr)"
+    ).fetchone()
+
+    base = [_py_md5h(tok) % th.BASE_MOD for tok in (text.split(" ") if text else [""])]
+    cs = th.shingle_coeffs(n)
+    want = [
+        sum(c * base[i + k] for k, c in enumerate(cs)) % th.MINHASH_P
+        for i in range(len(base) - n + 1)
+    ]
+    assert list(got_pos) == want
+    # distinct-preserving relationship with the combiner (order-free)
+    assert set(got_pos) == set(got_comb)
+    con.close()
