@@ -197,9 +197,13 @@ def shingle_hashes_pos(th_col: str, n: int, dialect: str) -> str:
             f"ELSE array() END"
         )
     terms = " + ".join(f"{cs[k]} * {th_col}[i + {k}]" for k in range(n))
+    # CASE mirrors the Spark branch for NULL input (size(NULL) >= n is
+    # NULL -> ELSE []), where a bare list_transform would return NULL
     return (
+        f"CASE WHEN len({th_col}) >= {n} THEN "
         f"list_transform(range(1, len({th_col}) - {n - 2}), "
-        f"i -> ({terms}) % {MINHASH_P})"
+        f"i -> ({terms}) % {MINHASH_P}) "
+        f"ELSE []::BIGINT[] END"
     )
 
 

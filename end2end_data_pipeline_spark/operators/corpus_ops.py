@@ -15,6 +15,8 @@ value-exact.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -770,6 +772,43 @@ def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- end-to-end curation funnel -------------------------------------
 
 
+def _funnel_rollup(flags: DataFrame) -> DataFrame:
+    """Per-source cumulative keep waterfall over a (source, n_chars,
+    q, u, tr, cl, sel) flag frame — ONE rollup shared by the batch
+    funnel and its streaming twin, so the stage order cannot drift
+    between them."""
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q").cast("bigint").alias("n_quality"),
+            F.sum(F.col("q") * F.col("u")).cast("bigint").alias("n_unique"),
+            F.sum(F.col("q") * F.col("u") * F.col("tr"))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.col("q") * F.col("u") * F.col("tr") * F.col("cl"))
+            .cast("bigint")
+            .alias("n_clean"),
+            F.sum(
+                F.col("q") * F.col("u") * F.col("tr") * F.col("cl") * F.col("sel")
+            )
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(
+                F.col("q")
+                * F.col("u")
+                * F.col("tr")
+                * F.col("cl")
+                * F.col("sel")
+                * F.col("n_chars")
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _funnel_sql() -> str:
     from end2end_data_pipeline_spark.operators.text_analysis import (
         _quality_exprs,
@@ -871,36 +910,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("selected"), F.lit(0)).cast("int").alias("sel"),
         )
     )
-    return (
-        flags.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("q").cast("bigint").alias("n_quality"),
-            F.sum(F.col("q") * F.col("u")).cast("bigint").alias("n_unique"),
-            F.sum(F.col("q") * F.col("u") * F.col("tr"))
-            .cast("bigint")
-            .alias("n_train"),
-            F.sum(F.col("q") * F.col("u") * F.col("tr") * F.col("cl"))
-            .cast("bigint")
-            .alias("n_clean"),
-            F.sum(
-                F.col("q") * F.col("u") * F.col("tr") * F.col("cl") * F.col("sel")
-            )
-            .cast("bigint")
-            .alias("n_selected"),
-            F.sum(
-                F.col("q")
-                * F.col("u")
-                * F.col("tr")
-                * F.col("cl")
-                * F.col("sel")
-                * F.col("n_chars")
-            )
-            .cast("bigint")
-            .alias("kept_chars"),
-        )
-        .orderBy("source")
-    )
+    return _funnel_rollup(flags)
 
 
 # --- padding-waste sweep over candidate sequence lengths ------------
@@ -1075,7 +1085,7 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming curation replay --------------------------------------
 
 _CURATION_REPLAY: dict[tuple, str] = {}
-_CURATION_REPLAY_IDS = __import__("itertools").count()
+_CURATION_REPLAY_IDS = itertools.count()
 
 
 @query("curation_stream_replay", oracle=ORACLE["corpus_curation_funnel"])
@@ -1188,34 +1198,4 @@ def curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _CURATION_REPLAY[key] = table
-    return (
-        spark.table(table)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("q").cast("bigint").alias("n_quality"),
-            F.sum(F.col("q") * F.col("u")).cast("bigint").alias("n_unique"),
-            F.sum(F.col("q") * F.col("u") * F.col("tr"))
-            .cast("bigint")
-            .alias("n_train"),
-            F.sum(F.col("q") * F.col("u") * F.col("tr") * F.col("cl"))
-            .cast("bigint")
-            .alias("n_clean"),
-            F.sum(
-                F.col("q") * F.col("u") * F.col("tr") * F.col("cl") * F.col("sel")
-            )
-            .cast("bigint")
-            .alias("n_selected"),
-            F.sum(
-                F.col("q")
-                * F.col("u")
-                * F.col("tr")
-                * F.col("cl")
-                * F.col("sel")
-                * F.col("n_chars")
-            )
-            .cast("bigint")
-            .alias("kept_chars"),
-        )
-        .orderBy("source")
-    )
+    return _funnel_rollup(spark.table(table))

@@ -210,7 +210,9 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup: within-cluster semantic near-dup pruning -------------
 
-SEMDEDUP_W = 64  # exemplars compared per cluster (nearest-to-centroid)
+SEMDEDUP_W = 128  # exemplars compared per cluster (nearest-to-centroid);
+# covers every sf0.001 cluster (max size 70), so the fixture exercises
+# the paper's EXACT within-cluster pairwise screen there
 # Prune cutoff on within-cluster cosine. The fixture corpus is near-
 # random 64-dim (within-cluster max-cosine median ~0.30), so 0.35
 # prunes ~16%; real embedding corpora run ~0.95 — the plan shape is

@@ -2602,10 +2602,12 @@ _TCLOSE_ORACLE = f"""
     SELECT c_nationkey, c_mktsegment,
            CAST(total_c AS BIGINT) AS class_size,
            CAST((SELECT m FROM gtot) AS BIGINT) AS n_bands,
-           CAST(SUM(ABS(cum_diff)) AS BIGINT)
-             / (CAST(total_c AS DOUBLE) * (SELECT total_g FROM gtot)
-                * ((SELECT m FROM gtot) - 1)) AS emd,
-           CAST(CASE WHEN
+           CASE WHEN (SELECT m FROM gtot) <= 1 THEN NULL
+                ELSE CAST(SUM(ABS(cum_diff)) AS BIGINT)
+                  / (CAST(total_c AS DOUBLE) * (SELECT total_g FROM gtot)
+                     * ((SELECT m FROM gtot) - 1))
+           END AS emd,
+           CAST(CASE WHEN (SELECT m FROM gtot) > 1 AND
                   CAST(SUM(ABS(cum_diff)) AS BIGINT)
                   / (CAST(total_c AS DOUBLE) * (SELECT total_g FROM gtot)
                      * ((SELECT m FROM gtot) - 1)) > {TCLOSE_T}
@@ -2676,10 +2678,15 @@ def customer_tcloseness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt_c") * F.col("total_g") - F.col("cnt_g") * F.col("total_c")
         ).over(w),
     )
-    emd = F.sum(F.abs(F.col("cum_diff"))).cast("bigint") / (
+    # m = 1 (single global band) would make the denominator 0 — and
+    # 0/0 is NULL in Spark but NaN in DuckDB, so guard it explicitly
+    emd_raw = F.sum(F.abs(F.col("cum_diff"))).cast("bigint") / (
         F.first("total_c").cast("double")
         * F.first("total_g")
         * (F.first("m") - 1)
+    )
+    emd = F.when(F.first("m") <= 1, F.lit(None).cast("double")).otherwise(
+        emd_raw
     )
     return (
         cum.groupBy("c_nationkey", "c_mktsegment")
@@ -2687,7 +2694,10 @@ def customer_tcloseness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("total_c").cast("bigint").alias("class_size"),
             F.first("m").cast("bigint").alias("n_bands"),
             emd.alias("emd"),
-            F.when(emd > TCLOSE_T, 1).otherwise(0).cast("int").alias("above_t"),
+            F.when((F.first("m") > 1) & (emd_raw > TCLOSE_T), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("above_t"),
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
