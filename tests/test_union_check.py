@@ -5,6 +5,8 @@ committed round or holds a slot in the CURRENT window."""
 
 from __future__ import annotations
 
+import os
+
 import __spark_entry__ as entrymod
 from tools import union_check
 
@@ -34,17 +36,68 @@ def test_union_math_matches_committed_files():
     overflow = set(entrymod.WINDOW_OVERFLOW)
     assert union | window | overflow == registry
     # the overflow queue is only for genuinely over-budget rows: never
-    # overlapping the window, never already green, and empty whenever
-    # the awaiting set fits the window
+    # overlapping the window, never already green
     assert not (overflow & window)
     assert not (overflow & union)
     awaiting = registry - union
-    assert len(overflow) == max(0, len(awaiting) - 50)
+    # COVERAGE, not arithmetic identity (r9/r10 lesson: the strict
+    # ``len(overflow) == awaiting - 50`` equality went red the moment
+    # the driver landed a round's CORRECTNESS file, because awaiting
+    # shrinks while the committed schedule stays fixed — a gate that
+    # is red at every hand-off is a broken gate). The stable invariants:
+    # every awaiting query is scheduled, the queue holds only awaiting
+    # rows, and the queue fits one rotation's budget.
+    assert awaiting <= window | overflow
+    assert overflow <= awaiting
+    assert len(overflow) <= 50
+    # registration freeze (VERDICT r10 #3): net-new registrations are
+    # capped so the whole awaiting set fits ONE driver round — the
+    # union can always re-close within a single rotation.
+    assert len(awaiting) <= 50, sorted(awaiting)
     # and the committed files are internally sane: no green row for a
     # name that was never registered (catches registry renames that
     # would silently orphan history)
     orphans = set(union_check.green_union()) - registry
     assert not orphans, orphans
+
+
+def test_union_gate_survives_driver_file_drop(tmp_path):
+    """Simulated round boundary (VERDICT r10 #2): landing a new
+    CORRECTNESS_r{N}.json that greens the whole committed window must
+    NOT red the shipped tree's invariants — the exact event that made
+    r9 and r10 hand off with a failing suite under the old equality."""
+    import json
+    import shutil
+
+    for p in union_check.correctness_files():
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    # the driver greens every query in the committed window
+    green_row = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    drop = {name: dict(green_row) for name in entrymod.CHECKED_FIRST}
+    with open(tmp_path / "CORRECTNESS_r99.json", "w") as f:
+        json.dump(drop, f)
+
+    registry = set(entrymod.queries())
+    union = set(union_check.green_union(str(tmp_path))) & registry
+    window = set(entrymod.CHECKED_FIRST)
+    overflow = set(entrymod.WINDOW_OVERFLOW)
+    awaiting = registry - union
+    # the same coverage invariants the live gate asserts
+    assert union | window | overflow == registry
+    assert awaiting <= window | overflow
+    assert not (overflow & union)
+    assert len(awaiting) <= 50
+    assert not union_check.forgotten(
+        list(registry),
+        list(entrymod.CHECKED_FIRST),
+        list(entrymod.WINDOW_OVERFLOW),
+        str(tmp_path),
+    )
 
 
 def test_green_row_definition_strict():
