@@ -922,20 +922,40 @@ part_copurchase_communities.__doc__ = (
 ).replace("{LPA_ITERS}", str(LPA_ITERS))
 
 
+TYPO_BLOCK_CAP = 150
+
+_TYPO_BLK_RANK = {
+    d: (
+        "row_number() OVER (PARTITION BY p_size ORDER BY "
+        f"{th.salted_md5h('typoblk', cast, d)}, p_partkey)"
+    )
+    for d, cast in (
+        (th.SPARK, "CAST(p_partkey AS STRING)"),
+        (th.DUCK, "CAST(p_partkey AS VARCHAR)"),
+    )
+}
+
+
 @query(
     "typo_blocking_recall_eval",
     oracle=f"""
     WITH parts AS (
       SELECT p_partkey, p_name, p_brand, p_size FROM part
+    ), ranked AS (
+      SELECT *, {_TYPO_BLK_RANK[th.DUCK]} AS blk_rk FROM parts
+    ), truth AS (
+      SELECT p_partkey, p_name, p_brand, p_size FROM ranked
+      WHERE blk_rk <= {TYPO_BLOCK_CAP}
     ), relaxed AS (
       SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
              CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS tight,
              CASE WHEN levenshtein(a.p_name, b.p_name) <= {TYPO_MAX_DIST}
                   THEN 1 ELSE 0 END AS is_true
-      FROM parts a JOIN parts b
+      FROM truth a JOIN truth b
         ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
     )
     SELECT (SELECT count(*) FROM parts) AS n_parts,
+           (SELECT count(*) FROM truth) AS n_truth_parts,
            CAST(count(*) AS BIGINT) AS n_relaxed_candidates,
            CAST(SUM(tight) AS BIGINT) AS n_tight_candidates,
            CAST(SUM(is_true) AS BIGINT) AS n_true_pairs,
@@ -949,26 +969,40 @@ part_copurchase_communities.__doc__ = (
     FROM relaxed
     """,
 )
-def typo_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def typo_blocking_recall_eval(
+    spark: SparkSession, sf_dir: str, block_cap: int = TYPO_BLOCK_CAP
+) -> DataFrame:
     """Blocking-quality evaluation for the catalog-dedup blocking —
     the entity-resolution analog of dedup_lsh_recall_eval: how many
     <= {TYPO_MAX_DIST}-edit name pairs does adding p_brand to the
     block key lose (pair completeness), and how many candidate
     comparisons does it save (candidate reduction)? The reference
     universe is the RELAXED size-only blocking — an equi-join
-    superset of the production (brand, size) key — so the truth side
-    is itself a sum-of-block-squares join, never an all-pairs
-    cartesian (the same reason LSH recall evals compare against an
-    inverted-index truth, not n^2).
+    superset of the production (brand, size) key — evaluated on a
+    DETERMINISTIC per-block sample: each size block contributes its
+    {TYPO_BLOCK_CAP} lowest-salted-hash parts (VERDICT r10 #4 — the
+    uncapped size-only truth universe grew O(n²/|sizes|) levenshtein
+    comparisons, a scale-killer at 100×). Completeness and reduction
+    are computed EXACTLY on the sampled universe; the sample is
+    content-keyed (portable md5 of the part key), so both engines and
+    any rerun pick the identical truth set.
 
-    Scale: one self-equi-join on p_size (blocks are bounded by the
-    size domain; AQE splits skewed blocks), levenshtein on in-block
-    candidates only, then a single global rollup row. Both ratio
-    columns are divisions of exact counts."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_size"
+    Scale: the truth universe is now <= |size domain| x C(cap, 2)
+    pairs — FLAT in corpus size, like the LSH_BUCKET_CAP guard — so
+    doubling a skewed fixture cannot grow the task count. One
+    window-ranked scan, one self-equi-join on p_size over <= cap-row
+    blocks, levenshtein on in-block candidates only, then a single
+    global rollup row. Both ratio columns are divisions of exact
+    counts."""
+    ranked = load_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_size",
+        f"{_TYPO_BLK_RANK[th.SPARK]} AS blk_rk",
     )
-    a, b = p.alias("a"), p.alias("b")
+    truth = ranked.where(F.col("blk_rk") <= block_cap).drop("blk_rk")
+    a, b = truth.alias("a"), truth.alias("b")
     relaxed = a.join(
         b,
         (F.col("a.p_size") == F.col("b.p_size"))
@@ -1002,11 +1036,17 @@ def typo_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1.0 - F.sum("tight") / F.count("*").cast("double"))
         .alias("candidate_reduction"),
     )
-    # part count rides a 1-row broadcast scalar attach (the waived
+    # universe counts ride a 1-row broadcast scalar attach (the waived
     # totals crossJoin pattern) instead of a driver-side count()
-    n_parts = p.agg(F.count("*").cast("bigint").alias("n_parts"))
-    return stats.crossJoin(F.broadcast(n_parts)).select(
+    counts = ranked.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("blk_rk") <= block_cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_truth_parts"),
+    )
+    return stats.crossJoin(F.broadcast(counts)).select(
         "n_parts",
+        "n_truth_parts",
         "n_relaxed_candidates",
         "n_tight_candidates",
         "n_true_pairs",
@@ -1014,3 +1054,8 @@ def typo_blocking_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_completeness",
         "candidate_reduction",
     )
+
+
+typo_blocking_recall_eval.__doc__ = typo_blocking_recall_eval.__doc__.replace(
+    "{TYPO_MAX_DIST}", str(TYPO_MAX_DIST)
+).replace("{TYPO_BLOCK_CAP}", str(TYPO_BLOCK_CAP))

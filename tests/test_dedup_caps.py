@@ -94,3 +94,57 @@ def test_prefix_filter_exact_and_complete(spark, hot_dir):
     assert pref == truth and len(pref) > 0
     hot = dedup_prefixfilter_pairs(spark, hot_dir).collect()
     assert len(hot) == 20 * 19 // 2
+
+
+@pytest.fixture(scope="module")
+def hot_size_dir(spark, tmp_path_factory):
+    """A degenerate catalog: 40 parts in ONE size block. Uncapped, the
+    size-only truth universe is all C(40,2)=780 pairs; the block cap
+    must bound it to C(cap,2) regardless of block population."""
+    out = str(tmp_path_factory.mktemp("hotcatalog"))
+    rows = [
+        (i, f"peach plum pear no{i}", f"Brand#{i % 3}", 7) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_size int"
+    )
+    df.coalesce(1).write.parquet(os.path.join(out, "part.parquet"))
+    return out
+
+
+def test_typo_block_cap_inert_on_benign_catalog(spark):
+    """Default cap == uncapped results on the driver fixture (no size
+    block there reaches the cap), so the guard costs no eval fidelity
+    at rehearsal scales."""
+    from end2end_data_pipeline_spark.operators.affinity import (
+        TYPO_BLOCK_CAP,
+        typo_blocking_recall_eval,
+    )
+
+    capped = typo_blocking_recall_eval(
+        spark, SF, block_cap=TYPO_BLOCK_CAP
+    ).collect()
+    uncapped = typo_blocking_recall_eval(spark, SF, block_cap=1 << 40).collect()
+    assert capped == uncapped
+    assert capped[0]["n_truth_parts"] == capped[0]["n_parts"] > 0
+
+
+def test_typo_block_cap_bounds_hot_size_block(spark, hot_size_dir):
+    """VERDICT r10 #4: doubling a skewed-size fixture must NOT grow the
+    truth universe past |size domain| x C(cap, 2) — the cap keeps the
+    candidate count flat, exactly like LSH_BUCKET_CAP."""
+    from end2end_data_pipeline_spark.operators.affinity import (
+        typo_blocking_recall_eval,
+    )
+
+    uncapped = typo_blocking_recall_eval(
+        spark, hot_size_dir, block_cap=1 << 40
+    ).collect()[0]
+    assert uncapped["n_relaxed_candidates"] == 40 * 39 // 2
+
+    capped = typo_blocking_recall_eval(
+        spark, hot_size_dir, block_cap=10
+    ).collect()[0]
+    assert capped["n_parts"] == 40
+    assert capped["n_truth_parts"] == 10
+    assert capped["n_relaxed_candidates"] == 10 * 9 // 2

@@ -615,8 +615,18 @@ def test_codeswitch_profile_matches_replay(spark):
 @pytest.mark.slow
 def test_typo_blocking_eval_matches_replay(spark):
     """From-spec replay of the blocking eval: a plain-Python
-    Levenshtein over the size-blocked pair universe."""
-    from end2end_data_pipeline_spark.operators.affinity import TYPO_MAX_DIST
+    Levenshtein over the size-blocked pair universe, with the
+    deterministic per-block hash cap applied from its definition
+    (lowest md5('typoblk:' || partkey) parts keep their slots)."""
+    import hashlib
+
+    from end2end_data_pipeline_spark.operators.affinity import (
+        TYPO_BLOCK_CAP,
+        TYPO_MAX_DIST,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     def lev(a: str, b: str) -> int:
         prev = list(range(len(b) + 1))
@@ -643,8 +653,13 @@ def test_typo_blocking_eval_matches_replay(spark):
     by_size: dict[int, list] = {}
     for r in parts.itertuples():
         by_size.setdefault(int(r.p_size), []).append(r)
-    n_relaxed = n_tight = n_true = n_found = 0
+    n_relaxed = n_tight = n_true = n_found = n_truth_parts = 0
     for block in by_size.values():
+        block = sorted(
+            block,
+            key=lambda r: (h60(f"typoblk:{int(r.p_partkey)}"), r.p_partkey),
+        )[:TYPO_BLOCK_CAP]
+        n_truth_parts += len(block)
         block = sorted(block, key=lambda r: r.p_partkey)
         for i in range(len(block)):
             for j in range(i + 1, len(block)):
@@ -656,6 +671,7 @@ def test_typo_blocking_eval_matches_replay(spark):
                 n_true += true
                 n_found += tight and true
     assert row["n_parts"] == len(parts)
+    assert row["n_truth_parts"] == n_truth_parts
     assert row["n_relaxed_candidates"] == n_relaxed
     assert row["n_tight_candidates"] == n_tight
     assert row["n_true_pairs"] == n_true
