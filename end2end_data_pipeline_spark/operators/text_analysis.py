@@ -712,6 +712,160 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_STEPS = 8
+
+# '|' delimits symbols inside a sequence string, so pipe-containing
+# words are excluded from BPE training (none exist in the fixtures;
+# the filter pins the convention in both engines)
+_BPE_V0 = {
+    th.SPARK: (
+        "'|' || array_join(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), '|') || '|'"
+    ),
+    th.DUCK: (
+        "'|' || array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> substring(w, CAST(i AS INT), 1)), '|') || '|'"
+    ),
+}
+
+
+def _bpe_steps_ctes(k: int) -> str:
+    """Unrolled BPE training rounds as chained CTEs (the kmeans /
+    PageRank oracle pattern): census c{r} over vocab v{r-1}, argmax
+    m{r}, merged vocab v{r}. An empty census empties every later CTE,
+    so a corpus that runs out of pairs yields exactly the completed
+    steps — matching the Spark loop's early break."""
+    ctes = [
+        f"""v0 AS (
+          SELECT {_BPE_V0[th.DUCK]} AS seq, freq FROM (
+            SELECT w, count(*) AS freq FROM (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w
+          )
+        )"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""c{r} AS (
+          SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+                 CAST(SUM(freq) AS BIGINT) AS n_occurrences
+          FROM (SELECT string_split(trim(seq, '|'), '|') AS syms, freq
+                FROM v{r - 1}), unnest(range(1, len(syms))) AS t(i)
+          GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+          SELECT l, r, n_occurrences FROM c{r}
+          ORDER BY n_occurrences DESC, l, r LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""v{r} AS (
+          SELECT replace(replace(v.seq,
+                   '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|'),
+                   '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|')
+                 AS seq, v.freq
+          FROM v{r - 1} v, m{r} m
+        )"""
+        )
+    steps = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, n_occurrences FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({steps}) ORDER BY step"
+    )
+
+
+@query("bpe_merge_steps", oracle=_bpe_steps_ctes(BPE_STEPS))
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE tokenizer training (Sennrich et al. 2016) — the
+    step ``bpe_merge_candidates`` only previews: {BPE_STEPS} rounds of
+    (corpus-weighted adjacent-pair census -> take the top pair -> merge
+    it greedily left-to-right in every word), returning the learned
+    merge table in order. This is the actual merge-list a BPE trainer
+    emits, the missing tokenizer-training step of the corpus-prep
+    story (VERDICT r10 next-round #6).
+
+    Symbol sequences are '|'-delimited strings; one merge applies as
+    TWO literal ``replace`` passes of '|l|r|' -> '|lr|'. Two passes
+    are exact greedy semantics: a single left-to-right replace pass
+    consumes the trailing delimiter, so of any run of overlapping
+    occurrences it merges the 1st, 3rd, 5th... — exactly the greedy
+    picks — and pass two cannot create new matches (the merged token
+    'lr' never equals 'l', since 'r' is non-empty) but catches the
+    now-isolated even-position occurrences whose leading delimiter the
+    first pass consumed. The merged pair itself rides the argmax row
+    with (count DESC, l, r) tie-break, identical in both engines.
+
+    Scale: the corpus contributes ONE word-frequency rollup (cached,
+    corpus-size independent from then on — the same reason real BPE
+    trainers operate on word-frequency tables); each round is a
+    vocab-sized census (positions explode over |vocab| x avg word
+    length rows) plus one 1-ROW collect (the argmax pair — model
+    state, the kmeans precedent) folded back as string literals, so
+    the plan stays linear in rounds with no crossJoin branching. At
+    100 TB only v0's build touches the corpus."""
+    vocab = session_cached(
+        spark,
+        f"bpe_seq_vocab:{sf_dir}",
+        fan_out(spark, load_table(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where((F.col("w") != "") & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.expr(_BPE_V0[th.SPARK]).alias("seq"), "freq"),
+    )
+    steps: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_STEPS + 1):
+        top = (
+            vocab.select(
+                "freq",
+                F.split(F.expr("trim(BOTH '|' FROM seq)"), "[|]").alias(
+                    "syms"
+                ),
+            )
+            .where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus ran out of pairs: emit completed steps
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n_occurrences"])
+        steps.append((step, l, r, l + r, n))
+        pat, rep = F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
+        vocab = vocab.withColumn(
+            "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
+        )
+    return spark.createDataFrame(
+        steps,
+        "step bigint, left_sym string, right_sym string, "
+        "merged string, n_occurrences bigint",
+    ).orderBy("step")
+
+
+bpe_merge_steps.__doc__ = bpe_merge_steps.__doc__.replace(
+    "{BPE_STEPS}", str(BPE_STEPS)
+)
+
+
 # Misra-Gries counter budget: any token with global share > 1/MG_COUNTERS
 # is GUARANTEED to survive at least one partition's summary (pigeonhole:
 # a globally phi-heavy token is locally phi-heavy somewhere, and MG(k)

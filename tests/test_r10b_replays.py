@@ -727,3 +727,59 @@ def test_tcloseness_matches_replay(spark):
             got[key],
         )
     assert max(v[2] for v in got.values()) > 0, "EMD must discriminate" 
+
+
+@pytest.mark.slow
+def test_bpe_merge_steps_matches_replay(spark):
+    """From-spec replay of iterated BPE training: Counter census over
+    char-tuple sequences, greedy index-scan merge — no delimiter
+    strings, no engine builders, so it cross-checks both the two-pass
+    replace trick and the argmax tie-break."""
+    from collections import Counter
+
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        BPE_STEPS,
+    )
+
+    got = [
+        (
+            r["step"],
+            r["left_sym"],
+            r["right_sym"],
+            r["merged"],
+            r["n_occurrences"],
+        )
+        for r in entrymod.queries()["bpe_merge_steps"](spark, SF).collect()
+    ]
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vocab: Counter = Counter()
+    for text in docs.text:
+        for w in text.split(" "):
+            if w and "|" not in w:
+                vocab[w] += 1
+    seqs = [(tuple(w), f) for w, f in vocab.items()]
+    expected = []
+    for step in range(1, BPE_STEPS + 1):
+        census: Counter = Counter()
+        for syms, f in seqs:
+            for a, b in zip(syms, syms[1:]):
+                census[(a, b)] += f
+        if not census:
+            break
+        (l, r), n = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, l, r, l + r, n))
+        merged = []
+        for syms, f in seqs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged.append((tuple(out), f))
+        seqs = merged
+    assert len(expected) == BPE_STEPS, "fixture must sustain all rounds"
+    assert got == expected
