@@ -822,8 +822,8 @@ def _funnel_sql() -> str:
              CASE WHEN doc_id % {EVAL_MOD} != 0 THEN 1 ELSE 0 END AS train_ok
       FROM documents
     ), fun_surv AS (
-      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
-      FROM documents GROUP BY md5(text)
+      SELECT h, MIN(doc_id) AS keep_id
+      FROM fun_scored WHERE quality_ok = 1 GROUP BY h
     ), fun_contam AS (
       SELECT doc_id, contaminated
       FROM ({ORACLE["eval_contamination"]})
@@ -839,7 +839,7 @@ def _funnel_sql() -> str:
                  AS cl,
              CAST(COALESCE(d.selected, 0) AS INT) AS sel
       FROM fun_scored s
-      JOIN fun_surv v ON s.h = v.h
+      LEFT JOIN fun_surv v ON s.h = v.h
       LEFT JOIN fun_contam c ON s.doc_id = c.doc_id
       LEFT JOIN fun_sel d ON s.doc_id = d.doc_id
     )
@@ -870,6 +870,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extends training_corpus_filter, which chains quality/lang-ID/
     dedup only).
 
+    Survivorship convention (r10 advice): dedup runs AMONG QUALITY
+    SURVIVORS — keep_id is the min doc_id of each content group's
+    quality-PASSING copies, so a duplicate group whose lowest-id copy
+    fails quality still keeps its best-ranked passing copy (the
+    all-docs convention silently vanished such content from n_unique
+    onward). Groups with no passing copy contribute nothing past
+    n_quality, as every stage multiplier already implies.
+
     Scale: the per-row stages (quality, split hash) ride the scan;
     survivorship is the md5-keyed partial aggregate; the
     contamination and DSIR flag frames come from their cached
@@ -889,11 +897,15 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_quality_exprs(th.SPARK)["quality_ok"]).alias("q"),
         F.when(F.col("doc_id") % EVAL_MOD != 0, 1).otherwise(0).alias("tr"),
     )
-    surv = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    surv = (
+        scored.where(F.col("q") == 1)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
     contam = _contam_perdoc(spark, sf_dir).select("doc_id", "contaminated")
     dsel = _dsir_perdoc(spark, sf_dir).select("doc_id", "selected")
     flags = (
-        scored.join(surv, "h")
+        scored.join(surv, "h", "left")
         .join(contam, "doc_id", "left")
         .join(dsel, "doc_id", "left")
         .select(
@@ -1086,6 +1098,27 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_REPLAY: dict[tuple, str] = {}
 _CURATION_REPLAY_IDS = itertools.count()
+_CURATION_REPLAY_DIRS: list[str] = []
+
+
+def _curation_scratch_dir() -> str:
+    """Per-replay scratch dir (checkpoint + symlink source), removed
+    at interpreter exit — the r10-advice fix for checkpoint/symlink
+    dirs accumulating forever under the shared tempdir."""
+    import atexit
+    import shutil
+    import tempfile as _tempfile
+
+    if not _CURATION_REPLAY_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in _CURATION_REPLAY_DIRS
+            ]
+        )
+    d = _tempfile.mkdtemp(prefix="spark_graft_curation_")
+    _CURATION_REPLAY_DIRS.append(d)
+    return d
 
 
 @query("curation_stream_replay", oracle=ORACLE["corpus_curation_funnel"])
@@ -1110,28 +1143,41 @@ def curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     TB the index frames are the persisted curation index, not a
     recomputation."""
     import os as _os
-    import tempfile as _tempfile
 
     from end2end_data_pipeline_spark.operators.text_analysis import (
         _quality_exprs,
     )
 
     docs_path = _os.path.join(sf_dir, "documents.parquet")
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    # the memo key includes the input's (mtime, size) so regenerating
+    # documents.parquet at the same path within one application can
+    # never serve a stale drained table (r10 advice)
+    st = _os.stat(docs_path)
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+    )
     table = _CURATION_REPLAY.get(key)
     if table is None or not spark.catalog.tableExists(table):
         table = f"curation_stream_replay_{next(_CURATION_REPLAY_IDS)}"
-        ckpt = _os.path.join(
-            _tempfile.gettempdir(),
-            "spark_graft_curation_ckpt",
-            key[0],
-            table,
-        )
+        scratch = _curation_scratch_dir()
+        ckpt = _os.path.join(scratch, "ckpt")
         # corpus index frames — the STATIC side of the stream-static
-        # joins (deterministic batch frames; session-cached builders)
+        # joins (deterministic batch frames; session-cached builders).
+        # Survivorship among QUALITY SURVIVORS, same convention as the
+        # batch funnel (see corpus_curation_funnel docstring).
         docs = load_table(spark, sf_dir, "documents")
-        surv = docs.groupBy(F.md5("text").alias("h")).agg(
-            F.min("doc_id").alias("keep_id")
+        surv = (
+            docs.select(
+                "doc_id",
+                F.md5("text").alias("h"),
+                F.expr(_quality_exprs(th.SPARK)["quality_ok"]).alias("q0"),
+            )
+            .where(F.col("q0") == 1)
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("keep_id"))
         )
         contam = _contam_perdoc(spark, sf_dir).select(
             "doc_id", "contaminated"
@@ -1145,16 +1191,12 @@ def curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _os.path.isdir(docs_path):
             stream_dir = docs_path
         else:
-            stream_dir = _os.path.join(
-                _tempfile.gettempdir(),
-                "spark_graft_curation_src",
-                key[0],
-                table,
-            )
+            stream_dir = _os.path.join(scratch, "src")
             _os.makedirs(stream_dir, exist_ok=True)
-            link = _os.path.join(stream_dir, "documents.parquet")
-            if not _os.path.exists(link):
-                _os.symlink(_os.path.abspath(docs_path), link)
+            _os.symlink(
+                _os.path.abspath(docs_path),
+                _os.path.join(stream_dir, "documents.parquet"),
+            )
         schema = spark.read.parquet(docs_path).schema
         flagged_stream = (
             spark.readStream.schema(schema)
@@ -1169,7 +1211,7 @@ def curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(0)
                 .alias("tr"),
             )
-            .join(surv, "h")
+            .join(surv, "h", "left")
             .join(contam, "doc_id", "left")
             .join(dsel, "doc_id", "left")
             .select(

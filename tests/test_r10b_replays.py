@@ -325,9 +325,20 @@ def test_curation_funnel_matches_replay(spark):
 
     docs = pd.read_parquet(f"{SF}/documents.parquet")
 
-    # exact-dedup survivors
+    # exact-dedup survivors AMONG QUALITY SURVIVORS (the funnel's
+    # survivorship convention): keep_id = min doc_id where q = 1
+    def qflag(text: str) -> int:
+        toks = text.split(" ")
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        return int(
+            len(toks) >= MIN_TOKENS_OK
+            and n_stop / len(toks) <= MAX_STOP_RATIO
+        )
+
     keep_id: dict[str, int] = {}
     for r in docs.itertuples():
+        if not qflag(r.text):
+            continue
         h = hashlib.md5(r.text.encode()).hexdigest()
         keep_id[h] = min(keep_id.get(h, int(r.doc_id)), int(r.doc_id))
 
@@ -358,13 +369,10 @@ def test_curation_funnel_matches_replay(spark):
     want: dict[str, list[int]] = {}
     for r in docs.itertuples():
         doc_id = int(r.doc_id)
-        toks = r.text.split(" ")
-        n_stop = sum(1 for t in toks if t in STOPWORDS)
-        q = int(
-            len(toks) >= MIN_TOKENS_OK
-            and n_stop / len(toks) <= MAX_STOP_RATIO
+        q = qflag(r.text)
+        u = int(
+            keep_id.get(hashlib.md5(r.text.encode()).hexdigest()) == doc_id
         )
-        u = int(keep_id[hashlib.md5(r.text.encode()).hexdigest()] == doc_id)
         tr = int(doc_id % EVAL_MOD != 0)
         n_shared = len(shingle_set(r.text) & eval_inventory) if tr else 0
         cl = int(n_shared < CONTAM_MIN_SHARED)
