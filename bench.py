@@ -259,8 +259,9 @@ HEADLINE = [
     "docs_codeswitch_profile",
     "typo_blocking_recall_eval",
     "customer_tcloseness_profile",
-    # round 11: iterated BPE tokenizer training
+    # round 11: iterated BPE tokenizer training + tokenizer eval
     "bpe_merge_steps",
+    "bpe_encode_stats",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -729,15 +729,16 @@ _BPE_V0 = {
 }
 
 
-def _bpe_steps_ctes(k: int) -> str:
+def _bpe_cte_body(k: int) -> str:
     """Unrolled BPE training rounds as chained CTEs (the kmeans /
     PageRank oracle pattern): census c{r} over vocab v{r-1}, argmax
-    m{r}, merged vocab v{r}. An empty census empties every later CTE,
-    so a corpus that runs out of pairs yields exactly the completed
-    steps — matching the Spark loop's early break."""
+    m{r}, merged vocab v{r}. v{r} LEFT-joins its merge row so a
+    census that runs dry leaves the vocabulary UNCHANGED (matching
+    the Spark loop's early break) while every later m{r} stays empty.
+    Shared by the merge-table and encode-stats oracles."""
     ctes = [
         f"""v0 AS (
-          SELECT {_BPE_V0[th.DUCK]} AS seq, freq FROM (
+          SELECT w, {_BPE_V0[th.DUCK]} AS seq, freq FROM (
             SELECT w, count(*) AS freq FROM (
               SELECT unnest(string_split(text, ' ')) AS w FROM documents
             ) WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w
@@ -762,26 +763,86 @@ def _bpe_steps_ctes(k: int) -> str:
         )
         ctes.append(
             f"""v{r} AS (
-          SELECT replace(replace(v.seq,
+          SELECT v.w,
+                 CASE WHEN m.l IS NULL THEN v.seq
+                      ELSE replace(replace(v.seq,
                    '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|'),
                    '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|')
-                 AS seq, v.freq
-          FROM v{r - 1} v, m{r} m
+                 END AS seq, v.freq
+          FROM v{r - 1} v LEFT JOIN m{r} m ON TRUE
         )"""
         )
+    return ",\n    ".join(ctes)
+
+
+def _bpe_steps_sql(k: int) -> str:
     steps = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS step, l AS left_sym, r AS right_sym, "
         f"l || r AS merged, n_occurrences FROM m{r}"
         for r in range(1, k + 1)
     )
     return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"\n    SELECT * FROM ({steps}) ORDER BY step"
+        f"WITH {_bpe_cte_body(k)}"
+        f"\n    SELECT * FROM ({steps}) ORDER BY step"
     )
 
 
-@query("bpe_merge_steps", oracle=_bpe_steps_ctes(BPE_STEPS))
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run BPE_STEPS training rounds; return (merge table rows, final
+    vocabulary frame (w, seq, freq)). Each round is a vocab-sized
+    census plus one 1-ROW argmax collect (model state, the kmeans
+    precedent) folded back as string literals, so the plan stays
+    linear in rounds with no crossJoin branching."""
+    vocab = session_cached(
+        spark,
+        f"bpe_seq_vocab:{sf_dir}",
+        fan_out(spark, load_table(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where((F.col("w") != "") & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select("w", F.expr(_BPE_V0[th.SPARK]).alias("seq"), "freq"),
+    )
+    steps: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_STEPS + 1):
+        top = (
+            vocab.select(
+                "freq",
+                F.split(F.expr("trim(BOTH '|' FROM seq)"), "[|]").alias(
+                    "syms"
+                ),
+            )
+            .where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus ran out of pairs: stop with completed steps
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n_occurrences"])
+        steps.append((step, l, r, l + r, n))
+        pat, rep = F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
+        vocab = vocab.withColumn(
+            "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
+        )
+    return steps, vocab
+
+
+@query("bpe_merge_steps", oracle=_bpe_steps_sql(BPE_STEPS))
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterated BPE tokenizer training (Sennrich et al. 2016) — the
     step ``bpe_merge_candidates`` only previews: {BPE_STEPS} rounds of
@@ -810,50 +871,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, the kmeans precedent) folded back as string literals, so
     the plan stays linear in rounds with no crossJoin branching. At
     100 TB only v0's build touches the corpus."""
-    vocab = session_cached(
-        spark,
-        f"bpe_seq_vocab:{sf_dir}",
-        fan_out(spark, load_table(spark, sf_dir, "documents"))
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .where((F.col("w") != "") & (~F.col("w").contains("|")))
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .select(F.expr(_BPE_V0[th.SPARK]).alias("seq"), "freq"),
-    )
-    steps: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, BPE_STEPS + 1):
-        top = (
-            vocab.select(
-                "freq",
-                F.split(F.expr("trim(BOTH '|' FROM seq)"), "[|]").alias(
-                    "syms"
-                ),
-            )
-            .where(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> struct(element_at(syms, i) AS l, "
-                        "element_at(syms, i + 1) AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
-            .orderBy(F.col("n_occurrences").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:  # corpus ran out of pairs: emit completed steps
-            break
-        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n_occurrences"])
-        steps.append((step, l, r, l + r, n))
-        pat, rep = F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
-        vocab = vocab.withColumn(
-            "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
-        )
+    steps, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         steps,
         "step bigint, left_sym string, right_sym string, "
@@ -862,6 +880,82 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_merge_steps.__doc__ = bpe_merge_steps.__doc__.replace(
+    "{BPE_STEPS}", str(BPE_STEPS)
+)
+
+_BPE_ENCODE_SQL = f"""
+    WITH {_bpe_cte_body(BPE_STEPS)},
+    wtoks AS (
+      SELECT w,
+             CAST(len(string_split(trim(seq, '|'), '|')) AS BIGINT)
+                 AS n_syms,
+             CAST(length(w) AS BIGINT) AS w_chars
+      FROM v{BPE_STEPS}
+    ), lw AS (
+      SELECT lang, w, count(*) AS f FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(f) AS BIGINT) AS n_words,
+           CAST(SUM(f * w_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(f * n_syms) AS BIGINT) AS n_bpe_tokens,
+           SUM(f * w_chars) / CAST(SUM(f * n_syms) AS DOUBLE)
+               AS chars_per_token,
+           SUM(f * n_syms) / CAST(SUM(f) AS DOUBLE) AS tokens_per_word
+    FROM lw JOIN wtoks USING (w)
+    GROUP BY lang ORDER BY lang
+"""
+
+
+@query("bpe_encode_stats", oracle=_BPE_ENCODE_SQL)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the learned tokenizer — the other half of the BPE
+    story ``bpe_merge_steps`` trains: segment every corpus word with
+    the final {BPE_STEPS}-merge vocabulary and report, per language,
+    the corpus word/char/BPE-token counts plus compression
+    (chars_per_token) and fertility (tokens_per_word) — the two
+    numbers a tokenizer eval reports per language, and the standard
+    way to detect a tokenizer that under-serves one language of a
+    multilingual corpus.
+
+    Scale: training is vocab-sized after one cached corpus rollup
+    (see ``_bpe_train``); encoding joins the per-(lang, word)
+    frequency rollup to the per-word segmentation — BOTH sides are
+    vocabulary-sized, never corpus-sized (the corpus is touched once,
+    by the frequency rollups), and the output is O(|langs|). Ratios
+    are single double divisions of exact BIGINTs."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    wtoks = vocab.select(
+        "w",
+        F.size(F.split(F.expr("trim(BOTH '|' FROM seq)"), "[|]"))
+        .cast("bigint")
+        .alias("n_syms"),
+        F.length("w").cast("bigint").alias("w_chars"),
+    )
+    lw = (
+        fan_out(spark, load_table(spark, sf_dir, "documents"))
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .where((F.col("w") != "") & (~F.col("w").contains("|")))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    fw, fs = F.col("f") * F.col("w_chars"), F.col("f") * F.col("n_syms")
+    return (
+        lw.join(wtoks, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_words"),
+            F.sum(fw).cast("bigint").alias("n_chars"),
+            F.sum(fs).cast("bigint").alias("n_bpe_tokens"),
+            (F.sum(fw) / F.sum(fs).cast("double")).alias("chars_per_token"),
+            (F.sum(fs) / F.sum("f").cast("double")).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+bpe_encode_stats.__doc__ = bpe_encode_stats.__doc__.replace(
     "{BPE_STEPS}", str(BPE_STEPS)
 )
 

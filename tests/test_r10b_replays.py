@@ -791,3 +791,68 @@ def test_bpe_merge_steps_matches_replay(spark):
         seqs = merged
     assert len(expected) == BPE_STEPS, "fixture must sustain all rounds"
     assert got == expected
+
+
+@pytest.mark.slow
+def test_bpe_encode_stats_matches_replay(spark):
+    """From-spec replay of the tokenizer-eval half: re-train with the
+    Counter/index-scan trainer, segment every word, roll up per-lang
+    word/char/BPE-token counts and the two ratio columns."""
+    from collections import Counter
+
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        BPE_STEPS,
+    )
+
+    got = {
+        r["lang"]: (
+            r["n_words"],
+            r["n_chars"],
+            r["n_bpe_tokens"],
+            r["chars_per_token"],
+            r["tokens_per_word"],
+        )
+        for r in entrymod.queries()["bpe_encode_stats"](spark, SF).collect()
+    }
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vocab: Counter = Counter()
+    lang_word: Counter = Counter()
+    for r in docs.itertuples():
+        for w in r.text.split(" "):
+            if w and "|" not in w:
+                vocab[w] += 1
+                lang_word[(r.lang, w)] += 1
+
+    seqs = {w: tuple(w) for w in vocab}
+    for _ in range(BPE_STEPS):
+        census: Counter = Counter()
+        for w, syms in seqs.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                census[(a, b)] += f
+        if not census:
+            break
+        (l, r), _n = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(out)
+
+    agg: dict[str, list[int]] = {}
+    for (lang, w), f in lang_word.items():
+        cell = agg.setdefault(lang, [0, 0, 0])
+        cell[0] += f
+        cell[1] += f * len(w)
+        cell[2] += f * len(seqs[w])
+    want = {
+        lang: (nw, nc, nt, nc / nt, nt / nw)
+        for lang, (nw, nc, nt) in agg.items()
+    }
+    assert got == want
