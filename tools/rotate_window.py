@@ -47,6 +47,17 @@ def rotate(write: bool = False) -> list[str]:
 
     sched = propose_schedule(50)
     window, overflow = sched["window"], sched["overflow"]
+    if overflow:
+        # registration freeze (VERDICT r10 #3, enforced by
+        # tests/test_union_check.py): the whole awaiting set must fit
+        # ONE driver round, so an overflow queue means registrations
+        # outran the check budget — surface it at rotation time, when
+        # the author can still trim the wave.
+        print(
+            f"WARNING: {len(overflow)} awaiting queries exceed the "
+            "50-slot window (registration freeze breached; the union "
+            "cannot re-close in one round)"
+        )
     with open(ENTRY) as f:
         src = f.read()
     if not BLOCK_RE.search(src):

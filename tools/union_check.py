@@ -90,6 +90,10 @@ def report(repo_root: str = REPO_ROOT) -> dict:
         "not_yet_green": unchecked,
         "in_current_window": [q for q in unchecked if q in set(window)],
         "queued_next_round": [q for q in unchecked if q in set(overflow)],
+        # registration freeze headroom (VERDICT r10 #3): how many MORE
+        # queries may register before the awaiting set outgrows one
+        # driver round's 50-slot check budget
+        "registration_budget": max(0, 50 - len(unchecked)),
         "forgotten": forgotten(registry, window, overflow, repo_root),
     }
 
@@ -156,7 +160,9 @@ def main() -> int:
     r = report()
     print(
         f"driver-green union: {r['green_union']}/{r['registry']} "
-        f"across {len(r['rounds'])} rounds"
+        f"across {len(r['rounds'])} rounds; registration budget "
+        f"{r['registration_budget']}/50 before the awaiting set "
+        "outgrows one driver round"
     )
     if r["not_yet_green"]:
         print(f"awaiting a green row ({len(r['not_yet_green'])}):")
