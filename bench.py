@@ -262,6 +262,12 @@ HEADLINE = [
     # round 11: iterated BPE tokenizer training + tokenizer eval
     "bpe_merge_steps",
     "bpe_encode_stats",
+    # round-11 additions
+    "source_shingle_overlap_matrix",
+    "source_ablation_deltas",
+    "training_order_runs_audit",
+    "length_bucket_batch_plan",
+    "curriculum_phase_plan",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -1241,3 +1241,515 @@ def curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         _CURATION_REPLAY[key] = table
     return _funnel_rollup(spark.table(table))
+
+
+_ABL_TOKS_DUCK = th.tokens("text", th.DUCK)
+
+
+@query(
+    "source_ablation_deltas",
+    oracle=f"""
+    WITH sl AS (
+      SELECT source, lang,
+             count(*) AS n_docs,
+             CAST(SUM(len({_ABL_TOKS_DUCK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ), src AS (
+      SELECT source,
+             CAST(SUM(n_docs) AS BIGINT) AS s_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS s_tokens
+      FROM sl GROUP BY source
+    ), lng AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS l_tokens
+      FROM sl GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS t_tokens
+      FROM sl
+    ), grid AS (
+      SELECT src.source, lng.lang,
+             lng.l_tokens - COALESCE(sl.n_tokens, 0) AS lang_tokens_wo
+      FROM src CROSS JOIN lng
+      LEFT JOIN sl ON sl.source = src.source AND sl.lang = lng.lang
+    ), dom AS (
+      SELECT source, lang AS dominant_lang_wo, lang_tokens_wo,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY lang_tokens_wo DESC, lang DESC
+             ) AS rn
+      FROM grid
+    )
+    SELECT src.source,
+           tot.t_docs - src.s_docs AS n_docs_wo,
+           tot.t_tokens - src.s_tokens AS n_tokens_wo,
+           src.s_tokens / CAST(tot.t_tokens AS DOUBLE) AS token_share,
+           CASE WHEN tot.t_docs - src.s_docs = 0 THEN NULL
+                ELSE (tot.t_tokens - src.s_tokens)
+                     / CAST(tot.t_docs - src.s_docs AS DOUBLE)
+           END AS mean_len_wo,
+           CASE WHEN tot.t_tokens - src.s_tokens = 0 THEN NULL
+                ELSE dom.dominant_lang_wo END AS dominant_lang_wo,
+           CASE WHEN tot.t_tokens - src.s_tokens = 0 THEN NULL
+                ELSE dom.lang_tokens_wo
+                     / CAST(tot.t_tokens - src.s_tokens AS DOUBLE)
+           END AS dom_lang_share_wo
+    FROM src CROSS JOIN tot
+    JOIN dom ON dom.source = src.source AND dom.rn = 1
+    ORDER BY src.source
+    """,
+)
+def source_ablation_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data-mixture ablation: for every source,
+    the corpus metrics a curation team would see after DROPPING that
+    source — document/token counts, the dropped source's token share,
+    the remaining mean document length, and the remaining dominant
+    language with its share (does removing src X tip the corpus's
+    language balance?). The standard planning readout before buying,
+    re-crawling, or cutting a source.
+
+    Scale: ONE corpus pass reduces everything to a |sources| x |langs|
+    matrix; all 'without source s' numbers are complements
+    (global minus per-source) computed on that tiny frame — the corpus
+    is never re-scanned per ablation, so the operator costs the same
+    whether 5 sources are ablated or 500. The dominant-language argmax
+    is a window over the broadcast-sized grid with a deterministic
+    (tokens DESC, lang DESC) tie-break shared with the oracle.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = th.tokens("text", th.SPARK)
+    # the |sources| x |langs| matrix feeds four consumers (src, lng,
+    # tot, grid); cache it so the corpus is scanned exactly once
+    sl = session_cached(
+        spark,
+        f"ablation_sl:{sf_dir}",
+        docs.groupBy("source", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.expr(f"size({toks})")).cast("bigint").alias("n_tokens"),
+        ),
+    )
+    # corpus totals as unbounded windows over the tiny cached matrix —
+    # a crossJoin with separate aggregates would both BNLJ and re-scan
+    w_tot = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    src = (
+        sl.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("s_docs"),
+            F.sum("n_tokens").cast("bigint").alias("s_tokens"),
+        )
+        .withColumn("t_docs", F.sum("s_docs").over(w_tot).cast("bigint"))
+        .withColumn("t_tokens", F.sum("s_tokens").over(w_tot).cast("bigint"))
+    )
+    lng = sl.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("l_tokens")
+    )
+    # sources x langs grid: a broadcast crossJoin of two frames already
+    # reduced to O(|sources|) and O(|langs|) rows off the cached matrix
+    grid = (
+        src.select("source")
+        .crossJoin(F.broadcast(lng))
+        .join(F.broadcast(sl), ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            (
+                F.col("l_tokens") - F.coalesce(F.col("n_tokens"), F.lit(0))
+            ).alias("lang_tokens_wo"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("lang_tokens_wo").desc(), F.col("lang").desc()
+        )
+    )
+    dom = (
+        grid.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("dominant_lang_wo"),
+            "lang_tokens_wo",
+        )
+    )
+    docs_wo = F.col("t_docs") - F.col("s_docs")
+    tokens_wo = F.col("t_tokens") - F.col("s_tokens")
+    return (
+        src.join(F.broadcast(dom), "source")
+        .select(
+            "source",
+            docs_wo.alias("n_docs_wo"),
+            tokens_wo.alias("n_tokens_wo"),
+            (F.col("s_tokens") / F.col("t_tokens").cast("double")).alias(
+                "token_share"
+            ),
+            F.when(docs_wo == 0, F.lit(None).cast("double"))
+            .otherwise(tokens_wo / docs_wo.cast("double"))
+            .alias("mean_len_wo"),
+            F.when(tokens_wo == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("dominant_lang_wo"))
+            .alias("dominant_lang_wo"),
+            F.when(tokens_wo == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("lang_tokens_wo") / tokens_wo.cast("double"))
+            .alias("dom_lang_share_wo"),
+        )
+        .orderBy("source")
+    )
+
+
+# deterministic epoch-shuffle constants: the training order is the
+# portable hash of (seed ':' doc_id); run detection windows are
+# partitioned into contiguous hash-range buckets so the global order
+# never needs a single-partition window
+SHUFFLE_SEED = "epoch0"
+SHUFFLE_BUCKETS = 64
+_SHUFFLE_BUCKET_DIV = (1 << 60) // SHUFFLE_BUCKETS
+
+
+def _shuffle_order_sql(dialect: str) -> str:
+    cast = "STRING" if dialect == th.SPARK else "VARCHAR"
+    return th.md5h(
+        f"concat('{SHUFFLE_SEED}:', CAST(doc_id AS {cast}))", dialect
+    )
+
+
+@query(
+    "training_order_runs_audit",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id, source,
+             {_shuffle_order_sql(th.DUCK)} AS h,
+             {_shuffle_order_sql(th.DUCK)} // {_SHUFFLE_BUCKET_DIV} AS bucket
+      FROM documents
+    ), runs AS (
+      SELECT source, bucket,
+             SUM(new_run) OVER (PARTITION BY bucket ORDER BY rn
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM (SELECT source, bucket, new_run,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                                      ORDER BY h, doc_id) AS rn
+            FROM (SELECT source, bucket, h, doc_id,
+                         CASE WHEN LAG(source) OVER
+                                (PARTITION BY bucket ORDER BY h, doc_id)
+                              IS DISTINCT FROM source
+                              THEN 1 ELSE 0 END AS new_run
+                  FROM ordered))
+    ), run_lens AS (
+      SELECT source, bucket, run_id, count(*) AS run_len
+      FROM runs GROUP BY source, bucket, run_id
+    )
+    SELECT source,
+           CAST(SUM(run_len) AS BIGINT) AS n_docs,
+           count(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           SUM(run_len) / CAST(count(*) AS DOUBLE) AS mean_run
+    FROM run_lens GROUP BY source ORDER BY source
+    """,
+)
+def training_order_runs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit of the deterministic training order: docs
+    are ordered by the portable hash of (SHUFFLE_SEED ':' doc_id) —
+    the reproducible epoch shuffle a pretraining loader uses — and the
+    audit reports, per source, how the shuffle interleaves it:
+    adjacent same-source run counts, the longest run, and the mean run
+    length (a bad shuffle shows long single-source runs, which bias
+    gradient batches). A perfectly mixed corpus has mean_run close to
+    1 / (1 - source share).
+
+    Scale: run detection is a lag + gaps-and-islands window PARTITIONED
+    by contiguous hash-range bucket ({SHUFFLE_BUCKETS} buckets), so no
+    single-partition global window exists; runs never span buckets by
+    construction (boundary convention shared with the oracle — at most
+    {SHUFFLE_BUCKETS}-1 runs split, immaterial to the audit). One
+    shuffle to order within buckets, then per-run and per-source
+    reductions."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    h = F.expr(_shuffle_order_sql(th.SPARK))
+    ordered = docs.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        # integer DIV: the hash is up to 2^60, beyond double's 53-bit
+        # mantissa — float division would misbucket boundary hashes
+        F.expr(
+            f"CAST({_shuffle_order_sql(th.SPARK)} DIV {_SHUFFLE_BUCKET_DIV}"
+            " AS BIGINT)"
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    flagged = ordered.withColumn(
+        "new_run",
+        F.when(
+            F.lag("source").over(w).isNull()
+            | (F.lag("source").over(w) != F.col("source")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    run_lens = runs.groupBy("source", "bucket", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        run_lens.groupBy("source")
+        .agg(
+            F.sum("run_len").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_runs"),
+            F.max("run_len").cast("bigint").alias("max_run"),
+            (F.sum("run_len") / F.count("*").cast("double")).alias("mean_run"),
+        )
+        .orderBy("source")
+    )
+
+
+BATCH_SIZE = 32  # sequences per inference/fine-tune batch
+LEN_BUCKET_W = 32  # token-length bucket width for the bucketed batcher
+BATCH_SHARDS = 16  # window-parallelism shards for batch formation
+
+
+@query(
+    "length_bucket_batch_plan",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             doc_id % {BATCH_SHARDS} AS shard,
+             CAST(len({th.tokens('text', th.DUCK)}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), naive AS (
+      SELECT shard, n_tokens,
+             (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+               // {BATCH_SIZE} AS batch_id
+      FROM sized
+    ), bucketed AS (
+      SELECT shard, n_tokens,
+             n_tokens // {LEN_BUCKET_W} AS len_bucket,
+             (ROW_NUMBER() OVER (PARTITION BY shard, n_tokens // {LEN_BUCKET_W}
+                                 ORDER BY doc_id) - 1)
+               // {BATCH_SIZE} AS batch_id
+      FROM sized
+    ), naive_b AS (
+      SELECT shard, batch_id, count(*) AS n_seqs,
+             MAX(n_tokens) AS max_len, SUM(n_tokens) AS real_tokens
+      FROM naive GROUP BY shard, batch_id
+    ), bucketed_b AS (
+      SELECT shard, len_bucket, batch_id, count(*) AS n_seqs,
+             MAX(n_tokens) AS max_len, SUM(n_tokens) AS real_tokens
+      FROM bucketed GROUP BY shard, len_bucket, batch_id
+    ), both_b AS (
+      SELECT 'naive' AS strategy, n_seqs, max_len, real_tokens FROM naive_b
+      UNION ALL
+      SELECT 'length_bucketed' AS strategy, n_seqs, max_len, real_tokens
+      FROM bucketed_b
+    )
+    SELECT strategy,
+           count(*) AS n_batches,
+           CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+           CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(n_seqs * max_len - real_tokens) AS BIGINT)
+               AS padded_slots,
+           SUM(n_seqs * max_len - real_tokens)
+             / CAST(SUM(n_seqs * max_len) AS DOUBLE) AS waste_ratio
+    FROM both_b GROUP BY strategy ORDER BY strategy
+    """,
+)
+def length_bucket_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for batched inference / fine-tuning:
+    every batch of {BATCH_SIZE} sequences pads to its longest member,
+    so batching in arrival (doc_id) order wastes max_len - len slots
+    per sequence. The operator forms batches BOTH ways — naive
+    arrival order vs bucketing by {LEN_BUCKET_W}-token length band
+    (the standard dynamic-batching trick) — and reports total batches,
+    real tokens, padded slots, and the waste ratio per strategy: the
+    measured GPU-hours argument for length bucketing.
+
+    Scale: batch formation is a row_number window partitioned by
+    {BATCH_SHARDS} hash shards (and the length band for the bucketed
+    arm), so no global-order window exists; each arm is one window +
+    one two-level reduction over (shard, batch) groups. Everything is
+    exact integer arithmetic except the final waste-ratio division.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = th.tokens("text", th.SPARK)
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % BATCH_SHARDS).alias("shard"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+    )
+    naive = sized.withColumn(
+        "batch_id",
+        F.floor(
+            (
+                F.row_number().over(
+                    Window.partitionBy("shard").orderBy("doc_id")
+                )
+                - 1
+            )
+            / BATCH_SIZE
+        ),
+    )
+    bucketed = sized.withColumn(
+        "len_bucket", F.floor(F.col("n_tokens") / LEN_BUCKET_W)
+    ).withColumn(
+        "batch_id",
+        F.floor(
+            (
+                F.row_number().over(
+                    Window.partitionBy("shard", "len_bucket").orderBy("doc_id")
+                )
+                - 1
+            )
+            / BATCH_SIZE
+        ),
+    )
+    naive_b = naive.groupBy("shard", "batch_id").agg(
+        F.count("*").alias("n_seqs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("real_tokens"),
+    )
+    bucketed_b = bucketed.groupBy("shard", "len_bucket", "batch_id").agg(
+        F.count("*").alias("n_seqs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("real_tokens"),
+    )
+    both = naive_b.select(
+        F.lit("naive").alias("strategy"), "n_seqs", "max_len", "real_tokens"
+    ).unionByName(
+        bucketed_b.select(
+            F.lit("length_bucketed").alias("strategy"),
+            "n_seqs",
+            "max_len",
+            "real_tokens",
+        )
+    )
+    padded = F.col("n_seqs") * F.col("max_len") - F.col("real_tokens")
+    return (
+        both.groupBy("strategy")
+        .agg(
+            F.count("*").alias("n_batches"),
+            F.sum("n_seqs").cast("bigint").alias("n_seqs"),
+            F.sum("real_tokens").cast("bigint").alias("real_tokens"),
+            F.sum(padded).cast("bigint").alias("padded_slots"),
+            (
+                F.sum(padded)
+                / F.sum(F.col("n_seqs") * F.col("max_len")).cast("double")
+            ).alias("waste_ratio"),
+        )
+        .orderBy("strategy")
+    )
+
+
+# curriculum phases by stopword per-mille (exact integer score):
+# cleaner, denser text trains first; noisier text arrives in later
+# phases. Cut points chosen for non-degenerate occupancy on the
+# synthetic corpus; at 100 TB they'd come from a one-pass quantile
+# sketch over the same integer score.
+CURRICULUM_CUTS = (40, 80, 120)
+
+
+def _curriculum_score(dialect: str) -> tuple[str, str]:
+    """(stop_permille, n_tokens) integer expressions."""
+    from end2end_data_pipeline_spark.operators.text_analysis import _STOP_IN
+
+    toks = th.tokens("text", dialect)
+    if dialect == th.SPARK:
+        n_stop = f"size(filter({toks}, x -> x IN ({_STOP_IN})))"
+        n_tok = f"size({toks})"
+    else:
+        n_stop = f"len(list_filter({toks}, x -> x IN ({_STOP_IN})))"
+        n_tok = f"len({toks})"
+    div = "DIV" if dialect == th.SPARK else "//"
+    return (
+        f"(CAST({n_stop} AS BIGINT) * 1000 {div} {n_tok})",
+        f"CAST({n_tok} AS BIGINT)",
+    )
+
+
+def _phase_case(permille: str) -> str:
+    c0, c1, c2 = CURRICULUM_CUTS
+    return (
+        f"CASE WHEN {permille} < {c0} THEN 0 "
+        f"WHEN {permille} < {c1} THEN 1 "
+        f"WHEN {permille} < {c2} THEN 2 ELSE 3 END"
+    )
+
+
+@query(
+    "curriculum_phase_plan",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, lang,
+             {_curriculum_score(th.DUCK)[1]} AS n_tokens,
+             {_phase_case(_curriculum_score(th.DUCK)[0])} AS phase
+      FROM documents
+    ), per AS (
+      SELECT phase,
+             count(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs
+      FROM scored GROUP BY phase
+    ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+    SELECT CAST(phase AS INT) AS phase, n_docs, n_tokens,
+           n_sources, n_langs,
+           n_tokens / CAST(tot.t AS DOUBLE) AS token_share,
+           CAST(SUM(n_tokens) OVER (ORDER BY phase
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+    FROM per CROSS JOIN tot ORDER BY phase
+    """,
+)
+def curriculum_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-training phase plan: documents are assigned to four
+    phases by an exact integer cleanliness score (stopword per-mille —
+    cleaner text first, noisier text later), and the plan reports each
+    phase's size, token budget, share, source/language diversity, and
+    the cumulative token count a trainer consumes by the end of the
+    phase. The curriculum analog of the source-mix planners.
+
+    Scale: phase assignment is a stateless per-row integer expression
+    (NO global sort, NO rank — the usual quantile-rank curriculum is
+    replaced by fixed score thresholds, which is how it ships at
+    100 TB: thresholds from a one-pass sketch, assignment embarrassingly
+    parallel). One corpus pass reduces to a 4-row frame; the cumulative
+    window runs on those 4 rows."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    permille, n_tok = _curriculum_score(th.SPARK)
+    scored = docs.select(
+        "source",
+        "lang",
+        F.expr(n_tok).alias("n_tokens"),
+        F.expr(_phase_case(permille)).alias("phase"),
+    )
+    per = scored.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    # corpus token total as a window over the 4-row phase frame — a
+    # crossJoin with a separate aggregate would re-scan the corpus
+    w_all = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = Window.orderBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.withColumn("t", F.sum("n_tokens").over(w_all))
+        .select(
+            F.col("phase").cast("int").alias("phase"),
+            "n_docs",
+            "n_tokens",
+            "n_sources",
+            "n_langs",
+            (F.col("n_tokens") / F.col("t").cast("double")).alias(
+                "token_share"
+            ),
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        )
+        .orderBy("phase")
+    )

@@ -1554,3 +1554,120 @@ def dedup_span_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_OVERLAP_TOKS_DUCK = th.tokens("text", th.DUCK)
+
+
+@query(
+    "source_shingle_overlap_matrix",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT source,
+             {th.reduced_token_hashes(_OVERLAP_TOKS_DUCK, th.DUCK)} AS th_arr
+      FROM documents
+      WHERE len({_OVERLAP_TOKS_DUCK}) >= {SHINGLE_N}
+    ), sh AS (
+      SELECT DISTINCT source, shh FROM (
+        SELECT source,
+               unnest({th.shingle_combine('th_arr', SHINGLE_N, th.DUCK)}) AS shh
+        FROM arrs
+      )
+    ), per AS (
+      SELECT source, count(*) AS n FROM sh GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shh = b.shh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+           n_shared / CAST(pa.n + pb.n - n_shared AS DOUBLE) AS jaccard,
+           n_shared / CAST(LEAST(pa.n, pb.n) AS DOUBLE) AS containment
+    FROM pairs
+    JOIN per pa ON pa.source = pairs.src_a
+    JOIN per pb ON pb.source = pairs.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_shingle_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source redundancy matrix: distinct hashed word-{SHINGLE_N}-gram
+    Jaccard / containment between every source pair that shares at
+    least one shingle — the readout a curation team reads to decide
+    WHICH sources to dedup against which (high containment of a small
+    source in a big one means the small source adds little novel text)
+    and to order near-dup passes by expected yield.
+
+    Scale: the corpus is touched once (one md5 pass per token, integer
+    shingle combine, per-document-distinct shingles). The only
+    corpus-sized shuffle groups by shingle hash with a map-side
+    collect_set bounded by |sources|; pair expansion happens on the
+    already-reduced per-hash source sets (<= C(|sources|, 2) rows per
+    hash) and the per-source distinct counts are re-derived from those
+    same sets, so no second corpus pass and no all-pairs document
+    join exists anywhere. Output is O(|sources|^2) rows.
+    """
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = th.tokens("text", th.SPARK)
+    raw = (
+        docs.where(F.expr(f"size({toks}) >= {SHINGLE_N}"))
+        .select(
+            "source",
+            F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(th.shingle_combine("th_arr", SHINGLE_N, th.SPARK))
+            ).alias("shh"),
+        )
+    )
+    by_hash = raw.groupBy("shh").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    # per-source distinct shingle counts, re-derived from the reduced
+    # per-hash source sets (each (hash, source) appears exactly once)
+    per = (
+        by_hash.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        by_hash.where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "b -> struct(a AS src_a, b AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pa = per.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a")
+    pb = per.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b")
+    return (
+        pairs.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (
+                F.col("n_shared")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -63,65 +63,47 @@ def test_checked_window_contract():
     assert set(QUERIES) == set(RAW)
     assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
-        # round-10 window composition: the 50 never-driver-checked
-        # queries (r9's WINDOW_OVERFLOW backlog), rotated to the head
-        # by tools/rotate_window.py — map re-aligned to THIS window
-        # per the rotation rule.
-        "markov_backtest_hitrate": "Markov next-event backtest",
-        "markov_reliability": "Markov calibration reliability",
-        "user_ab_experiment_audit": "deterministic A/B bucketing audit",
-        "event_arrival_burstiness": "Fano-factor burstiness",
-        "embedding_triplet_mining": "triplet mining",
-        "knn_ranking_eval": "kNN ranking eval (integer MRR)",
-        "embedding_split_drift": "embedding split-drift audit",
-        "part_itemitem_cosine_topk": "item-item CF cosine top-k",
-        "part_copurchase_communities": "LPA communities",
-        "part_copurchase_kcore": "k-core peeling",
-        "part_copurchase_assortativity": "degree assortativity",
-        "docs_quantile_norm_by_lang": "per-language quantile normalization",
-        "dedup_lsh_recall_eval": "LSH recall eval",
-        "dedup_lsh_scurve_eval": "LSH S-curve validation",
-        "nation_supply_latency_paths": "supply latency path rollup",
-        "parquet_schema_evolution_parity": "schema-evolution merge parity",
-        "orders_capacity_queue_sim": "capacity queue simulation",
-        "event_minute_value_lerp": "linear interpolation densify",
-        "event_minute_crosscorr_lags": "lagged cross-correlation",
-        "customer_kanonymity_profile": "k-anonymity histogram",
-        "orders_fd_audit": "functional-dependency audit",
-        "orders_total_reconciliation": "header-detail reconciliation",
-        "brand_return_rates": "brand return-rate hotspots",
-        "orders_cohort_ltv": "cohort LTV curves",
-        "suppliers_serving_all_regions": "relational division",
-        "customer_revenue_gini": "revenue Gini coefficient",
-        "docs_phrase_search": "positional phrase search",
-        "docs_bm25_search": "BM25 ranked search",
-        "docs_hybrid_rrf_search": "hybrid RRF fusion search",
-        "orders_fiscal_445_rollup": "4-4-5 fiscal calendar rollup",
-        "revenue_mom_waterfall": "MoM revenue waterfall",
-        "orders_ht_estimate_audit": "Horvitz-Thompson estimate audit",
-        "orders_weekly_mann_kendall": "Mann-Kendall trend test",
-        "orders_weekly_kendall_tau": "Kendall tau",
-        "segment_price_ks_distance": "KS distance",
-        "returnflag_quantity_mwu": "Mann-Whitney U / AUC",
-        "orders_daily_runs_test": "Wald-Wolfowitz runs test",
-        "partkey_selfjoin_cms_estimate": "CMS join-size estimate",
-        "orders_daily_drawdown_records": "drawdown records",
-        "orders_weekly_theilsen_trend": "Theil-Sen slope",
-        "orders_daily_mad_anomalies": "MAD anomaly bands",
-        "ship_latency_percentiles_by_nation": "exact group percentiles",
-        "customer_repurchase_hazard": "repurchase hazard lifetable",
-        "orders_weekly_isotonic_fit": "weighted isotonic regression",
-        "event_value_conformal_bands": "split-conformal bands",
-        "orders_revenue_bootstrap_ci": "Poisson bootstrap CI",
-        "customer_censored_lifetable": "right-censored lifetable",
-        "purchase_linear_attribution": "linear multi-touch attribution",
-        "nation_median_spend_udaf": "pandas UDAF exact median",
-        "docs_pmi_collocations": "PMI collocations",
+        # round-11 window composition: the 22 never-driver-checked
+        # queries (r10's WINDOW_OVERFLOW backlog plus the round-11
+        # tokenizer pair), rotated to the head by
+        # tools/rotate_window.py, plus 28 staleness anchors — map
+        # re-aligned to THIS window per the rotation rule.
+        "vocab_coverage_curve": "vocabulary coverage curve",
+        "abandoned_views_stream_replay": "stream-stream outer-join replay",
+        "gdpr_delete_cascade_audit": "GDPR delete-cascade audit",
+        "orders_seasonal_naive_mase": "seasonal-naive MASE",
+        "customer_golden_record": "MDM golden record",
+        "parquet_footer_health": "parquet footer health",
+        "purchase_attribution_model_compare": "attribution model compare",
+        "dedup_repeated_ngram_coverage": "repeated n-gram span coverage",
+        "docs_dsir_domain_affinity": "DSIR hashed-bigram affinity",
+        "semdedup_prune_decisions": "SemDeDup within-cluster pruning",
+        "split_leakage_neardup_audit": "split-leakage near-dup audit",
+        "corpus_curation_funnel": "corpus curation funnel",
+        "corpus_packing_efficiency_sweep": "packing efficiency sweep",
+        "source_temperature_mix": "temperature source mix",
+        "dedup_span_cut_plan": "duplicated-span cut plan",
+        "curation_stream_replay": "streaming curation twin",
+        "customer_ldiversity_profile": "l-diversity audit",
+        "docs_codeswitch_profile": "code-switch profile",
+        "typo_blocking_recall_eval": "blocking recall eval",
+        "customer_tcloseness_profile": "t-closeness audit",
+        "bpe_merge_steps": "iterated BPE training",
+        "bpe_encode_stats": "BPE tokenizer eval",
+        # staleness anchors still representing their families
+        "ann_ivf_topk": "IVF ANN top-k",
+        "kmeans_cluster_profile": "k-means clustering",
+        "incr_dedup_stats": "incremental dedup",
+        "value_tier_range_join": "range join",
+        "q6_forecast_revenue": "TPC-H-like relational",
+        "multimodal_resize": "multimodal decode path",
+        "shingle_novelty_curve": "shingle novelty curve",
+        "source_mix_rebalance": "source mix rebalance",
         # cross-cutting families still represented in this window
         "dedup_": "dedup",
         "event_": "event analytics",
         "doc": "text/corpus analysis",
-        "part_": "graph/affinity analytics",
+        "embedding_": "embedding analytics",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family

@@ -1,0 +1,240 @@
+"""Pure-Python replays + invariants for the round-11 operators — the
+third engine beside Spark and the DuckDB oracle (the dual-engine
+blind-spot mitigation the r9/r10 waves established). Each replay
+re-derives the semantics from the written spec with hashlib / plain
+dicts: no texthash builders, no SQL, no engine helpers."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+MINHASH_P = 1_073_741_789
+BASE_MOD = 1 << 30
+SHINGLE_N = 3
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source", "lang", "text")
+        .collect()
+    )
+
+
+def _doc_shingles(text: str) -> set[int]:
+    toks = text.split(" ")
+    th = [_md5_int(t) % BASE_MOD for t in toks]
+    cs = [_md5_int(f"shingle_c_{k}") % BASE_MOD for k in range(SHINGLE_N)]
+    return {
+        sum(c * th[i + k] for k, c in enumerate(cs)) % MINHASH_P
+        for i in range(len(th) - SHINGLE_N + 1)
+    }
+
+
+def test_source_shingle_overlap_replay(spark):
+    rows = entrymod.queries()["source_shingle_overlap_matrix"](
+        spark, SF
+    ).collect()
+    per_source: dict[str, set[int]] = defaultdict(set)
+    for r in _docs(spark):
+        if len(r["text"].split(" ")) >= SHINGLE_N:
+            per_source[r["source"]] |= _doc_shingles(r["text"])
+    expected = {}
+    srcs = sorted(per_source)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(per_source[a] & per_source[b])
+            if shared:
+                expected[(a, b)] = (shared, len(per_source[a]), len(per_source[b]))
+    got = {(r["src_a"], r["src_b"]): (r["n_shared"], r["n_a"], r["n_b"]) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert 0 < r["jaccard"] <= r["containment"] <= 1.0
+
+
+def test_source_ablation_replay(spark):
+    rows = entrymod.queries()["source_ablation_deltas"](spark, SF).collect()
+    docs = _docs(spark)
+    tok = {r["doc_id"]: len(r["text"].split(" ")) for r in docs}
+    t_docs, t_tokens = len(docs), sum(tok.values())
+    by_src = defaultdict(lambda: [0, 0])
+    lang_tokens: Counter = Counter()
+    sl_tokens: Counter = Counter()
+    for r in docs:
+        by_src[r["source"]][0] += 1
+        by_src[r["source"]][1] += tok[r["doc_id"]]
+        lang_tokens[r["lang"]] += tok[r["doc_id"]]
+        sl_tokens[(r["source"], r["lang"])] += tok[r["doc_id"]]
+    assert len(rows) == len(by_src)
+    for r in rows:
+        s_docs, s_tokens = by_src[r["source"]]
+        assert r["n_docs_wo"] == t_docs - s_docs
+        assert r["n_tokens_wo"] == t_tokens - s_tokens
+        assert r["token_share"] == s_tokens / t_tokens
+        # dominant language of the remaining corpus, ties by lang DESC
+        wo = {
+            lang: n - sl_tokens.get((r["source"], lang), 0)
+            for lang, n in lang_tokens.items()
+        }
+        best = max(wo.items(), key=lambda kv: (kv[1], kv[0]))
+        assert r["dominant_lang_wo"] == best[0]
+        assert r["dom_lang_share_wo"] == best[1] / (t_tokens - s_tokens)
+
+
+def test_training_order_runs_replay(spark):
+    from end2end_data_pipeline_spark.operators.corpus_ops import (
+        _SHUFFLE_BUCKET_DIV,
+        SHUFFLE_SEED,
+    )
+
+    rows = entrymod.queries()["training_order_runs_audit"](spark, SF).collect()
+    ordered = sorted(
+        (
+            (_md5_int(f"{SHUFFLE_SEED}:{r['doc_id']}"), r["doc_id"], r["source"])
+            for r in _docs(spark)
+        ),
+    )
+    runs: dict[str, list[int]] = defaultdict(list)
+    prev_key = None
+    for h, doc_id, source in ordered:
+        bucket = h // _SHUFFLE_BUCKET_DIV
+        if prev_key == (bucket, source):
+            runs[source][-1] += 1
+        else:
+            runs[source].append(1)
+        prev_key = (bucket, source)
+    got = {r["source"]: r for r in rows}
+    assert set(got) == set(runs)
+    for source, lens in runs.items():
+        r = got[source]
+        assert r["n_docs"] == sum(lens)
+        assert r["n_runs"] == len(lens)
+        assert r["max_run"] == max(lens)
+        assert r["mean_run"] == sum(lens) / len(lens)
+
+
+def test_length_bucket_batch_replay(spark):
+    from end2end_data_pipeline_spark.operators.corpus_ops import (
+        BATCH_SHARDS,
+        BATCH_SIZE,
+        LEN_BUCKET_W,
+    )
+
+    rows = {r["strategy"]: r for r in
+            entrymod.queries()["length_bucket_batch_plan"](spark, SF).collect()}
+    sized = sorted(
+        (r["doc_id"] % BATCH_SHARDS, r["doc_id"], len(r["text"].split(" ")))
+        for r in _docs(spark)
+    )
+
+    def audit(key_of):
+        batches: dict[tuple, list[int]] = defaultdict(list)
+        counters: Counter = Counter()
+        for shard, doc_id, n in sized:
+            k = key_of(shard, n)
+            batches[(k, counters[k] // BATCH_SIZE)].append(n)
+            counters[k] += 1
+        real = sum(sum(b) for b in batches.values())
+        slots = sum(len(b) * max(b) for b in batches.values())
+        return len(batches), real, slots - real
+
+    for strategy, key_of in [
+        ("naive", lambda shard, n: (shard,)),
+        ("length_bucketed", lambda shard, n: (shard, n // LEN_BUCKET_W)),
+    ]:
+        n_batches, real, padded = audit(key_of)
+        r = rows[strategy]
+        assert (r["n_batches"], r["real_tokens"], r["padded_slots"]) == (
+            n_batches,
+            real,
+            padded,
+        )
+        assert r["waste_ratio"] == padded / (real + padded)
+    # the whole point: bucketing must not pad MORE than naive batching
+    assert (
+        rows["length_bucketed"]["padded_slots"] <= rows["naive"]["padded_slots"]
+    )
+
+
+def test_curriculum_phase_replay(spark):
+    from end2end_data_pipeline_spark.operators.corpus_ops import CURRICULUM_CUTS
+    from end2end_data_pipeline_spark.operators.text_analysis import STOPWORDS
+
+    rows = entrymod.queries()["curriculum_phase_plan"](spark, SF).collect()
+    per = defaultdict(lambda: [0, 0, set(), set()])
+    for r in _docs(spark):
+        toks = r["text"].split(" ")
+        permille = sum(t in STOPWORDS for t in toks) * 1000 // len(toks)
+        phase = sum(permille >= c for c in CURRICULUM_CUTS)
+        p = per[phase]
+        p[0] += 1
+        p[1] += len(toks)
+        p[2].add(r["source"])
+        p[3].add(r["lang"])
+    total = sum(p[1] for p in per.values())
+    cum = 0
+    assert [r["phase"] for r in rows] == sorted(per)
+    for r in rows:
+        n_docs, n_tokens, sources, langs = per[r["phase"]]
+        cum += n_tokens
+        assert (r["n_docs"], r["n_tokens"]) == (n_docs, n_tokens)
+        assert (r["n_sources"], r["n_langs"]) == (len(sources), len(langs))
+        assert r["token_share"] == n_tokens / total
+        assert r["cum_tokens"] == cum
+
+
+def test_overlap_matrix_empty_and_single_source(spark, tmp_path):
+    """Degenerate fixtures: a one-source corpus yields an empty
+    matrix; a two-source corpus with one shared document text yields
+    exactly one row with containment 1 for the subset source."""
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["x y z w", "x y z w", "p q r s"],
+            "lang": ["en"] * 3,
+            "source": ["a", "a", "b"],
+            "n_chars": [7, 7, 7],
+        }
+    ).to_parquet(d / "documents.parquet")
+    fn = entrymod.queries()["source_shingle_overlap_matrix"]
+    rows = fn(spark, str(d)).collect()
+    assert rows == []
+
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["x y z w", "x y z w v"],
+            "lang": ["en"] * 2,
+            "source": ["a", "b"],
+            "n_chars": [7, 9],
+        }
+    ).to_parquet(d2 / "documents.parquet")
+    rows = fn(spark, str(d2)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # source a's 2 shingles are a subset of b's 3
+    assert (r["src_a"], r["src_b"], r["n_shared"], r["n_a"], r["n_b"]) == (
+        "a",
+        "b",
+        2,
+        2,
+        3,
+    )
+    assert r["containment"] == 1.0

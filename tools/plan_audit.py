@@ -77,6 +77,12 @@ WAIVERS: dict[str, str] = {
     # spine days — a bounded-expansion broadcast band join, not a
     # quadratic surface.
     "user_stickiness_daily": "bnlj-over-two-scans",
+    # the sources x langs ablation grid is a broadcast crossJoin of two
+    # frames already reduced to O(|sources|) and O(|langs|) rows off
+    # the session-cached source x lang matrix; the parquet scans the
+    # counter sees are inside the InMemoryRelation printout (the corpus
+    # is materialized exactly once).
+    "source_ablation_deltas": "bnlj-over-two-scans",
     # IVF coarse quantizer: every vector scores against the N_IVF_CELLS
     # (=16) broadcast centroids — an intentional O(n x K) broadcast
     # cross join; the corpus side never shuffles.
