@@ -268,6 +268,9 @@ HEADLINE = [
     "training_order_runs_audit",
     "length_bucket_batch_plan",
     "curriculum_phase_plan",
+    "source_shingle_overlap_kmv",
+    "bpe_vocab_prune_sweep",
+    "kmeans_silhouette_profile",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

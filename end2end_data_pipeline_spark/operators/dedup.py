@@ -1671,3 +1671,198 @@ def source_shingle_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("src_a", "src_b")
     )
+
+
+KMV_K = 64  # k-minimum-values sketch size (RSE ~ 1/sqrt(k-2) ~ 12.7%)
+KMV_DOMAIN = float(th.MINHASH_P)  # shingle-hash domain as an exact double
+
+
+def _kmv_shingle_sets(dialect: str) -> str:
+    """Distinct (source, shingle-hash) pairs — the set family the KMV
+    sketches summarize (same shingle machinery as the exact matrix)."""
+    toks = th.tokens("text", dialect)
+    if dialect == th.SPARK:
+        raise NotImplementedError("spark side built as a DataFrame")
+    return f"""
+      SELECT DISTINCT source, shh FROM (
+        SELECT source,
+               unnest({th.shingle_combine('th_arr', SHINGLE_N, th.DUCK)}) AS shh
+        FROM (
+          SELECT source,
+                 {th.reduced_token_hashes(toks, th.DUCK)} AS th_arr
+          FROM documents
+          WHERE len({toks}) >= {SHINGLE_N}
+        )
+      )
+    """
+
+
+@query(
+    "source_shingle_overlap_kmv",
+    oracle=f"""
+    WITH sh AS ({_kmv_shingle_sets(th.DUCK)}
+    ), exact AS (
+      SELECT source, count(*) AS n FROM sh GROUP BY source
+    ), ranked AS (
+      SELECT source, shh,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY shh) AS rn
+      FROM sh
+    ), sk AS (
+      SELECT source, list(shh ORDER BY shh) AS sketch
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS exact_inter
+      FROM sh a JOIN sh b ON a.shh = b.shh AND a.source < b.source
+      GROUP BY 1, 2
+    ), prs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             list_sort(list_distinct(a.sketch || b.sketch)) AS merged,
+             a.sketch AS sa, b.sketch AS sb
+      FROM sk a JOIN sk b ON a.source < b.source
+    ), est AS (
+      SELECT src_a, src_b,
+             merged[1 : LEAST(len(merged), {KMV_K})] AS u,
+             sa, sb, len(merged) AS n_merged
+      FROM prs
+    ), scored AS (
+      SELECT src_a, src_b,
+             CASE WHEN n_merged < {KMV_K}
+                  THEN CAST(n_merged AS DOUBLE)
+                  ELSE ({KMV_K} - 1) * {KMV_DOMAIN!r}
+                       / CAST(u[{KMV_K}] AS DOUBLE) END AS est_union,
+             CAST(len(list_filter(u, x ->
+                    list_contains(sa, x) AND list_contains(sb, x)))
+                  AS BIGINT) AS inter_in_u,
+             CAST(len(u) AS BIGINT) AS n_u
+      FROM est
+    )
+    SELECT s.src_a, s.src_b,
+           ea.n AS exact_a, eb.n AS exact_b,
+           COALESCE(i.exact_inter, 0) AS exact_inter,
+           s.est_union,
+           (s.inter_in_u * s.est_union) / CAST(s.n_u AS DOUBLE)
+               AS est_inter
+    FROM scored s
+    JOIN exact ea ON ea.source = s.src_a
+    JOIN exact eb ON eb.source = s.src_b
+    LEFT JOIN inter i ON i.src_a = s.src_a AND i.src_b = s.src_b
+    ORDER BY s.src_a, s.src_b
+    """,
+)
+def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-sketch) set algebra over the SAME
+    per-source shingle sets the exact overlap matrix measures: each
+    source's distinct hashed {SHINGLE_N}-grams are summarized by their
+    {KMV_K} smallest hashes, and every source pair's set UNION and
+    INTERSECTION are estimated purely from the two sketches (merge,
+    keep the k smallest; |union| ~ (k-1) * domain / kth-min,
+    |intersection| from the share of merged minima present in both —
+    Beyer et al. 2007, the algebra the DataSketches theta family
+    productionizes). Exact counts ride along as the eval yardstick, so
+    the driver hash-checks the estimator against its own ground truth
+    in one result; the estimates are built from the engine-portable
+    md5 hash and are therefore bit-identical across engines — unlike
+    HLL, FULLY value-checked, not tolerance-flagged.
+
+    Scale: this is the form the exact matrix ships in at 100 TB —
+    per-source sketches are fixed-size and mergeable (a map-side
+    top-k, one tiny shuffle of k rows per source), and all C(S,2)
+    pair estimates run on O(S) rows of k-element arrays without ever
+    re-touching the corpus. The exact columns are the expensive part
+    and exist only to grade the estimator."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = th.tokens("text", th.SPARK)
+    sh = session_cached(
+        spark,
+        f"kmv_shingle_sets:{sf_dir}",
+        docs.where(F.expr(f"size({toks}) >= {SHINGLE_N}"))
+        .select(
+            "source",
+            F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(th.shingle_combine("th_arr", SHINGLE_N, th.SPARK))
+            ).alias("shh"),
+        )
+        .distinct(),
+    )
+    exact = sh.groupBy("source").agg(F.count("*").alias("n"))
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("shh"))
+    sk = (
+        sh.withColumn("rn", rn)
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("shh")).alias("sketch"))
+    )
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    prs = (
+        sk.alias("a")
+        .join(
+            F.broadcast(sk.alias("b")),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.expr(
+                "array_sort(array_distinct(concat(a.sketch, b.sketch)))"
+            ).alias("merged"),
+            F.col("a.sketch").alias("sa"),
+            F.col("b.sketch").alias("sb"),
+        )
+    )
+    scored = prs.select(
+        "src_a",
+        "src_b",
+        F.expr(f"slice(merged, 1, least(size(merged), {KMV_K}))").alias("u"),
+        F.size("merged").alias("n_merged"),
+        "sa",
+        "sb",
+    ).select(
+        "src_a",
+        "src_b",
+        F.expr(
+            f"CASE WHEN n_merged < {KMV_K} THEN CAST(n_merged AS DOUBLE) "
+            f"ELSE ({KMV_K} - 1) * {KMV_DOMAIN!r} "
+            f"/ CAST(element_at(u, {KMV_K}) AS DOUBLE) END"
+        ).alias("est_union"),
+        F.expr(
+            "CAST(size(filter(u, x -> array_contains(sa, x) "
+            "AND array_contains(sb, x))) AS BIGINT)"
+        ).alias("inter_in_u"),
+        F.expr("CAST(size(u) AS BIGINT)").alias("n_u"),
+    )
+    ea = exact.select(F.col("source").alias("src_a"), F.col("n").alias("exact_a"))
+    eb = exact.select(F.col("source").alias("src_b"), F.col("n").alias("exact_b"))
+    return (
+        scored.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "exact_a",
+            "exact_b",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            "est_union",
+            (
+                (F.col("inter_in_u") * F.col("est_union"))
+                / F.col("n_u").cast("double")
+            ).alias("est_inter"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1793,3 +1793,4 @@ def markov_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+

@@ -69,6 +69,14 @@ def _assign(base: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
 def _fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run ITERS Lloyd's rounds; return the final assignment frame
     (vec_id, label, cluster, dist2)."""
+    return _fit_model(spark, sf_dir)[0]
+
+
+def _fit_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """``_fit`` plus the final centroid dict (for consumers that need
+    distances to EVERY centroid, e.g. the silhouette profile)."""
     base = session_cached(
         spark,
         f"kmeans_qbase:{sf_dir}",
@@ -85,12 +93,15 @@ def _fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not centroids:
         # empty corpus: no seeds exist, the argmin expression would be
         # untyped — return the schema-stable empty assignment instead
-        return base.select(
-            "vec_id",
-            "label",
-            "qv",
-            F.lit(None).cast("bigint").alias("cluster"),
-            F.lit(None).cast("bigint").alias("dist2"),
+        return (
+            base.select(
+                "vec_id",
+                "label",
+                "qv",
+                F.lit(None).cast("bigint").alias("cluster"),
+                F.lit(None).cast("bigint").alias("dist2"),
+            ),
+            centroids,
         )
     for _ in range(ITERS):
         sums = (
@@ -113,8 +124,11 @@ def _fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (s + n * SHIFT) // n - SHIFT
                     for _, (s, n) in sorted(comp.items())
                 ]
-    return _assign(base, centroids).select(
-        "vec_id", "label", "qv", "cluster", "dist2"
+    return (
+        _assign(base, centroids).select(
+            "vec_id", "label", "qv", "cluster", "dist2"
+        ),
+        centroids,
     )
 
 
@@ -345,4 +359,112 @@ def semdedup_prune_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pruned"),
         )
         .orderBy("vec_id")
+    )
+
+
+# silhouette band cuts as exact rational comparisons: s = 1 - a2/b2,
+# so s >= 1/2 <=> 2*a2 <= b2 and s >= 1/4 <=> 4*a2 <= 3*b2
+@query(
+    "kmeans_silhouette_profile",
+    oracle=_kmeans_ctes()
+    + f""",
+    ranked2 AS (
+      SELECT vec_id, cid, dist2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cid) AS rn
+      FROM (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(q.qv,
+                    (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS BIGINT)
+                   AS dist2
+        FROM q CROSS JOIN c{ITERS} c
+      )
+    ), ab AS (
+      SELECT a.vec_id, a.cid AS cluster,
+             a.dist2 AS a2, b.dist2 AS b2
+      FROM ranked2 a JOIN ranked2 b
+        ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           count(*) AS n_vectors,
+           CAST(SUM(CASE WHEN 2 * a2 <= b2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tight,
+           CAST(SUM(CASE WHEN 2 * a2 > b2 AND 4 * a2 <= 3 * b2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+           CAST(SUM(CASE WHEN 4 * a2 > 3 * b2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_loose,
+           CAST(SUM(a2) AS BIGINT) AS sum_a2,
+           CAST(SUM(b2) AS BIGINT) AS sum_b2,
+           CASE WHEN SUM(b2) = 0 THEN 0.0
+                ELSE 1.0 - SUM(a2) / CAST(SUM(b2) AS DOUBLE) END
+               AS pooled_silhouette
+    FROM ab GROUP BY cluster ORDER BY cluster
+    """,
+)
+def kmeans_silhouette_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette clustering quality (Hruschka et al. 2004:
+    distances to CENTROIDS, not all points — the form that scales):
+    for each vector, a2 = squared distance to its own centroid, b2 =
+    squared distance to the nearest OTHER centroid; s = 1 - a2/b2 in
+    [0, 1] since the winner is the argmin. The profile reports, per
+    cluster, how many members sit tight (s >= 1/2), mid (1/4 <= s <
+    1/2) or loose (s < 1/4) — the band cuts evaluated as EXACT integer
+    cross-multiplications — plus a pooled silhouette 1 - sum(a2)/
+    sum(b2) from exact BIGINT sums (per-point silhouette MEANS would
+    be an order-dependent float sum; the pooled ratio is one double
+    division, bit-stable across engines).
+
+    Scale: same shape as the assignment pass — centroids ride as
+    literal arrays, a2/b2 come from sorting the K-element per-row
+    distance array (codegen'd, no join, no shuffle), and the corpus
+    reduces straight to K profile rows. The full-silhouette
+    all-pairs variant is O(n^2) and exists nowhere in the registry."""
+    frame, centroids = _fit_model(spark, sf_dir)
+    if not centroids:
+        return frame.select(
+            F.col("cluster"),
+            F.lit(0).cast("bigint").alias("n_vectors"),
+            F.lit(0).cast("bigint").alias("n_tight"),
+            F.lit(0).cast("bigint").alias("n_mid"),
+            F.lit(0).cast("bigint").alias("n_loose"),
+            F.lit(0).cast("bigint").alias("sum_a2"),
+            F.lit(0).cast("bigint").alias("sum_b2"),
+            F.lit(0.0).alias("pooled_silhouette"),
+        ).where(F.lit(False))
+    dists = ", ".join(_dist2_spark(cv) for _, cv in sorted(centroids.items()))
+    ab = frame.withColumn(
+        "sorted_d", F.expr(f"array_sort(array({dists}))")
+    ).select(
+        "cluster",
+        F.expr("element_at(sorted_d, 1)").alias("a2"),
+        F.expr("element_at(sorted_d, 2)").alias("b2"),
+    )
+    return (
+        ab.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum((2 * F.col("a2") <= F.col("b2")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_tight"),
+            F.sum(
+                (
+                    (2 * F.col("a2") > F.col("b2"))
+                    & (4 * F.col("a2") <= 3 * F.col("b2"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_mid"),
+            F.sum((4 * F.col("a2") > 3 * F.col("b2")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_loose"),
+            F.sum("a2").cast("bigint").alias("sum_a2"),
+            F.sum("b2").cast("bigint").alias("sum_b2"),
+        )
+        .withColumn(
+            "pooled_silhouette",
+            F.when(F.col("sum_b2") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.col("sum_a2") / F.col("sum_b2").cast("double")
+            ),
+        )
+        .orderBy("cluster")
     )

@@ -788,13 +788,17 @@ def _bpe_steps_sql(k: int) -> str:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str
-) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    spark: SparkSession, sf_dir: str, snapshots: tuple[int, ...] = ()
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame, dict[int, DataFrame]]:
     """Run BPE_STEPS training rounds; return (merge table rows, final
-    vocabulary frame (w, seq, freq)). Each round is a vocab-sized
+    vocabulary frame (w, seq, freq), {k: vocabulary after k merges}
+    for each requested snapshot k). Each round is a vocab-sized
     census plus one 1-ROW argmax collect (model state, the kmeans
     precedent) folded back as string literals, so the plan stays
-    linear in rounds with no crossJoin branching."""
+    linear in rounds with no crossJoin branching. If the census runs
+    dry before a requested snapshot, that snapshot is the final
+    (unchanged) vocabulary — matching the oracle CTEs' LEFT JOIN
+    convention."""
     vocab = session_cached(
         spark,
         f"bpe_seq_vocab:{sf_dir}",
@@ -806,6 +810,7 @@ def _bpe_train(
         .select("w", F.expr(_BPE_V0[th.SPARK]).alias("seq"), "freq"),
     )
     steps: list[tuple[int, str, str, str, int]] = []
+    snaps: dict[int, DataFrame] = {}
     for step in range(1, BPE_STEPS + 1):
         top = (
             vocab.select(
@@ -839,7 +844,11 @@ def _bpe_train(
         vocab = vocab.withColumn(
             "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
         )
-    return steps, vocab
+        if step in snapshots:
+            snaps[step] = vocab
+    for k in snapshots:  # census ran dry before k: vocab is final
+        snaps.setdefault(k, vocab)
+    return steps, vocab, snaps
 
 
 @query("bpe_merge_steps", oracle=_bpe_steps_sql(BPE_STEPS))
@@ -871,7 +880,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, the kmeans precedent) folded back as string literals, so
     the plan stays linear in rounds with no crossJoin branching. At
     100 TB only v0's build touches the corpus."""
-    steps, _ = _bpe_train(spark, sf_dir)
+    steps, _, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         steps,
         "step bigint, left_sym string, right_sym string, "
@@ -925,7 +934,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized, never corpus-sized (the corpus is touched once,
     by the frequency rollups), and the output is O(|langs|). Ratios
     are single double divisions of exact BIGINTs."""
-    _, vocab = _bpe_train(spark, sf_dir)
+    _, vocab, _ = _bpe_train(spark, sf_dir)
     wtoks = vocab.select(
         "w",
         F.size(F.split(F.expr("trim(BOTH '|' FROM seq)"), "[|]"))
@@ -1436,3 +1445,78 @@ def docs_codeswitch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dominant.alias("dominant_lang"),
         mixedness.alias("mixedness"),
     ).orderBy("doc_id")
+
+
+BPE_SWEEP_KS = (2, 4, 6, 8)
+
+_BPE_SWEEP_SQL = (
+    f"WITH {_bpe_cte_body(BPE_STEPS)}\n    "
+    + "SELECT * FROM (\n      "
+    + "\n      UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS n_merges,
+             CAST(SUM(b.freq) AS BIGINT) AS n_words,
+             CAST(SUM(b.freq * length(b.w)) AS BIGINT) AS n_chars,
+             CAST(SUM(b.freq *
+                  len(string_split(trim(v.seq, '|'), '|'))) AS BIGINT)
+                 AS n_bpe_tokens,
+             SUM(b.freq * length(b.w))
+               / CAST(SUM(b.freq *
+                      len(string_split(trim(v.seq, '|'), '|'))) AS DOUBLE)
+                 AS chars_per_token
+      FROM v0 b JOIN v{k} v USING (w)"""
+        for k in BPE_SWEEP_KS
+    )
+    + "\n    ) ORDER BY n_merges"
+)
+
+
+@query("bpe_vocab_prune_sweep", oracle=_BPE_SWEEP_SQL)
+def bpe_vocab_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer size/compression tradeoff curve: encode the corpus
+    with the vocabulary after k = {KS} BPE merges and report total
+    BPE tokens and compression (chars per token) at each size — the
+    curve a tokenizer team reads to pick a vocabulary budget (each
+    extra merge buys less compression; the knee is the budget). The
+    sweep half of the bpe_merge_steps / bpe_encode_stats story.
+
+    Scale: one training run produces every snapshot (the k-merge
+    vocabularies are prefixes of the same merge sequence — no
+    retraining per point); all sweep arms are vocabulary-sized joins
+    of (word, freq) against (word, segmentation), never corpus-sized,
+    and the output is O(|sweep|) rows of exact BIGINTs with one final
+    double division."""
+    _, _, snaps = _bpe_train(spark, sf_dir, snapshots=BPE_SWEEP_KS)
+    arms = []
+    for k in BPE_SWEEP_KS:
+        v = snaps[k].select(
+            "freq",
+            F.length("w").cast("bigint").alias("w_chars"),
+            F.size(F.split(F.expr("trim(BOTH '|' FROM seq)"), "[|]"))
+            .cast("bigint")
+            .alias("n_syms"),
+        )
+        arms.append(
+            v.agg(
+                F.lit(k).cast("bigint").alias("n_merges"),
+                F.sum("freq").cast("bigint").alias("n_words"),
+                F.sum(F.col("freq") * F.col("w_chars"))
+                .cast("bigint")
+                .alias("n_chars"),
+                F.sum(F.col("freq") * F.col("n_syms"))
+                .cast("bigint")
+                .alias("n_bpe_tokens"),
+                (
+                    F.sum(F.col("freq") * F.col("w_chars"))
+                    / F.sum(F.col("freq") * F.col("n_syms")).cast("double")
+                ).alias("chars_per_token"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("n_merges")
+
+
+bpe_vocab_prune_sweep.__doc__ = bpe_vocab_prune_sweep.__doc__.replace(
+    "{KS}", str(BPE_SWEEP_KS)
+)

@@ -238,3 +238,129 @@ def test_overlap_matrix_empty_and_single_source(spark, tmp_path):
         3,
     )
     assert r["containment"] == 1.0
+
+
+def test_source_shingle_kmv_replay(spark):
+    from end2end_data_pipeline_spark.operators.dedup import KMV_K
+
+    rows = entrymod.queries()["source_shingle_overlap_kmv"](spark, SF).collect()
+    per_source: dict[str, set[int]] = defaultdict(set)
+    for r in _docs(spark):
+        if len(r["text"].split(" ")) >= SHINGLE_N:
+            per_source[r["source"]] |= _doc_shingles(r["text"])
+    domain = float(MINHASH_P)
+    srcs = sorted(per_source)
+    expected = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            sa = sorted(per_source[a])[:KMV_K]
+            sb = sorted(per_source[b])[:KMV_K]
+            merged = sorted(set(sa) | set(sb))
+            u = merged[: min(len(merged), KMV_K)]
+            if len(merged) < KMV_K:
+                est_union = float(len(merged))
+            else:
+                est_union = (KMV_K - 1) * domain / float(u[KMV_K - 1])
+            inter_in_u = sum(1 for x in u if x in set(sa) and x in set(sb))
+            expected[(a, b)] = (
+                len(per_source[a]),
+                len(per_source[b]),
+                len(per_source[a] & per_source[b]),
+                est_union,
+                (inter_in_u * est_union) / len(u),
+            )
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["exact_a"],
+            r["exact_b"],
+            r["exact_inter"],
+            r["est_union"],
+            r["est_inter"],
+        )
+        for r in rows
+    }
+    assert got == expected
+
+
+def _bpe_train_pure(word_freq, steps):
+    """From-spec BPE trainer: greedy left-to-right merge by index scan
+    (no string replace), snapshots after each merge round."""
+    vocab = {w: list(w) for w in word_freq}
+    snaps = {}
+    for step in range(1, steps + 1):
+        census = Counter()
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                census[(a, b)] += f
+        if not census:
+            break
+        (l, r), _ = min(
+            census.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+        snaps[step] = {w: list(s) for w, s in vocab.items()}
+    final = {w: list(s) for w, s in vocab.items()}
+    for k in range(1, steps + 1):
+        snaps.setdefault(k, final)
+    return snaps
+
+
+def test_bpe_vocab_prune_sweep_replay(spark):
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        BPE_STEPS,
+        BPE_SWEEP_KS,
+    )
+
+    rows = entrymod.queries()["bpe_vocab_prune_sweep"](spark, SF).collect()
+    word_freq = Counter()
+    for r in _docs(spark):
+        for w in r["text"].split(" "):
+            if w and "|" not in w:
+                word_freq[w] += 1
+    snaps = _bpe_train_pure(word_freq, BPE_STEPS)
+    got = {r["n_merges"]: r for r in rows}
+    assert sorted(got) == sorted(BPE_SWEEP_KS)
+    for k in BPE_SWEEP_KS:
+        vocab = snaps[k]
+        n_words = sum(word_freq.values())
+        n_chars = sum(f * len(w) for w, f in word_freq.items())
+        n_tokens = sum(f * len(vocab[w]) for w, f in word_freq.items())
+        r = got[k]
+        assert (r["n_words"], r["n_chars"], r["n_bpe_tokens"]) == (
+            n_words,
+            n_chars,
+            n_tokens,
+        )
+        assert r["chars_per_token"] == n_chars / n_tokens
+    # compression must improve monotonically with vocabulary size
+    cs = [got[k]["n_bpe_tokens"] for k in sorted(got)]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_kmeans_silhouette_invariants(spark):
+    rows = entrymod.queries()["kmeans_silhouette_profile"](spark, SF).collect()
+    profile = {
+        r["cluster"]: r["n_vectors"]
+        for r in entrymod.queries()["kmeans_cluster_profile"](
+            spark, SF
+        ).collect()
+    }
+    assert {r["cluster"] for r in rows} == set(profile)
+    for r in rows:
+        assert r["n_vectors"] == profile[r["cluster"]]
+        assert r["n_tight"] + r["n_mid"] + r["n_loose"] == r["n_vectors"]
+        # a2 is the argmin distance, so a2 <= b2 per point and pooled
+        # silhouette lands in [0, 1]
+        assert r["sum_a2"] <= r["sum_b2"]
+        assert 0.0 <= r["pooled_silhouette"] <= 1.0
+        assert r["pooled_silhouette"] == 1.0 - r["sum_a2"] / r["sum_b2"]

@@ -83,6 +83,13 @@ WAIVERS: dict[str, str] = {
     # counter sees are inside the InMemoryRelation printout (the corpus
     # is materialized exactly once).
     "source_ablation_deltas": "bnlj-over-two-scans",
+    # the KMV sketch-pair join is non-equi (src_a < src_b) over
+    # O(|sources|) rows of k-element sketch arrays, both sides off the
+    # session-cached distinct (source, shingle-hash) frame — a
+    # broadcast BNLJ over fixed-size mergeable sketches is the designed
+    # theta-sketch algebra; the corpus itself never pairwise-joins for
+    # the estimates.
+    "source_shingle_overlap_kmv": "bnlj-over-two-scans",
     # IVF coarse quantizer: every vector scores against the N_IVF_CELLS
     # (=16) broadcast centroids — an intentional O(n x K) broadcast
     # cross join; the corpus side never shuffles.
