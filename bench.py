@@ -271,6 +271,7 @@ HEADLINE = [
     "source_shingle_overlap_kmv",
     "bpe_vocab_prune_sweep",
     "kmeans_silhouette_profile",
+    "source_sketch_stream_replay",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -25,6 +25,8 @@ reproduces results bit-for-bit (functions/texthash.py).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1697,9 +1699,95 @@ def _kmv_shingle_sets(dialect: str) -> str:
     """
 
 
-@query(
-    "source_shingle_overlap_kmv",
-    oracle=f"""
+def _kmv_shingle_rows(docs: DataFrame) -> DataFrame:
+    """Distinct (source, shingle-hash) rows from a documents frame —
+    the set family the KMV sketches summarize (shared by the batch
+    query and each streaming micro-batch)."""
+    toks = th.tokens("text", th.SPARK)
+    return (
+        docs.where(F.expr(f"size({toks}) >= {SHINGLE_N}"))
+        .select(
+            "source",
+            F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(th.shingle_combine("th_arr", SHINGLE_N, th.SPARK))
+            ).alias("shh"),
+        )
+        .distinct()
+    )
+
+
+def _kmv_sketches(sh: DataFrame) -> DataFrame:
+    """(source, sorted k-min hash array) — the KMV sketch per source,
+    from a (source, shh) set frame (need not be distinct; the rank
+    window tolerates neither here — callers pass distinct rows)."""
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("shh"))
+    return (
+        sh.withColumn("rn", rn)
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("shh")).alias("sketch"))
+    )
+
+
+def _kmv_pair_scores(sk: DataFrame) -> DataFrame:
+    """Pairwise (src_a, src_b, est_union, inter_in_u, n_u) purely from
+    the sketch frame — the theta-sketch algebra shared by the batch
+    query and the streaming replay."""
+    prs = (
+        sk.alias("a")
+        .join(
+            F.broadcast(sk.alias("b")),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.expr(
+                "array_sort(array_distinct(concat(a.sketch, b.sketch)))"
+            ).alias("merged"),
+            F.col("a.sketch").alias("sa"),
+            F.col("b.sketch").alias("sb"),
+        )
+    )
+    return prs.select(
+        "src_a",
+        "src_b",
+        F.expr(f"slice(merged, 1, least(size(merged), {KMV_K}))").alias("u"),
+        F.size("merged").alias("n_merged"),
+        "sa",
+        "sb",
+    ).select(
+        "src_a",
+        "src_b",
+        F.expr(
+            f"CASE WHEN n_merged < {KMV_K} THEN CAST(n_merged AS DOUBLE) "
+            f"ELSE ({KMV_K} - 1) * {KMV_DOMAIN!r} "
+            f"/ CAST(element_at(u, {KMV_K}) AS DOUBLE) END"
+        ).alias("est_union"),
+        F.expr(
+            "CAST(size(filter(u, x -> array_contains(sa, x) "
+            "AND array_contains(sb, x))) AS BIGINT)"
+        ).alias("inter_in_u"),
+        F.expr("CAST(size(u) AS BIGINT)").alias("n_u"),
+    )
+
+
+def _kmv_oracle_sql(include_exact: bool) -> str:
+    """The KMV estimate oracle, with or without the exact yardstick
+    columns — shared by the batch query and the streaming replay so
+    the two estimator definitions can never drift."""
+    exact_cols = """
+           ea.n AS exact_a, eb.n AS exact_b,
+           COALESCE(i.exact_inter, 0) AS exact_inter,""" if include_exact else ""
+    exact_joins = """
+    JOIN exact ea ON ea.source = s.src_a
+    JOIN exact eb ON eb.source = s.src_b
+    LEFT JOIN inter i ON i.src_a = s.src_a AND i.src_b = s.src_b""" if include_exact else ""
+    return f"""
     WITH sh AS ({_kmv_shingle_sets(th.DUCK)}
     ), exact AS (
       SELECT source, count(*) AS n FROM sh GROUP BY source
@@ -1736,19 +1824,16 @@ def _kmv_shingle_sets(dialect: str) -> str:
              CAST(len(u) AS BIGINT) AS n_u
       FROM est
     )
-    SELECT s.src_a, s.src_b,
-           ea.n AS exact_a, eb.n AS exact_b,
-           COALESCE(i.exact_inter, 0) AS exact_inter,
+    SELECT s.src_a, s.src_b,{exact_cols}
            s.est_union,
            (s.inter_in_u * s.est_union) / CAST(s.n_u AS DOUBLE)
                AS est_inter
-    FROM scored s
-    JOIN exact ea ON ea.source = s.src_a
-    JOIN exact eb ON eb.source = s.src_b
-    LEFT JOIN inter i ON i.src_a = s.src_a AND i.src_b = s.src_b
+    FROM scored s{exact_joins}
     ORDER BY s.src_a, s.src_b
-    """,
-)
+    """
+
+
+@query("source_shingle_overlap_kmv", oracle=_kmv_oracle_sql(True))
 def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values / theta-sketch) set algebra over the SAME
     per-source shingle sets the exact overlap matrix measures: each
@@ -1773,29 +1858,10 @@ def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
     sh = session_cached(
-        spark,
-        f"kmv_shingle_sets:{sf_dir}",
-        docs.where(F.expr(f"size({toks}) >= {SHINGLE_N}"))
-        .select(
-            "source",
-            F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr"),
-        )
-        .select(
-            "source",
-            F.explode(
-                F.expr(th.shingle_combine("th_arr", SHINGLE_N, th.SPARK))
-            ).alias("shh"),
-        )
-        .distinct(),
+        spark, f"kmv_shingle_sets:{sf_dir}", _kmv_shingle_rows(docs)
     )
     exact = sh.groupBy("source").agg(F.count("*").alias("n"))
-    rn = F.row_number().over(Window.partitionBy("source").orderBy("shh"))
-    sk = (
-        sh.withColumn("rn", rn)
-        .where(F.col("rn") <= KMV_K)
-        .groupBy("source")
-        .agg(F.sort_array(F.collect_list("shh")).alias("sketch"))
-    )
+    sk = _kmv_sketches(sh)
     inter = (
         sh.alias("a")
         .join(
@@ -1809,43 +1875,7 @@ def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("exact_inter"))
     )
-    prs = (
-        sk.alias("a")
-        .join(
-            F.broadcast(sk.alias("b")),
-            F.col("a.source") < F.col("b.source"),
-        )
-        .select(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-            F.expr(
-                "array_sort(array_distinct(concat(a.sketch, b.sketch)))"
-            ).alias("merged"),
-            F.col("a.sketch").alias("sa"),
-            F.col("b.sketch").alias("sb"),
-        )
-    )
-    scored = prs.select(
-        "src_a",
-        "src_b",
-        F.expr(f"slice(merged, 1, least(size(merged), {KMV_K}))").alias("u"),
-        F.size("merged").alias("n_merged"),
-        "sa",
-        "sb",
-    ).select(
-        "src_a",
-        "src_b",
-        F.expr(
-            f"CASE WHEN n_merged < {KMV_K} THEN CAST(n_merged AS DOUBLE) "
-            f"ELSE ({KMV_K} - 1) * {KMV_DOMAIN!r} "
-            f"/ CAST(element_at(u, {KMV_K}) AS DOUBLE) END"
-        ).alias("est_union"),
-        F.expr(
-            "CAST(size(filter(u, x -> array_contains(sa, x) "
-            "AND array_contains(sb, x))) AS BIGINT)"
-        ).alias("inter_in_u"),
-        F.expr("CAST(size(u) AS BIGINT)").alias("n_u"),
-    )
+    scored = _kmv_pair_scores(sk)
     ea = exact.select(F.col("source").alias("src_a"), F.col("n").alias("exact_a"))
     eb = exact.select(F.col("source").alias("src_b"), F.col("n").alias("exact_b"))
     return (
@@ -1858,6 +1888,112 @@ def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_a",
             "exact_b",
             F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            "est_union",
+            (
+                (F.col("inter_in_u") * F.col("est_union"))
+                / F.col("n_u").cast("double")
+            ).alias("est_inter"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_KMV_REPLAY: dict[tuple, str] = {}
+_KMV_REPLAY_IDS = itertools.count()
+
+
+def _kmv_scratch_dir() -> str:
+    """Per-run scratch for the sketch stream replay, removed at
+    process exit (the curation-replay hygiene convention)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kmv_stream_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+@query("source_sketch_stream_replay", oracle=_kmv_oracle_sql(False))
+def source_sketch_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch maintenance ON THE STREAMING ENGINE: documents
+    arrive through a parquet file stream split into multiple
+    micro-batches (maxFilesPerTrigger=1 over a 3-file split), each
+    batch reduces to per-source batch sketches, and foreachBatch
+    merges them into the standing sketch state — k smallest of
+    (state UNION batch), the theta-sketch merge. After the drain the
+    final state feeds the SAME pairwise estimator as the batch query
+    and hash-matches the batch oracle's estimate columns — proving
+    the sketch's mergeability contract (k-min of unions == k-min of
+    the whole) holds bit-for-bit under arrival-time maintenance,
+    regardless of how the corpus splits into batches.
+
+    Scale: this is how the overlap matrix stays current on a live
+    corpus — per-batch work is one batch-sized shingle pass plus a
+    merge against O(|sources| x k) state rows (the state is
+    sketch-sized, never corpus-sized), and the pair estimates read
+    only the final state. The batch split is arbitrary BECAUSE the
+    sketch is a commutative monoid; the replay demonstrates exactly
+    that."""
+    import os as _os
+
+    docs_path = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(docs_path)
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+    )
+    state_path = _KMV_REPLAY.get(key)
+    if state_path is None:
+        scratch = _kmv_scratch_dir()
+        splits = _os.path.join(scratch, "splits")
+        ckpt = _os.path.join(scratch, "ckpt")
+        docs = load_table(spark, sf_dir, "documents")
+        # arbitrary 3-way split: the merge result is split-invariant
+        docs.repartition(3).write.parquet(splits)
+        schema = docs.schema
+        final_state = [_os.path.join(scratch, "state_init")]
+        _kmv_shingle_rows(spark.createDataFrame([], schema)).write.parquet(
+            final_state[0]
+        )
+
+        def _merge(batch_df, batch_id):
+            prior = spark.read.parquet(final_state[0])
+            merged = prior.unionByName(
+                _kmv_shingle_rows(batch_df)
+            ).distinct()
+            rn = F.row_number().over(
+                Window.partitionBy("source").orderBy("shh")
+            )
+            nxt = _os.path.join(scratch, f"state_{batch_id}")
+            (
+                merged.withColumn("rn", rn)
+                .where(F.col("rn") <= KMV_K)
+                .select("source", "shh")
+                .write.parquet(nxt)
+            )
+            final_state[0] = nxt
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(splits)
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_path = final_state[0]
+        _KMV_REPLAY[key] = state_path
+    state = spark.read.parquet(state_path)
+    return (
+        _kmv_pair_scores(_kmv_sketches(state))
+        .select(
+            "src_a",
+            "src_b",
             "est_union",
             (
                 (F.col("inter_in_u") * F.col("est_union"))

@@ -364,3 +364,29 @@ def test_kmeans_silhouette_invariants(spark):
         assert r["sum_a2"] <= r["sum_b2"]
         assert 0.0 <= r["pooled_silhouette"] <= 1.0
         assert r["pooled_silhouette"] == 1.0 - r["sum_a2"] / r["sum_b2"]
+
+
+def test_sketch_stream_replay_equals_batch(spark):
+    """The replay's whole claim: arrival-time sketch maintenance over
+    an arbitrary 3-way split merges to EXACTLY the batch sketch's
+    estimates — and the drain really ran multiple micro-batches."""
+    from end2end_data_pipeline_spark.operators import dedup
+
+    stream_rows = sorted(
+        tuple(r)
+        for r in entrymod.queries()["source_sketch_stream_replay"](
+            spark, SF
+        ).collect()
+    )
+    batch_rows = sorted(
+        (r["src_a"], r["src_b"], r["est_union"], r["est_inter"])
+        for r in entrymod.queries()["source_shingle_overlap_kmv"](
+            spark, SF
+        ).collect()
+    )
+    assert stream_rows == batch_rows
+    # 3 split files with maxFilesPerTrigger=1 -> final state is batch 2
+    state_paths = [
+        p for k, p in dedup._KMV_REPLAY.items() if k[1].endswith("sf0.001")
+    ]
+    assert state_paths and all(p.endswith("state_2") for p in state_paths)

@@ -90,6 +90,10 @@ WAIVERS: dict[str, str] = {
     # theta-sketch algebra; the corpus itself never pairwise-joins for
     # the estimates.
     "source_shingle_overlap_kmv": "bnlj-over-two-scans",
+    # the stream replay reads the drained O(|sources| x k) sketch state
+    # and runs the same (waived) non-equi sketch-pair join; the second
+    # scan the counter sees is the state parquet, not a corpus re-read.
+    "source_sketch_stream_replay": "bnlj-over-two-scans",
     # IVF coarse quantizer: every vector scores against the N_IVF_CELLS
     # (=16) broadcast centroids — an intentional O(n x K) broadcast
     # cross join; the corpus side never shuffles.
