@@ -272,6 +272,10 @@ HEADLINE = [
     "bpe_vocab_prune_sweep",
     "kmeans_silhouette_profile",
     "source_sketch_stream_replay",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q20_excess_inventory_suppliers",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

@@ -390,3 +390,61 @@ def test_sketch_stream_replay_equals_batch(spark):
         p for k, p in dedup._KMV_REPLAY.items() if k[1].endswith("sf0.001")
     ]
     assert state_paths and all(p.endswith("state_2") for p in state_paths)
+
+
+def test_tpch_partsupp_invariants(spark):
+    """Invariants of the derived-partsupp TPC-H family beyond the
+    hash oracle: the derivation is keyed by trading pairs, Q2 rows
+    really are per-part minima, Q11's survivors all clear the exact
+    fraction, and Q9 covers every nation that supplied widget parts."""
+    from end2end_data_pipeline_spark.operators.tpch_partsupp import (
+        _partsupp,
+        _Q11_FRACTION_DEN,
+    )
+
+    ps = _partsupp(spark, SF)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n_pairs = li.select("l_partkey", "l_suppkey").distinct().count()
+    assert ps.count() == n_pairs
+    r = ps.agg(
+        {"ps_supplycost_cents": "min", "ps_availqty": "max"}
+    ).collect()[0]
+    assert r["min(ps_supplycost_cents)"] >= 100
+    assert r["max(ps_availqty)"] <= 50
+
+    q2 = entrymod.queries()["q2_min_cost_supplier"](spark, SF).collect()
+    by_part = defaultdict(list)
+    for row in q2:
+        by_part[row["p_partkey"]].append(row["supplycost_cents"])
+    for costs in by_part.values():
+        assert len(set(costs)) == 1  # ties only at the minimum
+
+    q11 = entrymod.queries()["q11_important_stock"](spark, SF).collect()
+    # recompute the nation's FULL inventory total from the operator's
+    # own inputs and check every survivor clears the exact fraction
+    from end2end_data_pipeline_spark.operators.tpch_partsupp import (
+        _Q11_NATION,
+    )
+    from pyspark.sql import functions as SF_
+
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    nat = spark.read.parquet(f"{SF}/nation.parquet").where(
+        SF_.col("n_name") == _Q11_NATION
+    )
+    total = (
+        ps.join(sup, ps.ps_suppkey == sup.s_suppkey)
+        .join(nat, SF_.col("s_nationkey") == SF_.col("n_nationkey"))
+        .agg(
+            SF_.sum(
+                SF_.col("ps_supplycost_cents") * SF_.col("ps_availqty")
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert q11, "q11 empty at sf0.001"
+    for r in q11:
+        assert r["value_cents"] * _Q11_FRACTION_DEN > total
+    q9 = entrymod.queries()["q9_product_type_profit"](spark, SF).collect()
+    assert q9, "q9 empty at sf0.001"
+    years = {r["o_year"] for r in q9}
+    assert all(1995 <= y <= 2001 for y in years)
