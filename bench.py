@@ -276,6 +276,7 @@ HEADLINE = [
     "q9_product_type_profit",
     "q11_important_stock",
     "q20_excess_inventory_suppliers",
+    "ann_dim_truncation_recall",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

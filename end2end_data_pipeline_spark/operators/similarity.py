@@ -2048,3 +2048,154 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# Matryoshka-style dimension budgets: retrieval quality when only the
+# first d of EMBED_DIM dims are stored/scanned (Kusupati et al. 2022)
+MRL_DIMS = (16, 32, 48, 64)
+
+
+def _mrl_slice(col: str, d: int, dialect: str) -> str:
+    if dialect == th.SPARK:
+        return f"slice({col}, 1, {d})"
+    return f"{col}[1:{d}]"
+
+
+@query(
+    "ann_dim_truncation_recall",
+    oracle=_qbase_sql()
+    + f""", pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {", ".join(
+                 vec.cosine_q(
+                     _mrl_slice('q.qv', d, th.DUCK),
+                     _mrl_slice('c.qv', d, th.DUCK),
+                     vec.dot_q(_mrl_slice('q.qv', d, th.DUCK),
+                               _mrl_slice('q.qv', d, th.DUCK), th.DUCK),
+                     vec.dot_q(_mrl_slice('c.qv', d, th.DUCK),
+                               _mrl_slice('c.qv', d, th.DUCK), th.DUCK),
+                     th.DUCK,
+                 ) + f" AS cos_{d}"
+                 for d in MRL_DIMS
+             )}
+      FROM qbase q JOIN qbase c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ), melted AS (
+      {" UNION ALL ".join(
+          f"SELECT CAST({d} AS INT) AS dim_budget, query_id, neighbor_id, "
+          f"cos_{d} AS cosine FROM pairs"
+          for d in MRL_DIMS
+      )}
+    ), ranked AS (
+      SELECT dim_budget, query_id, neighbor_id
+      FROM (SELECT dim_budget, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY dim_budget, query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+            FROM melted)
+      WHERE rank <= {TOP_K}
+    ), full_k AS (
+      SELECT query_id, neighbor_id FROM ranked
+      WHERE dim_budget = {MRL_DIMS[-1]}
+    ), hits AS (
+      SELECT r.dim_budget, count(*) AS n_hits
+      FROM ranked r JOIN full_k f
+        ON f.query_id = r.query_id AND f.neighbor_id = r.neighbor_id
+      GROUP BY r.dim_budget
+    ), nq AS (
+      SELECT count(DISTINCT query_id) AS n FROM full_k
+    )
+    SELECT h.dim_budget,
+           CAST(nq.n AS BIGINT) AS n_queries,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           h.n_hits / CAST(nq.n * {TOP_K} AS DOUBLE) AS recall_at_k
+    FROM hits h CROSS JOIN nq
+    ORDER BY h.dim_budget
+    """,
+)
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / dimension-truncation retrieval eval (Kusupati et
+    al. 2022): top-{K} cosine recall when ranking uses only the first
+    d of {DIM} embedding dimensions, against the full-dimension exact
+    top-{K} — the storage/recall tradeoff curve a serving team reads
+    before truncating a vector index (the dimension analog of the PQ
+    and int8 evals already in the registry; the d = {DIM} row is the
+    definitional recall-1.0 anchor).
+
+    Scale: ONE corpus pass computes all dimension budgets — the
+    per-pair cosines at every d are slices of the same integer
+    arrays, melted to (dim_budget, pair) rows, so adding a budget
+    adds per-row math, not a scan; the query side stays a 2%
+    broadcast (the knn_bruteforce shape) and the only shuffle is the
+    per-(budget, query) rank."""
+    base = _qbase(spark, sf_dir)
+    queries = F.broadcast(
+        base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+        )
+    )
+    cos_cols = [
+        F.expr(
+            vec.cosine_q(
+                _mrl_slice("q_qv", d, th.SPARK),
+                _mrl_slice("qv", d, th.SPARK),
+                vec.dot_q(
+                    _mrl_slice("q_qv", d, th.SPARK),
+                    _mrl_slice("q_qv", d, th.SPARK),
+                    th.SPARK,
+                ),
+                vec.dot_q(
+                    _mrl_slice("qv", d, th.SPARK),
+                    _mrl_slice("qv", d, th.SPARK),
+                    th.SPARK,
+                ),
+                th.SPARK,
+            )
+        ).alias(f"cos_{d}")
+        for d in MRL_DIMS
+    ]
+    pairs = queries.join(base, F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), *cos_cols
+    )
+    melted = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct(CAST({d} AS INT) AS dim_budget, "
+                    f"cos_{d} AS cosine)"
+                    for d in MRL_DIMS
+                )
+                + ")"
+            )
+        ).alias("m"),
+    ).select("query_id", "neighbor_id", "m.dim_budget", "m.cosine")
+    w = Window.partitionBy("dim_budget", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    ranked = (
+        melted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("dim_budget", "query_id", "neighbor_id")
+    )
+    full_k = ranked.where(F.col("dim_budget") == MRL_DIMS[-1]).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ranked.join(F.broadcast(full_k), ["query_id", "neighbor_id"]).groupBy(
+        "dim_budget"
+    ).agg(F.count("*").cast("bigint").alias("n_hits"))
+    nq = full_k.select("query_id").distinct().count()
+    return hits.select(
+        "dim_budget",
+        F.lit(nq).cast("bigint").alias("n_queries"),
+        "n_hits",
+        (F.col("n_hits") / F.lit(float(nq * TOP_K))).alias("recall_at_k"),
+    ).orderBy("dim_budget")
+
+
+ann_dim_truncation_recall.__doc__ = ann_dim_truncation_recall.__doc__.replace(
+    "{K}", str(TOP_K)
+).replace("{DIM}", str(vec.EMBED_DIM))

@@ -448,3 +448,24 @@ def test_tpch_partsupp_invariants(spark):
     assert q9, "q9 empty at sf0.001"
     years = {r["o_year"] for r in q9}
     assert all(1995 <= y <= 2001 for y in years)
+
+
+def test_dim_truncation_recall_invariants(spark):
+    """Recall must be monotone in the dimension budget, the full-dim
+    row is the definitional 1.0 anchor, and the truncated top-k sets
+    really are subsets of the pairs the full ranking considered."""
+    rows = entrymod.queries()["ann_dim_truncation_recall"](
+        spark, SF
+    ).collect()
+    from end2end_data_pipeline_spark.operators.similarity import (
+        MRL_DIMS,
+        TOP_K,
+    )
+
+    assert [r["dim_budget"] for r in rows] == sorted(MRL_DIMS)
+    recalls = [r["recall_at_k"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    for r in rows:
+        assert r["n_hits"] <= r["n_queries"] * TOP_K
+        assert r["recall_at_k"] == r["n_hits"] / (r["n_queries"] * TOP_K)

@@ -56,6 +56,11 @@ WAIVERS: dict[str, str] = {
     # small is the correct brute-force top-k shape — the corpus scan
     # never shuffles.
     "knn_bruteforce": "bnlj-over-two-scans",
+    # same shape as knn_bruteforce: the 2% query sample broadcasts and
+    # the non-equi (vec_id != query_id) BNLJ scans the corpus once;
+    # the second "scan" is the broadcast-rank/full-k self-reference on
+    # the already-melted pair frame, not a corpus re-read.
+    "ann_dim_truncation_recall": "bnlj-over-two-scans",
     # recall eval composes knn_bruteforce + ann_ivf_topk_nprobe and
     # inherits their (waived) broadcast BNLJ shapes; the eval's own
     # join is an O(queries x k) broadcast equi-join.
