@@ -1098,27 +1098,12 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_REPLAY: dict[tuple, str] = {}
 _CURATION_REPLAY_IDS = itertools.count()
-_CURATION_REPLAY_DIRS: list[str] = []
 
 
 def _curation_scratch_dir() -> str:
-    """Per-replay scratch dir (checkpoint + symlink source), removed
-    at interpreter exit — the r10-advice fix for checkpoint/symlink
-    dirs accumulating forever under the shared tempdir."""
-    import atexit
-    import shutil
-    import tempfile as _tempfile
+    from end2end_data_pipeline_spark.sources.tables import run_scratch_dir
 
-    if not _CURATION_REPLAY_DIRS:
-        atexit.register(
-            lambda: [
-                shutil.rmtree(d, ignore_errors=True)
-                for d in _CURATION_REPLAY_DIRS
-            ]
-        )
-    d = _tempfile.mkdtemp(prefix="spark_graft_curation_")
-    _CURATION_REPLAY_DIRS.append(d)
-    return d
+    return run_scratch_dir("spark_graft_curation_")
 
 
 @query("curation_stream_replay", oracle=ORACLE["corpus_curation_funnel"])

@@ -1773,6 +1773,10 @@ def _kmv_pair_scores(sk: DataFrame) -> DataFrame:
             "AND array_contains(sb, x))) AS BIGINT)"
         ).alias("inter_in_u"),
         F.expr("CAST(size(u) AS BIGINT)").alias("n_u"),
+    ).withColumn(
+        "est_inter",
+        (F.col("inter_in_u") * F.col("est_union"))
+        / F.col("n_u").cast("double"),
     )
 
 
@@ -1889,10 +1893,7 @@ def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_b",
             F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
             "est_union",
-            (
-                (F.col("inter_in_u") * F.col("est_union"))
-                / F.col("n_u").cast("double")
-            ).alias("est_inter"),
+            "est_inter",
         )
         .orderBy("src_a", "src_b")
     )
@@ -1903,15 +1904,9 @@ _KMV_REPLAY_IDS = itertools.count()
 
 
 def _kmv_scratch_dir() -> str:
-    """Per-run scratch for the sketch stream replay, removed at
-    process exit (the curation-replay hygiene convention)."""
-    import atexit
-    import shutil
-    import tempfile
+    from end2end_data_pipeline_spark.sources.tables import run_scratch_dir
 
-    d = tempfile.mkdtemp(prefix="kmv_stream_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    return run_scratch_dir("spark_graft_kmv_stream_")
 
 
 @query("source_sketch_stream_replay", oracle=_kmv_oracle_sql(False))
@@ -1991,14 +1986,6 @@ def source_sketch_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = spark.read.parquet(state_path)
     return (
         _kmv_pair_scores(_kmv_sketches(state))
-        .select(
-            "src_a",
-            "src_b",
-            "est_union",
-            (
-                (F.col("inter_in_u") * F.col("est_union"))
-                / F.col("n_u").cast("double")
-            ).alias("est_inter"),
-        )
+        .select("src_a", "src_b", "est_union", "est_inter")
         .orderBy("src_a", "src_b")
     )

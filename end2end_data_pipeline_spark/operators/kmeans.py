@@ -84,7 +84,18 @@ def _fit_model(
     (application, sf_dir): four registry queries share the fit, and
     re-running ITERS x (K x dim collect) training rounds per query
     repaid the whole training cost each time."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    import os as _os
+
+    _st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    # (mtime, size) in the key: a fixture regenerated at the same path
+    # within one application must never be served stale model state
+    # (same convention as the stream-replay memos)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _st.st_mtime_ns,
+        _st.st_size,
+    )
     base = session_cached(
         spark,
         f"kmeans_qbase:{sf_dir}",
@@ -449,7 +460,11 @@ def kmeans_silhouette_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces straight to K profile rows. The full-silhouette
     all-pairs variant is O(n^2) and exists nowhere in the registry."""
     frame, centroids = _fit_model(spark, sf_dir)
-    if not centroids:
+    if len(centroids) < 2:
+        # fewer than 2 centroids: no "nearest OTHER centroid" exists —
+        # b2 is undefined and element_at(sorted_d, 2) would error under
+        # ANSI. The oracle's rn = 2 join is empty, so return the
+        # schema-stable empty profile.
         return frame.select(
             F.col("cluster"),
             F.lit(0).cast("bigint").alias("n_vectors"),

@@ -2187,13 +2187,25 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = ranked.join(F.broadcast(full_k), ["query_id", "neighbor_id"]).groupBy(
         "dim_budget"
     ).agg(F.count("*").cast("bigint").alias("n_hits"))
-    nq = full_k.select("query_id").distinct().count()
-    return hits.select(
-        "dim_budget",
-        F.lit(nq).cast("bigint").alias("n_queries"),
-        "n_hits",
-        (F.col("n_hits") / F.lit(float(nq * TOP_K))).alias("recall_at_k"),
-    ).orderBy("dim_budget")
+    # query count as a 1-row broadcast scalar attach (the waived
+    # totals-crossJoin pattern) — a driver-side .count() would
+    # eagerly re-execute the whole pair/melt/rank pipeline
+    nq = full_k.agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries")
+    )
+    return (
+        hits.crossJoin(F.broadcast(nq))
+        .select(
+            "dim_budget",
+            "n_queries",
+            "n_hits",
+            (
+                F.col("n_hits")
+                / (F.col("n_queries") * TOP_K).cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("dim_budget")
+    )
 
 
 ann_dim_truncation_recall.__doc__ = ann_dim_truncation_recall.__doc__.replace(

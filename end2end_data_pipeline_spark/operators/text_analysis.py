@@ -765,9 +765,9 @@ def _bpe_cte_body(k: int) -> str:
             f"""v{r} AS (
           SELECT v.w,
                  CASE WHEN m.l IS NULL THEN v.seq
-                      ELSE replace(replace(v.seq,
-                   '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|'),
-                   '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|')
+                      ELSE replace(replace(replace(v.seq, '|', '||'),
+                   '|' || m.l || '||' || m.r || '|',
+                   '|' || m.l || m.r || '|'), '||', '|')
                  END AS seq, v.freq
           FROM v{r - 1} v LEFT JOIN m{r} m ON TRUE
         )"""
@@ -784,6 +784,33 @@ def _bpe_steps_sql(k: int) -> str:
     return (
         f"WITH {_bpe_cte_body(k)}"
         f"\n    SELECT * FROM ({steps}) ORDER BY step"
+    )
+
+
+def _greedy_merge(col: str, l: str, r: str):
+    """EXACT leftmost-greedy merge of pair (l, r) in a '|'-delimited
+    symbol string, as three literal replaces: double every delimiter,
+    replace '|l||r|' -> '|lr|' in one left-to-right pass, undouble.
+
+    Why this is exact greedy: after doubling, every symbol boundary is
+    '||', so a match must bridge one intact boundary; the scan
+    consumes matches left to right and the replacement leaves single
+    pipes that re-pair with the leftover flank pipes, so a token
+    formed by a merge is never re-matched within the pass. For l == r
+    runs this picks occurrences 1, 3, 5, ... of the run — the greedy
+    picks — where the previous two-pass '|l|r|' replace diverged on
+    runs of 5+ identical symbols (r11 code review; fuzz-verified
+    against an index-scan reference in tests/test_r11_ops.py).
+    """
+    return F.replace(
+        F.replace(
+            F.replace(F.col(col) if isinstance(col, str) else col,
+                      F.lit("|"), F.lit("||")),
+            F.lit(f"|{l}||{r}|"),
+            F.lit(f"|{l}{r}|"),
+        ),
+        F.lit("||"),
+        F.lit("|"),
     )
 
 
@@ -816,16 +843,21 @@ def _bpe_train(
     # (application, sf_dir) so the three BPE queries train ONCE —
     # replaying cached merges is a lazy replace chain with zero
     # collects, where retraining pays BPE_STEPS argmax collects
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    import os as _os
+
+    _st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _st.st_mtime_ns,
+        _st.st_size,
+    )
     cached = _BPE_MEMO.get(memo_key)
     steps: list[tuple[int, str, str, str, int]] = []
     snaps: dict[int, DataFrame] = {}
     if cached is not None:
         for step, l, r, _m, _n in cached:
-            pat, rep = F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
-            vocab = vocab.withColumn(
-                "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
-            )
+            vocab = vocab.withColumn("seq", _greedy_merge("seq", l, r))
             if step in snapshots:
                 snaps[step] = vocab
         for k in snapshots:
@@ -860,10 +892,7 @@ def _bpe_train(
             break
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n_occurrences"])
         steps.append((step, l, r, l + r, n))
-        pat, rep = F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|")
-        vocab = vocab.withColumn(
-            "seq", F.replace(F.replace("seq", pat, rep), pat, rep)
-        )
+        vocab = vocab.withColumn("seq", _greedy_merge("seq", l, r))
         if step in snapshots:
             snaps[step] = vocab
     for k in snapshots:  # census ran dry before k: vocab is final
@@ -883,15 +912,11 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     story (VERDICT r10 next-round #6).
 
     Symbol sequences are '|'-delimited strings; one merge applies as
-    TWO literal ``replace`` passes of '|l|r|' -> '|lr|'. Two passes
-    are exact greedy semantics: a single left-to-right replace pass
-    consumes the trailing delimiter, so of any run of overlapping
-    occurrences it merges the 1st, 3rd, 5th... — exactly the greedy
-    picks — and pass two cannot create new matches (the merged token
-    'lr' never equals 'l', since 'r' is non-empty) but catches the
-    now-isolated even-position occurrences whose leading delimiter the
-    first pass consumed. The merged pair itself rides the argmax row
-    with (count DESC, l, r) tie-break, identical in both engines.
+    THREE literal ``replace`` passes (double delimiters, replace
+    '|l||r|' -> '|lr|', undouble — see ``_greedy_merge``), which is
+    EXACT leftmost-greedy in both engines including l == r runs of
+    any length. The merged pair itself rides the argmax row with
+    (count DESC, l, r) tie-break, identical in both engines.
 
     Scale: the corpus contributes ONE word-frequency rollup (cached,
     corpus-size independent from then on — the same reason real BPE

@@ -53,6 +53,30 @@ def session_cached(spark: SparkSession, tag: str, frame: DataFrame) -> DataFrame
     return out
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def run_scratch_dir(prefix: str) -> str:
+    """Per-run scratch dir (stream checkpoints, symlink sources,
+    replay state), removed at interpreter exit — the shared lifecycle
+    behind every replay's scratch (r10 advice: per-run dirs, never
+    the accumulating shared tempdir; r11 code review: one helper, not
+    one copy per operator module)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True) for d in _SCRATCH_DIRS
+            ]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
 def sf_tag(sf_abs: str) -> str:
     """Filesystem-safe tag for per-sf_dir scratch paths: the readable
     basename PLUS a short digest of the FULL path — two fixture dirs

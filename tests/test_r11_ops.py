@@ -469,3 +469,88 @@ def test_dim_truncation_recall_invariants(spark):
     for r in rows:
         assert r["n_hits"] <= r["n_queries"] * TOP_K
         assert r["recall_at_k"] == r["n_hits"] / (r["n_queries"] * TOP_K)
+
+
+def test_bpe_greedy_merge_exact_on_identical_runs(spark, tmp_path):
+    """The r11 code-review finding: the old two-pass '|l|r|' replace
+    diverged from leftmost-greedy on runs of 5+ identical symbols
+    (l == r). The triple-replace merge must match the index-scan
+    greedy reference on an adversarial fixture full of such runs,
+    through the REAL engine."""
+    import pandas as pd
+
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        BPE_STEPS,
+    )
+
+    words = ["aaaaaa", "aaaaa", "aaaaaaa", "aab", "baaaa", "ababab"]
+    texts = [" ".join(words)] * 3 + ["aaaaaa aaaaaa b"]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = entrymod.queries()["bpe_merge_steps"](spark, str(d)).collect()
+    word_freq = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            word_freq[w] += 1
+    # reuse the from-spec pure trainer (index-scan greedy) and also
+    # re-derive its merge table for comparison
+    vocab = {w: list(w) for w in word_freq}
+    expected = []
+    for step in range(1, BPE_STEPS + 1):
+        census = Counter()
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                census[(a, b)] += f
+        if not census:
+            break
+        (l, r), n = min(
+            census.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((step, l, r, l + r, census[(l, r)]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["n_occurrences"])
+        for r in rows
+    ]
+    assert got == expected
+
+
+def test_silhouette_single_vector_fixture(spark, tmp_path):
+    """K < 2 centroids (r11 code review): a one-embedding corpus has
+    no 'nearest other centroid', so the profile must return the empty
+    frame (matching the oracle's empty rn=2 join) instead of erroring
+    on element_at(sorted_d, 2)."""
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "vec_id": [0],
+            "embedding": [[0.1] * 64],
+            "label": [1],
+        }
+    ).to_parquet(d / "embeddings.parquet")
+    rows = entrymod.queries()["kmeans_silhouette_profile"](
+        spark, str(d)
+    ).collect()
+    assert rows == []
