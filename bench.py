@@ -277,6 +277,7 @@ HEADLINE = [
     "q11_important_stock",
     "q20_excess_inventory_suppliers",
     "ann_dim_truncation_recall",
+    "source_budget_apportionment",
 ]
 
 # FROZEN round-3 headline — the cross-round comparability basis.

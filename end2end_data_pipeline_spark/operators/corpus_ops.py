@@ -1738,3 +1738,129 @@ def curriculum_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+APPORTION_BUDGET = 1_000_000  # training-sequence slots to allocate
+
+
+@query(
+    "source_budget_apportionment",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total,
+             CASE WHEN count(*) = 0 THEN 0.0
+                  ELSE CAST(list_reduce(
+                         list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+                         (a, b) -> a + b) AS DOUBLE)
+             END AS z
+      FROM per_source
+    ), quotas AS (
+      SELECT source, n_tokens,
+             ({APPORTION_BUDGET} * n_tokens) // total AS floor_p,
+             ({APPORTION_BUDGET} * n_tokens) % total AS rem_p,
+             CAST(FLOOR({APPORTION_BUDGET}
+                        * (sqrt(CAST(n_tokens AS DOUBLE)) / z)) AS BIGINT)
+                 AS floor_t,
+             {APPORTION_BUDGET} * (sqrt(CAST(n_tokens AS DOUBLE)) / z)
+               - FLOOR({APPORTION_BUDGET}
+                       * (sqrt(CAST(n_tokens AS DOUBLE)) / z)) AS frac_t
+      FROM per_source CROSS JOIN tot
+    ), ranked AS (
+      SELECT source, n_tokens, floor_p, floor_t,
+             ROW_NUMBER() OVER (ORDER BY rem_p DESC, source) AS rank_p,
+             ROW_NUMBER() OVER (ORDER BY frac_t DESC, source) AS rank_t,
+             {APPORTION_BUDGET} - SUM(floor_p) OVER () AS extra_p,
+             {APPORTION_BUDGET} - SUM(floor_t) OVER () AS extra_t
+      FROM quotas
+    )
+    SELECT source, n_tokens,
+           CAST(floor_p + CASE WHEN rank_p <= extra_p THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_proportional,
+           CAST(floor_t + CASE WHEN rank_t <= extra_t THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_temperature
+    FROM ranked ORDER BY source
+    """,
+)
+def source_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed training
+    budget across sources — the step that turns sampling WEIGHTS into
+    the exact integer sampling COUNTS a data loader consumes, with
+    both arms reported side by side: proportional-to-tokens (quota
+    arithmetic fully in exact BIGINTs — remainders are integer
+    modulos) and the temperature (share^0.5) mix, whose quotas reuse
+    source_temperature_mix's pinned sorted-fold normalizer so the
+    float fractions are bit-identical across engines. Each column
+    sums EXACTLY to the budget by construction — the property float
+    rounding of weights always breaks and this operator exists to
+    restore.
+
+    Scale: one corpus pass to a |sources|-row frame; ranking and the
+    leftover distribution are windows over that catalog-sized frame
+    (the unbounded windows run on O(sources) rows, never data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = th.tokens("text", th.SPARK)
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.expr(f"size({toks})")).cast("bigint").alias("n_tokens")
+    )
+    w_all = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # pinned normalizer: sorted left-fold of per-source sqrt values
+    # (the source_temperature_mix device)
+    with_tot = per_source.withColumn(
+        "total", F.sum("n_tokens").over(w_all).cast("bigint")
+    ).withColumn(
+        "z",
+        F.expr(
+            "aggregate(array_sort(collect_list(sqrt(CAST(n_tokens AS"
+            " DOUBLE))) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND UNBOUNDED FOLLOWING)), CAST(0.0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        ),
+    )
+    b = APPORTION_BUDGET
+    quota_t = b * (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z"))
+    quotas = with_tot.select(
+        "source",
+        "n_tokens",
+        F.expr(f"CAST(({b} * n_tokens) DIV total AS BIGINT)").alias("floor_p"),
+        F.expr(f"({b} * n_tokens) % total").alias("rem_p"),
+        F.floor(quota_t).cast("bigint").alias("floor_t"),
+        (quota_t - F.floor(quota_t)).alias("frac_t"),
+    )
+    ranked = (
+        quotas.withColumn(
+            "rank_p",
+            F.row_number().over(
+                Window.orderBy(F.col("rem_p").desc(), "source")
+            ),
+        )
+        .withColumn(
+            "rank_t",
+            F.row_number().over(
+                Window.orderBy(F.col("frac_t").desc(), "source")
+            ),
+        )
+        .withColumn("extra_p", b - F.sum("floor_p").over(w_all))
+        .withColumn("extra_t", b - F.sum("floor_t").over(w_all))
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("floor_p")
+            + F.when(F.col("rank_p") <= F.col("extra_p"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_proportional"),
+        (
+            F.col("floor_t")
+            + F.when(F.col("rank_t") <= F.col("extra_t"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_temperature"),
+    ).orderBy("source")

@@ -554,3 +554,49 @@ def test_silhouette_single_vector_fixture(spark, tmp_path):
         spark, str(d)
     ).collect()
     assert rows == []
+
+
+def test_budget_apportionment_replay(spark):
+    """From-spec Hamilton apportionment replay (both arms) + the
+    operator's defining invariant: each column sums EXACTLY to the
+    budget."""
+    import math
+
+    from end2end_data_pipeline_spark.operators.corpus_ops import (
+        APPORTION_BUDGET as B,
+    )
+
+    rows = entrymod.queries()["source_budget_apportionment"](
+        spark, SF
+    ).collect()
+    tokens = Counter()
+    for r in _docs(spark):
+        tokens[r["source"]] += len(r["text"].split(" "))
+    total = sum(tokens.values())
+    srcs = sorted(tokens)
+
+    # proportional arm: exact integer quotas
+    floor_p = {s: (B * tokens[s]) // total for s in srcs}
+    rem_p = {s: (B * tokens[s]) % total for s in srcs}
+    extra = B - sum(floor_p.values())
+    for s in sorted(srcs, key=lambda s: (-rem_p[s], s))[:extra]:
+        floor_p[s] += 1
+
+    # temperature arm: sqrt weights over the sorted-fold normalizer
+    z = 0.0
+    for v in sorted(math.sqrt(tokens[s]) for s in srcs):
+        z += v
+    quota = {s: B * (math.sqrt(tokens[s]) / z) for s in srcs}
+    floor_t = {s: int(math.floor(quota[s])) for s in srcs}
+    frac = {s: quota[s] - math.floor(quota[s]) for s in srcs}
+    extra_t = B - sum(floor_t.values())
+    for s in sorted(srcs, key=lambda s: (-frac[s], s))[:extra_t]:
+        floor_t[s] += 1
+
+    got = {r["source"]: r for r in rows}
+    assert set(got) == set(srcs)
+    for s in srcs:
+        assert got[s]["alloc_proportional"] == floor_p[s], s
+        assert got[s]["alloc_temperature"] == floor_t[s], s
+    assert sum(r["alloc_proportional"] for r in rows) == B
+    assert sum(r["alloc_temperature"] for r in rows) == B
