@@ -25,8 +25,6 @@ reproduces results bit-for-bit (functions/texthash.py).
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -35,6 +33,7 @@ from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
     fan_out,
     load_table,
+    model_memo_key,
     session_cached,
 )
 
@@ -1721,9 +1720,19 @@ def _kmv_shingle_rows(docs: DataFrame) -> DataFrame:
 
 
 def _kmv_sketches(sh: DataFrame) -> DataFrame:
-    """(source, sorted k-min hash array) — the KMV sketch per source,
-    from a (source, shh) set frame (need not be distinct; the rank
-    window tolerates neither here — callers pass distinct rows)."""
+    """(source, sorted k-min hash array) — the KMV sketch per source.
+
+    PRECONDITION: ``sh`` must hold DISTINCT (source, shh) rows — a
+    duplicate hash would occupy two of the k-min slots and corrupt
+    the sketch. Both callers satisfy it (`_kmv_shingle_rows` ends in
+    ``.distinct()``; the replay state is k-min rows of a distinct
+    merge).
+
+    Plan shape (asserted in tests/test_plan_audit.py): the
+    ``row_number() <= k`` rank filter triggers Spark's
+    WindowGroupLimit pushdown — a PARTIAL top-k per map partition
+    below the exchange — so only <= k rows per (source, partition)
+    shuffle, not every distinct shingle hash."""
     rn = F.row_number().over(Window.partitionBy("source").orderBy("shh"))
     return (
         sh.withColumn("rn", rn)
@@ -1900,7 +1909,6 @@ def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMV_REPLAY: dict[tuple, str] = {}
-_KMV_REPLAY_IDS = itertools.count()
 
 
 def _kmv_scratch_dir() -> str:
@@ -1932,14 +1940,7 @@ def source_sketch_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     that."""
     import os as _os
 
-    docs_path = _os.path.join(sf_dir, "documents.parquet")
-    st = _os.stat(docs_path)
-    key = (
-        spark.sparkContext.applicationId,
-        _os.path.abspath(sf_dir),
-        st.st_mtime_ns,
-        st.st_size,
-    )
+    key = model_memo_key(spark, sf_dir, "documents")
     state_path = _KMV_REPLAY.get(key)
     if state_path is None:
         scratch = _kmv_scratch_dir()

@@ -1793,4 +1793,3 @@ def markov_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-

@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.functions import vectors as vec
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import fan_out, load_table, session_cached
+from end2end_data_pipeline_spark.sources.tables import (
+    fan_out,
+    load_table,
+    model_memo_key,
+    session_cached,
+)
 
 K = 8
 ITERS = 4
@@ -84,18 +89,7 @@ def _fit_model(
     (application, sf_dir): four registry queries share the fit, and
     re-running ITERS x (K x dim collect) training rounds per query
     repaid the whole training cost each time."""
-    import os as _os
-
-    _st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
-    # (mtime, size) in the key: a fixture regenerated at the same path
-    # within one application must never be served stale model state
-    # (same convention as the stream-replay memos)
-    memo_key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        _st.st_mtime_ns,
-        _st.st_size,
-    )
+    memo_key = model_memo_key(spark, sf_dir, "embeddings")
     base = session_cached(
         spark,
         f"kmeans_qbase:{sf_dir}",

@@ -22,6 +22,7 @@ from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
     fan_out,
     load_table,
+    model_memo_key,
     session_cached,
     sf_tag,
 )
@@ -843,15 +844,7 @@ def _bpe_train(
     # (application, sf_dir) so the three BPE queries train ONCE —
     # replaying cached merges is a lazy replace chain with zero
     # collects, where retraining pays BPE_STEPS argmax collects
-    import os as _os
-
-    _st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
-    memo_key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        _st.st_mtime_ns,
-        _st.st_size,
-    )
+    memo_key = model_memo_key(spark, sf_dir, "documents")
     cached = _BPE_MEMO.get(memo_key)
     steps: list[tuple[int, str, str, str, int]] = []
     snaps: dict[int, DataFrame] = {}

@@ -77,6 +77,26 @@ def run_scratch_dir(prefix: str) -> str:
     return d
 
 
+def model_memo_key(spark: SparkSession, sf_dir: str, table: str) -> tuple:
+    """Memo key for per-application MODEL STATE trained off one
+    fixture table (k-means centroids, BPE merge lists, drained replay
+    state): (applicationId, abspath(sf_dir), mtime_ns, size). One
+    builder so every model cache keys identically — abspath so mixed
+    relative/absolute callers share one entry, and (mtime, size) so a
+    fixture regenerated at the same path within one application is
+    never served stale state (r11 advice: the three memos had drifted
+    between verbatim and abspath keys)."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        st.st_mtime_ns,
+        st.st_size,
+    )
+
+
 def sf_tag(sf_abs: str) -> str:
     """Filesystem-safe tag for per-sf_dir scratch paths: the readable
     basename PLUS a short digest of the FULL path — two fixture dirs

@@ -169,3 +169,29 @@ def test_ann_pq_topk_plan_shape(spark):
     assert "LessThan(vec_id,8)" in plan or "InMemoryTableScan" in plan, (
         plan[:2000]
     )
+
+
+def test_kmv_sketch_plans_mapside_topk(spark):
+    """``_kmv_sketches``' docstring claims "map-side top-k, one tiny
+    shuffle of <= k rows per source per partition" — true only while
+    the ``row_number() <= k`` filter keeps triggering Spark's
+    WindowGroupLimit pushdown (a PARTIAL group-limit below the
+    exchange). A regression — e.g. an extra projected column breaking
+    the pushdown pattern — would silently shuffle EVERY distinct
+    (source, shingle) row into |sources| hot partitions, so pin the
+    operator in the executed plan (VERDICT r11 #3)."""
+    from end2end_data_pipeline_spark.operators.dedup import (
+        _kmv_shingle_rows,
+        _kmv_sketches,
+    )
+    from end2end_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sk = _kmv_sketches(_kmv_shingle_rows(docs))
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # both phases: Partial (map-side, below the source exchange) and
+    # Final — Partial is the one that caps the shuffle volume
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1] or (
+        plan.count("WindowGroupLimit") >= 2
+    ), plan[:2000]
