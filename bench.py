@@ -417,9 +417,14 @@ def main() -> None:
     # 56.1s on identical code) was ambient contention at recording time
     # — r3 on an idle machine measured the same 24-query subset at
     # 28.0s, 16% FASTER than r1 (fan_out probe fix included).
+    load_end = os.getloadavg()
     env = {
         "loadavg_start_1m": round(load_start[0], 2),
-        "loadavg_end_1m": round(os.getloadavg()[0], 2),
+        "loadavg_end_1m": round(load_end[0], 2),
+        # the noise self-description (VERDICT r11 #6): a large delta or
+        # a high start means wall times landed on a loaded machine —
+        # read carried_subtotal_min, not the first-exec totals
+        "loadavg_delta_1m": round(load_end[0] - load_start[0], 2),
         "cpus": os.cpu_count(),
         "repeat": repeat,
     }
@@ -462,6 +467,11 @@ def main() -> None:
         "carried_subtotal": carried,
         "carried_subtotal_min": carried_min,
         "queries": slowest,
+        # the same 5 queries' noise-stripped min-of-repeats, right next
+        # to their first-exec walls: a big first/min spread on a loaded
+        # machine (see env.loadavg_delta_1m) is ambient contention, not
+        # a plan regression (VERDICT r11 #6)
+        "queries_min": {k: timings_min[k] for k in slowest},
         "n_queries": len(timings),
         "sf": full["sf"],
         "env": env,
