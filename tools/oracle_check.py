@@ -19,10 +19,17 @@ from end2end_data_pipeline_spark.sources.tables import TABLE_NAMES
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        path = f"{sf_dir}/{name}.parquet"
+        # driver fixtures are single files; generated scale fixtures
+        # (tools/gen_scale_fixtures.py) are Spark-written directories
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
