@@ -63,47 +63,41 @@ def test_checked_window_contract():
     assert set(QUERIES) == set(RAW)
     assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
-        # round-11 window composition: the 22 never-driver-checked
-        # queries (r10's WINDOW_OVERFLOW backlog plus the round-11
-        # tokenizer pair), rotated to the head by
-        # tools/rotate_window.py, plus 28 staleness anchors — map
-        # re-aligned to THIS window per the rotation rule.
-        "vocab_coverage_curve": "vocabulary coverage curve",
-        "abandoned_views_stream_replay": "stream-stream outer-join replay",
-        "gdpr_delete_cascade_audit": "GDPR delete-cascade audit",
-        "orders_seasonal_naive_mase": "seasonal-naive MASE",
-        "customer_golden_record": "MDM golden record",
-        "parquet_footer_health": "parquet footer health",
-        "purchase_attribution_model_compare": "attribution model compare",
-        "dedup_repeated_ngram_coverage": "repeated n-gram span coverage",
-        "docs_dsir_domain_affinity": "DSIR hashed-bigram affinity",
-        "semdedup_prune_decisions": "SemDeDup within-cluster pruning",
-        "split_leakage_neardup_audit": "split-leakage near-dup audit",
-        "corpus_curation_funnel": "corpus curation funnel",
-        "corpus_packing_efficiency_sweep": "packing efficiency sweep",
-        "source_temperature_mix": "temperature source mix",
-        "dedup_span_cut_plan": "duplicated-span cut plan",
-        "curation_stream_replay": "streaming curation twin",
-        "customer_ldiversity_profile": "l-diversity audit",
-        "docs_codeswitch_profile": "code-switch profile",
-        "typo_blocking_recall_eval": "blocking recall eval",
-        "customer_tcloseness_profile": "t-closeness audit",
-        "bpe_merge_steps": "iterated BPE training",
-        "bpe_encode_stats": "BPE tokenizer eval",
+        # round-12 window composition: the 15 queries registered in
+        # r11 that had never been driver-checked (closing the union
+        # at 336/336), rotated to the head by tools/rotate_window.py,
+        # plus 35 staleness anchors — map re-aligned to THIS window
+        # per the rotation rule.
+        "source_shingle_overlap_matrix": "exact source overlap matrix",
+        "source_shingle_overlap_kmv": "KMV theta-sketch algebra",
+        "source_sketch_stream_replay": "KMV streaming merge replay",
+        "source_ablation_deltas": "leave-one-out source ablations",
+        "source_budget_apportionment": "Hamilton budget apportionment",
+        "training_order_runs_audit": "shuffle-order runs audit",
+        "length_bucket_batch_plan": "length-bucket batch plan",
+        "curriculum_phase_plan": "curriculum phase plan",
+        "bpe_vocab_prune_sweep": "BPE vocab prune sweep",
+        "kmeans_silhouette_profile": "k-means silhouette eval",
+        "ann_dim_truncation_recall": "ANN dim-truncation recall",
+        "q2_min_cost_supplier": "TPC-H Q2 (partsupp)",
+        "q9_product_type_profit": "TPC-H Q9 (partsupp)",
+        "q11_important_stock": "TPC-H Q11 (partsupp)",
+        "q20_excess_inventory_suppliers": "TPC-H Q20 (partsupp)",
         # staleness anchors still representing their families
-        "ann_ivf_topk": "IVF ANN top-k",
-        "kmeans_cluster_profile": "k-means clustering",
-        "incr_dedup_stats": "incremental dedup",
-        "value_tier_range_join": "range join",
-        "q6_forecast_revenue": "TPC-H-like relational",
-        "multimodal_resize": "multimodal decode path",
-        "shingle_novelty_curve": "shingle novelty curve",
-        "source_mix_rebalance": "source mix rebalance",
+        "nation_trade_pagerank": "iterative graph (pagerank)",
+        "tfidf_top_terms": "text analysis (TF-IDF)",
+        "boilerplate_prefix_groups": "dedup-adjacent text grouping",
+        "event_funnel_conversion": "event analytics",
+        "event_pairs_within_window": "self-join within window",
+        "q8_market_share": "TPC-H-like relational",
+        "order_priority_cube": "CUBE/rollup grouping",
+        "user_value_intervals": "interval/window analytics",
+        "props_k_distribution": "semistructured JSON",
         # cross-cutting families still represented in this window
-        "dedup_": "dedup",
-        "event_": "event analytics",
-        "doc": "text/corpus analysis",
-        "embedding_": "embedding analytics",
+        "event_": "event analytics prefix",
+        "orders_": "orders analytics prefix",
+        "lineitem_": "lineitem analytics prefix",
+        "q1": "TPC-H tens (q10..q19)",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family

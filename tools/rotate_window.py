@@ -85,6 +85,12 @@ def rotate(write: bool = False) -> list[str]:
             f"rotated window (50, overflow {len(overflow)}) "
             f"+ wrote CATALOG.md ({text.count(chr(10))} lines)"
         )
+        print(
+            "REMINDER: re-align the family map in tests/"
+            "test_oracle_parity.py::test_checked_window_contract to the "
+            "new window (it asserts the CURRENT window, not a "
+            "historical one), then run that test."
+        )
     else:
         changed = new_src != src
         print("window would " + ("CHANGE" if changed else "stay identical"))

@@ -36,6 +36,14 @@ def main() -> int:
         SparkSession.builder.master("local[16]")
         .appName("sf-sweep")
         .config("spark.ui.enabled", "false")
+        # NOT a semantics conf (the comparator still runs on an
+        # otherwise-plain session): the default 1g driver heap OOMs a
+        # full-registry sweep above sf0.1 once 336 queries' caches and
+        # replay states accumulate in the single local-mode JVM
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
