@@ -1780,10 +1780,15 @@ OLS_EPOCH = "1990-01-01"  # x-shift invariant for the slope; any date
 
 @query(
     "orders_daily_ols_trend",
-    # Every OLS component is an exact integer sum over the O(days x
-    # priorities) rollup (x = day index, y = daily revenue cents), so
-    # the n*Sxy - Sx*Sy form stays inside int64 (n is #days, not
-    # #orders) and slope/intercept are fixed-shape double expressions.
+    # The OLS component SUMS are exact int64 (x = day index, y = daily
+    # revenue cents; sxy ~ days * x * daily_cents stays far inside
+    # int64 at any plausible scale). The slope NUMERATOR n*sxy - sx*sy
+    # is computed in DOUBLE on both engines: n*sxy grows linearly with
+    # corpus revenue and crossed int64 at sf0.3 (caught by the r12
+    # scale sweep — ANSI overflow). The DENOMINATOR n*sxx - sx*sx is
+    # day-span-bounded (independent of corpus size), so it stays exact
+    # int64 and the degenerate-x zero test stays exact. Identical
+    # double ops in identical order on both engines -> bit-identical.
     oracle=f"""
     WITH daily AS (
       SELECT o_orderpriority AS priority,
@@ -1801,7 +1806,8 @@ OLS_EPOCH = "1990-01-01"  # x-shift invariant for the slope; any date
     )
     SELECT priority, n AS n_days, sx, sy, sxy, sxx,
            CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                      / CAST(n * sxx - sx * sx AS DOUBLE) END
                AS slope_cents_per_day
     FROM s ORDER BY priority
@@ -1815,11 +1821,12 @@ def orders_daily_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant, so the epoch needs no data-dependent bounds.
 
     Scale: one map-side-combined pass builds the O(days x priorities)
-    daily rollup; the OLS sums reduce it to O(priorities) rows. All
-    regression inputs are exact integers (day index, revenue cents) —
-    n is the DAY count, so n*sxy stays far inside int64 — and the
-    slope is one guarded division (constant-x degenerates to NULL on
-    both engines)."""
+    daily rollup; the OLS sums reduce it to O(priorities) rows. The
+    component SUMS are exact integers (day index, revenue cents); the
+    slope's n*sxy - sx*sy numerator runs in double because it grows
+    with corpus revenue (int64 overflow measured at sf0.3), while the
+    day-span-bounded denominator stays exact int64 so constant-x
+    degenerates to NULL exactly on both engines."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderpriority").alias("priority"),
@@ -1839,9 +1846,11 @@ def orders_daily_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
     slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / den.cast("double")
+        num / den.cast("double")
     )
     return s.select(
         "priority",

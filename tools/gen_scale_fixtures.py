@@ -42,8 +42,12 @@ SRC = "/root/testdata/sf0.1"
 OUT_ROOT = os.path.join(REPO, "scale_fixtures")
 
 # larger than any key in the sf0.1 fixture (max observed ~6e5), so
-# per-copy key ranges can never collide
-STRIDE = 10_000_000
+# per-copy key ranges can never collide — and clear of the
+# MERGE_INS_OFFSET = 10_000_000 band docs_merge_upsert_profile
+# reserves for its rekeyed insert clones (a 10M stride put copy-1
+# doc_ids exactly where the synthetic changeset inserts land, turning
+# the oracle's collision-free assumption false at sf>=0.3)
+STRIDE = 100_000_000
 
 # sf -> number of stacked sf0.1 copies
 TARGETS = {"0.3": 3, "1.0": 10}
