@@ -1133,17 +1133,15 @@ def curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quality_exprs,
     )
 
+    from end2end_data_pipeline_spark.sources.tables import model_memo_key
+
+    # (applicationId, abspath, mtime, size) via the shared builder so
+    # regenerating documents.parquet at the same path within one
+    # application can never serve a stale drained table (r10 advice;
+    # r12 review: this was the fourth inline copy of the key pattern
+    # model_memo_key unified)
     docs_path = _os.path.join(sf_dir, "documents.parquet")
-    # the memo key includes the input's (mtime, size) so regenerating
-    # documents.parquet at the same path within one application can
-    # never serve a stale drained table (r10 advice)
-    st = _os.stat(docs_path)
-    key = (
-        spark.sparkContext.applicationId,
-        _os.path.abspath(sf_dir),
-        st.st_mtime_ns,
-        st.st_size,
-    )
+    key = model_memo_key(spark, sf_dir, "documents")
     table = _CURATION_REPLAY.get(key)
     if table is None or not spark.catalog.tableExists(table):
         table = f"curation_stream_replay_{next(_CURATION_REPLAY_IDS)}"

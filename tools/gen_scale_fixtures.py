@@ -136,7 +136,11 @@ def main() -> int:
             "events documents embeddings"
         ).split():
             dest = os.path.join(out_dir, f"{name}.parquet")
-            if os.path.exists(dest):
+            # resume only past COMPLETE tables: a write interrupted
+            # mid-job leaves dest without Spark's _SUCCESS marker (or
+            # with only _temporary), and silently serving it would
+            # poison every sweep built on the fixture (r12 review)
+            if os.path.exists(os.path.join(dest, "_SUCCESS")):
                 print(f"sf{sf}/{name}: exists, skipping")
                 continue
             t0 = time.time()
