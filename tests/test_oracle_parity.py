@@ -63,41 +63,48 @@ def test_checked_window_contract():
     assert set(QUERIES) == set(RAW)
     assert callable(entrymod.queries) and callable(entrymod.oracle_sql)
     families = {
-        # round-12 window composition: the 15 queries registered in
-        # r11 that had never been driver-checked (closing the union
-        # at 336/336), rotated to the head by tools/rotate_window.py,
-        # plus 35 staleness anchors — map re-aligned to THIS window
-        # per the rotation rule.
-        "source_shingle_overlap_matrix": "exact source overlap matrix",
-        "source_shingle_overlap_kmv": "KMV theta-sketch algebra",
-        "source_sketch_stream_replay": "KMV streaming merge replay",
-        "source_ablation_deltas": "leave-one-out source ablations",
-        "source_budget_apportionment": "Hamilton budget apportionment",
-        "training_order_runs_audit": "shuffle-order runs audit",
-        "length_bucket_batch_plan": "length-bucket batch plan",
-        "curriculum_phase_plan": "curriculum phase plan",
-        "bpe_vocab_prune_sweep": "BPE vocab prune sweep",
-        "kmeans_silhouette_profile": "k-means silhouette eval",
-        "ann_dim_truncation_recall": "ANN dim-truncation recall",
-        "q2_min_cost_supplier": "TPC-H Q2 (partsupp)",
-        "q9_product_type_profit": "TPC-H Q9 (partsupp)",
-        "q11_important_stock": "TPC-H Q11 (partsupp)",
-        "q20_excess_inventory_suppliers": "TPC-H Q20 (partsupp)",
-        # staleness anchors still representing their families
-        "nation_trade_pagerank": "iterative graph (pagerank)",
-        "tfidf_top_terms": "text analysis (TF-IDF)",
-        "boilerplate_prefix_groups": "dedup-adjacent text grouping",
-        "event_funnel_conversion": "event analytics",
-        "event_pairs_within_window": "self-join within window",
-        "q8_market_share": "TPC-H-like relational",
-        "order_priority_cube": "CUBE/rollup grouping",
-        "user_value_intervals": "interval/window analytics",
-        "props_k_distribution": "semistructured JSON",
+        # round-13 window composition: the union closed at 336/336 in
+        # r12, so this rotation is pure staleness refresh — the 50
+        # rows whose last green check is oldest (~r9 vintage) — map
+        # re-aligned to THIS window per the rotation rule.
+        "q4_order_priority": "TPC-H Q4 (EXISTS semi-join)",
+        "q5_local_supplier_volume": "TPC-H Q5 (multi-join)",
+        "q3_shipping_priority": "TPC-H Q3 (+ bucketed twin)",
+        "sql_region_summary": "parameterized SQL surface",
+        "training_corpus_filter": "quality-gate corpus filter",
+        "token_count_histogram": "token-count text stats",
+        "vocab_top_tokens": "vocabulary extraction",
+        "bigram_surprise_profile": "bigram-LM surprise",
+        "ann_recall_eval": "ANN recall eval",
+        "ann_ivf_topk_nprobe": "IVF multi-probe ANN",
+        "knn_bruteforce": "brute-force kNN baseline",
+        "knn_label_confusion": "kNN label confusion eval",
+        "kmeans_assignments": "k-means assignment",
+        "dedup_band_stats": "MinHash-LSH band diagnostics",
+        "dedup_containment_pairs": "containment near-dup pairs",
+        "docs_chunk_overlap": "chunking with overlap",
+        "corpus_pack_chunks": "sequence packing",
+        "eval_contamination": "eval-set contamination",
+        "embedding_lsh_buckets": "embedding LSH bucketing",
+        "embedding_quantization_profile": "embedding quantization",
+        "customer_rfm_segments": "RFM segmentation (+ bucketed twin)",
+        "customer_rolling_30d_spend": "rolling window frame",
+        "customer_spend_tier_transitions": "lag/tier transitions",
+        "user_retention_cohorts": "cohort retention",
+        "asof_last_view_before_purchase": "as-of join",
+        "part_copurchase_lift": "co-purchase lift self-join",
+        "part_name_typo_pairs": "edit-distance typo pairs",
+        "key_skew_profile": "skew diagnostics",
+        "minute_anomaly_ratio": "anomaly-ratio analytics",
+        "doc_length_gini_by_lang": "Gini concentration by language",
+        "docs_split_assign": "deterministic split assignment",
         # cross-cutting families still represented in this window
         "event_": "event analytics prefix",
+        "events_approx_": "approx sketch aggregates",
         "orders_": "orders analytics prefix",
         "lineitem_": "lineitem analytics prefix",
-        "q1": "TPC-H tens (q10..q19)",
+        "docs_": "documents-table prefix",
+        "embedding_": "embeddings-table prefix",
     }
     for prefix, family in families.items():
         assert any(n.startswith(prefix) for n in window), family
