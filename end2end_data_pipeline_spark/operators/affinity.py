@@ -190,7 +190,8 @@ TOP_PAIRS = 50
     )
     SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
            CAST(ca.n_ord AS BIGINT) AS n_a, CAST(cb.n_ord AS BIGINT) AS n_b,
-           CAST(n_both * tot.n_orders AS DOUBLE) / (ca.n_ord * cb.n_ord)
+           (CAST(n_both AS DOUBLE) * CAST(tot.n_orders AS DOUBLE))
+             / (CAST(ca.n_ord AS DOUBLE) * CAST(cb.n_ord AS DOUBLE))
                AS lift
     FROM pairs
     JOIN pc ca ON part_a = ca.l_partkey
@@ -202,9 +203,9 @@ TOP_PAIRS = 50
 def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-occurring in >=
     {MIN_SUPPORT} orders, with support counts and lift
-    (P(a,b)/P(a)P(b), computed as one division of exact integer
-    products so the DOUBLE is bit-stable). The
-    recommendation/bundling staple.
+    (P(a,b)/P(a)P(b), computed cast-first over exact integer counts —
+    each double op identical in order on both engines, so the DOUBLE
+    is bit-stable). The recommendation/bundling staple.
 
     Scale: pair generation is keyed on the order — the self-join
     shuffles op once on l_orderkey (both sides are the same exchange,
@@ -246,9 +247,13 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             "n_a",
             "n_b",
+            # count products in DOUBLE cast-first on both engines (r13
+            # overflow audit): n_a * n_b <= n_orders^2 crosses int64
+            # near 3e9 orders (~sf2000); the counts themselves stay
+            # exact int64 at any plausible scale.
             (
-                (F.col("n_both") * F.col("n_orders")).cast("double")
-                / (F.col("n_a") * F.col("n_b"))
+                (F.col("n_both").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )
         .orderBy(F.col("n_both").desc(), "part_a", "part_b")

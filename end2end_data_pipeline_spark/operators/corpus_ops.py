@@ -1554,6 +1554,10 @@ def length_bucket_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm), so no global-order window exists; each arm is one window +
     one two-level reduction over (shard, batch) groups. Everything is
     exact integer arithmetic except the final waste-ratio division.
+    Int64 bound (r13 overflow audit): per-batch n_seqs*max_len is a
+    constant (batch size x max doc tokens ~ 1e4), so SUM(n_seqs *
+    max_len) <= padded token slots ~ corpus tokens x O(1) — linear in
+    sf, crossing int64 only past ~1e9x today's corpus.
     """
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)

@@ -1672,7 +1672,11 @@ def event_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded (type x minute) count frame, no spine explode, no
     type cross join. Every sum is an exact integer; the Fano factor
     is ONE fixed-shape double expression (the n*SUMsq - SUM^2
-    variance form — no per-row float residuals).
+    variance form, every factor cast to double FIRST — no per-row
+    float residuals). Int64 bound (r13 overflow audit): the events
+    span is a fixed 30 days, so SUM(c*c) per type ~ minutes *
+    (N_type/minutes)^2 crosses int64 only near N_type ~ 6e11 events
+    (~sf3,000,000 at ~1e5 events/type/sf).
 
     Scale: one fact rollup to the (type, minute) grid; the global
     span rides it as an unpartitioned window over that bounded frame;

@@ -594,9 +594,9 @@ _ASSORT_ORACLE = f"""
              CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,
              CAST(SUM(x) AS BIGINT) AS s_x,
              CAST(SUM(y) AS BIGINT) AS s_y,
-             CAST(SUM(x * x) AS BIGINT) AS ss_x,
-             CAST(SUM(y * y) AS BIGINT) AS ss_y,
-             CAST(SUM(x * y) AS BIGINT) AS sp_xy
+             SUM(CAST(x AS HUGEINT) * x) AS ss_x,
+             SUM(CAST(y AS HUGEINT) * y) AS ss_y,
+             SUM(CAST(x AS HUGEINT) * y) AS sp_xy
       FROM xy
     )
     SELECT n AS n_directed_edges, n_nodes,
@@ -645,9 +645,14 @@ def part_copurchase_assortativity(
             F.count_distinct("u").cast("bigint").alias("n_nodes"),
             F.sum("x").cast("bigint").alias("s_x"),
             F.sum("y").cast("bigint").alias("s_y"),
-            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss_x"),
-            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss_y"),
-            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sp_xy"),
+            # degree products accumulate in DECIMAL(38,0)/HUGEINT (r13
+            # overflow audit): endpoint degrees both grow with the
+            # catalog, and under hub skew sum(x*y) ~ d_max^2 * E can
+            # cross int64 well before the plain degree sums do; the
+            # already-cast-first _ASSORT_R crosses to double once.
+            F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("ss_x"),
+            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("ss_y"),
+            F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sp_xy"),
         )
     )
     return g.select(

@@ -446,7 +446,10 @@ def kmeans_silhouette_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplications — plus a pooled silhouette 1 - sum(a2)/
     sum(b2) from exact BIGINT sums (per-point silhouette MEANS would
     be an order-dependent float sum; the pooled ratio is one double
-    division, bit-stable across engines).
+    division, bit-stable across engines). Int64 bound (r13 overflow
+    audit): per-vector dist2 <= dim * (2*SCALE)^2 ~ 2.6e10 is
+    sf-invariant, so SUM(a2)/SUM(b2) cross int64 only near 3.5e8
+    vectors (~sf17,000 at 2e4 vectors/sf).
 
     Scale: same shape as the assignment pass — centroids ride as
     literal arrays, a2/b2 come from sorting the K-element per-row

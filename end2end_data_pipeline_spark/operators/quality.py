@@ -463,7 +463,8 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(val) AS BIGINT) AS s_sum,
            CAST(SUM(val * val) AS BIGINT) AS s_sumsq,
            CAST(SUM(val) AS DOUBLE) / count(*) AS mean,
-           CAST(count(*) * SUM(val * val) - SUM(val) * SUM(val) AS DOUBLE)
+           (CAST(count(*) AS DOUBLE) * CAST(SUM(val * val) AS DOUBLE)
+            - CAST(SUM(val) AS DOUBLE) * CAST(SUM(val) AS DOUBLE))
                / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))
                AS variance
     FROM ex GROUP BY dim ORDER BY dim
@@ -501,11 +502,18 @@ def embedding_dim_variance_profile(
             "s_sum",
             "s_sumsq",
             (F.col("s_sum").cast("double") / F.col("n")).alias("mean"),
+            # variance numerator in DOUBLE on both engines (r13
+            # overflow audit): n * s_sumsq is ~n^2 * E[v^2] and crosses
+            # int64 near n ~ 1e6 vectors (~sf5); the component sums
+            # stay exact int64 (s_sumsq <= n * SCALE^2 ~ 2e16 at
+            # sf1000) and each double cast is one correctly-rounded op
+            # in the identical order on both engines.
             (
                 (
-                    F.col("n") * F.col("s_sumsq")
-                    - F.col("s_sum") * F.col("s_sum")
-                ).cast("double")
+                    F.col("n").cast("double") * F.col("s_sumsq").cast("double")
+                    - F.col("s_sum").cast("double")
+                    * F.col("s_sum").cast("double")
+                )
                 / (F.col("n").cast("double") * F.col("n").cast("double"))
             ).alias("variance"),
         )
@@ -928,6 +936,13 @@ def doc_length_gini_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     and packing decisions. Rank identity keeps every aggregate an
     exact integer; the coefficient is one division.
 
+    Int64 bound (r13 overflow audit): the largest term is
+    ``rank_weighted <= n_docs * total_chars`` per lang — at sf1000
+    that is ~2e7 docs x 6e9 chars = 1.2e17, and it crosses int64 only
+    near sf8000 (both factors grow with sf, so the product grows as
+    sf^2 from a 1.2e13 base at sf10). ``(n_docs+1)*total_chars`` in
+    the final expression shares the same bound.
+
     Scale: one per-lang sort (rank window) over doc lengths — the
     documented exact-order-statistic cost, same class as
     ``event_value_deciles``; everything after is an O(langs) rollup."""
@@ -1017,8 +1032,16 @@ def supplier_revenue_hhi_by_nation(
         .agg(
             F.count("*").alias("n_suppliers"),
             F.sum("cents").cast("bigint").alias("nation_cents"),
+            # dollars^2 accumulates in DECIMAL(38,0) (r13 overflow
+            # audit): per-supplier revenue is sf-invariant (~3e7
+            # dollars max — rows and suppliers scale together), but
+            # the per-nation SUM of its square grows with supplier
+            # count and crosses int64 near 7.5e3 suppliers/nation
+            # (~sf19). DuckDB's SUM(BIGINT) is HUGEINT already; both
+            # engines cross to double with one cast of the exact sum.
             (
-                F.sum(F.col("dollars") * F.col("dollars")).cast("double")
+                F.sum(F.col("dollars").cast("decimal(19,0)") * F.col("dollars"))
+                .cast("double")
                 / (
                     F.sum("dollars").cast("double")
                     * F.sum("dollars").cast("double")
@@ -1472,10 +1495,12 @@ def event_minute_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "hourly_count_autocorr_24h",
     # Pearson r between the hourly count series and itself lagged 24h,
-    # from INTEGER sums (n*Sxy - Sx*Sy over sqrt terms): every input
-    # to the float ops is an exact integer and the expression tree is
-    # identical on both engines, so r is bit-stable. r ~ 1 means
-    # strong daily seasonality; ~0 means none.
+    # from INTEGER sums crossed to DOUBLE cast-first (the _corr_r
+    # shape — sx*sy = N^2 would overflow int64 near 3e9 events): every
+    # input to the float ops is an exact integer, each cast one
+    # correctly-rounded op, and the expression tree is identical on
+    # both engines, so r is bit-stable. r ~ 1 means strong daily
+    # seasonality; ~0 means none.
     oracle="""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h, count(*) AS c
@@ -1491,9 +1516,13 @@ def event_minute_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagged WHERE y IS NOT NULL
     )
     SELECT n, sx, sy, sxy, sxx, syy,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_24h
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS autocorr_24h
     FROM s
     """,
 )
@@ -1523,15 +1552,16 @@ def hourly_count_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    dx = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    )
-    dy = F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+    # Pearson products in DOUBLE on both engines (r13 overflow audit,
+    # the _corr_r shape): the component sums are exact int64 (sx = N
+    # events; sxx ~ N^2/hours), but sx*sy = N^2 crosses int64 near
+    # N ~ 3e9 events (~sf3000) — cast-first keeps every op one
+    # correctly-rounded double in identical order cross-engine.
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    dx = F.sqrt(n_d * F.col("sxx").cast("double") - sx_d * sx_d)
+    dy = F.sqrt(n_d * F.col("syy").cast("double") - sy_d * sy_d)
     return s.select(
         "n", "sx", "sy", "sxy", "sxx", "syy",
         (num / (dx * dy)).alias("autocorr_24h"),
@@ -1543,7 +1573,10 @@ def hourly_count_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gini-Simpson diversity 1 - sum(p_i^2) per user, computed as
     # (N^2 - sum(n_i^2)) vs banded thresholds ENTIRELY in integer
     # cross-multiplication (20 * (N^2 - sum(n_i^2)) vs k * N^2), so
-    # the banding never touches a float.
+    # the banding never touches a float. Int64 bound (r13 overflow
+    # audit): N here is PER-USER event count, which is sf-invariant
+    # (the user population scales with the fact table; ~100 events/
+    # user at every sf), so 20*N^2 ~ 2e5 at any scale.
     oracle="""
     WITH per_type AS (
       SELECT user_id, event_type, count(*) AS n
@@ -1670,10 +1703,10 @@ def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Exact-integer projections of lineitem's numeric columns: whole
-# currency units for price (cents would push SUM(price^2) past int64
-# by ~sf1; whole units hold Sum(price^2) < 2^63 through ~sf100), whole
-# units for quantity, percent points for discount/tax. The identical
-# ROUND/CAST expression runs on both engines.
+# currency units for price, whole units for quantity, percent points
+# for discount/tax. The identical ROUND/CAST expression runs on both
+# engines; the squared/product SUMs accumulate in DECIMAL(38,0) (see
+# _corr_sums), so no scale ceiling rides on the unit choice.
 CORR_COLS = {
     "qty": "CAST(round(l_quantity) AS BIGINT)",
     "price": "CAST(round(l_extendedprice) AS BIGINT)",
@@ -1689,13 +1722,25 @@ CORR_PAIRS = [
 
 def _corr_sums() -> list[str]:
     """Aggregate expressions (portable SQL) for every Pearson component:
-    per-column sum + sum-of-squares, per-pair sum-of-products."""
+    per-column sum + sum-of-squares, per-pair sum-of-products. The
+    squared/product sums accumulate in DECIMAL (r13 overflow audit):
+    ss_price = SUM(price^2) ~ rows * 1.4e9 sits exactly at the int64
+    cliff at sf1000 — a DECIMAL(19,0) cast on the first factor widens
+    the whole SUM to DECIMAL(38,0) identically on both engines (the
+    ge2 pattern); _corr_r then casts each exact sum to DOUBLE once.
+    The plain sums stay int64 (s_price <= rows * 1.05e5 ~ 6e14 at
+    sf1000)."""
     out = []
     for c, expr in CORR_COLS.items():
         out.append(f"CAST(SUM({expr}) AS BIGINT) AS s_{c}")
-        out.append(f"CAST(SUM(({expr}) * ({expr})) AS BIGINT) AS ss_{c}")
+        out.append(
+            f"SUM(CAST(({expr}) AS DECIMAL(19,0)) * ({expr})) AS ss_{c}"
+        )
     for a, b in CORR_PAIRS:
-        out.append(f"CAST(SUM(({CORR_COLS[a]}) * ({CORR_COLS[b]})) AS BIGINT) AS sp_{a}_{b}")
+        out.append(
+            f"SUM(CAST(({CORR_COLS[a]}) AS DECIMAL(19,0))"
+            f" * ({CORR_COLS[b]})) AS sp_{a}_{b}"
+        )
     return out
 
 
@@ -1741,8 +1786,9 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (quantity, price, discount, tax) — the column-profiling
     step that catches derived/redundant columns and sanity-checks
     value generation before a model ever sees the table. All Pearson
-    components are exact integer sums (quantized units chosen so
-    sum-of-squares stays inside int64 through ~sf100); each r is one
+    components are exact integer sums (the squared/product sums
+    accumulate in DECIMAL(38,0) on both engines — see ``_corr_sums`` —
+    so no component overflows before ~sf1e20); each r is one
     fixed-shape double expression over them.
 
     Scale: ONE map-side-combined pass computes all {n_sums} sums for
@@ -2362,7 +2408,11 @@ def event_minute_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     delay. Lag 0 reproduces the plain correlation; the +/-L asymmetry
     is the directionality signal. Pearson r reuses the exact-sums
     contract of ``lineitem_corr_matrix``: per-lag sums are exact
-    integers and r is one fixed-shape double expression.
+    integers and r is one fixed-shape double expression (``_corr_r``,
+    cast-first double). Int64 bound (r13 overflow audit): the events
+    span is a fixed 30 days (~43k minutes), so per-minute counts grow
+    linearly with sf and ss_x ~ minutes * (N/minutes)^2 crosses int64
+    only near N ~ 6e11 events (~sf600,000).
 
     Scale: each series collapses to a minute histogram on the fact
     scan (map-side combined); the dense spine join and the
@@ -2576,6 +2626,12 @@ customer_ldiversity_profile.__doc__ = (
 
 TCLOSE_T = 0.2  # max allowed EMD between class and global distribution
 
+# Int64 bound (r13 overflow audit): the EMD accumulator cum_diff sums
+# cnt_c*total_g - cnt_g*total_c terms, each bounded by total_c*total_g
+# ~ (N/classes)*N; with ~20 bands the |cum_diff| sum stays under
+# m*N^2/classes, which crosses int64 only near N ~ 1.7e9 customers
+# (~sf11,000 at 1.5e5 customers/sf). DuckDB widens SUM(BIGINT) to
+# HUGEINT anyway; the explicit CAST pins the Spark-visible type.
 _TCLOSE_ORACLE = f"""
     WITH banded AS (
       SELECT c_nationkey, c_mktsegment,

@@ -691,11 +691,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
       FROM e GROUP BY label, pos
     ), norms AS (
-      SELECT label, CAST(SUM(s * s) AS BIGINT) AS n2
+      SELECT label, SUM(CAST(s AS HUGEINT) * s) AS n2
       FROM sums GROUP BY label
     ), dots AS (
       SELECT a.label AS label_a, b.label AS label_b,
-             CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+             CAST(SUM(CAST(a.s AS HUGEINT) * b.s) AS DOUBLE) AS dot
       FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
       GROUP BY a.label, b.label
     )
@@ -714,8 +714,11 @@ def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``label_centroids`` (close centroids = classes a nearest-centroid
     model will confuse). Works on the per-label SUM vectors: the 1/n
     mean factors cancel inside cosine, so the whole computation stays
-    in exact BIGINT until the final sqrt division (vectors.py
-    contract).
+    exact — int64 component sums, DECIMAL(38,0)/HUGEINT for their
+    squares/products (s^2 crosses int64 near 3.8e4 vectors/label) —
+    until the final sqrt division (vectors.py contract); ``dot``
+    itself is reported as DOUBLE since its exact value outgrows int64
+    at scale.
 
     Scale: reuses the label_centroids aggregation (|labels| x dim int
     rows), then an O(|labels|^2 x dim) self-join on pos — tiny
@@ -733,14 +736,25 @@ def centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(F.sum("v").alias("s")),
     )
-    norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("n2"))
+    # norms/dots accumulate in DECIMAL(38,0) / HUGEINT and `dot`
+    # crosses the output boundary as DOUBLE (r13 overflow audit): the
+    # per-(label,pos) sums s grow with members-per-label, so s^2
+    # crosses int64 near 3.8e4 vectors/label (~sf19) — and at sf1000
+    # the dot VALUE itself (~1e22) outgrows any int64 output column.
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(19,0)") * F.col("s")).alias("n2")
+    )
     a = sums.select(F.col("label").alias("label_a"), "pos", F.col("s").alias("sa"))
     b = sums.select(F.col("label").alias("label_b"), "pos", F.col("s").alias("sb"))
     dots = (
         a.join(b, "pos")
         .where(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b")
-        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+        .agg(
+            F.sum(F.col("sa").cast("decimal(19,0)") * F.col("sb"))
+            .cast("double")
+            .alias("dot")
+        )
     )
     na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
@@ -1972,10 +1986,12 @@ _DRIFT_ORACLE = f"""
     SELECT CAST(label AS BIGINT) AS label,
            CAST(max(na) AS BIGINT) AS n_a,
            CAST(max(nb) AS BIGINT) AS n_b,
-           CASE WHEN SUM(sa * sa) = 0 OR SUM(sb * sb) = 0 THEN NULL
-                ELSE CAST(SUM(sa * sb) AS DOUBLE)
-                  / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
-                     * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) END
+           CASE WHEN SUM(CAST(sa AS HUGEINT) * sa) = 0
+                  OR SUM(CAST(sb AS HUGEINT) * sb) = 0 THEN NULL
+                ELSE CAST(SUM(CAST(sa AS HUGEINT) * sb) AS DOUBLE)
+                  / (sqrt(CAST(SUM(CAST(sa AS HUGEINT) * sa) AS DOUBLE))
+                     * sqrt(CAST(SUM(CAST(sb AS HUGEINT) * sb) AS DOUBLE)))
+                END
              AS centroid_cosine
     FROM sums GROUP BY label ORDER BY label
     """
@@ -2031,17 +2047,31 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").cast("bigint").alias("n_b"),
             # empty-half guard: a label whose vectors all hash to one
             # half has a zero norm on the other side — NULL, not a
-            # divide-by-zero (ANSI Spark raises where DuckDB NULLs)
+            # divide-by-zero (ANSI Spark raises where DuckDB NULLs).
+            # Norm/dot sums accumulate in DECIMAL(38,0)/HUGEINT (r13
+            # overflow audit, the centroid_separation contract): the
+            # half-sums sa/sb grow with vectors-per-label, so sa^2
+            # crosses int64 near 3.8e4 vectors/label (~sf19).
             F.when(
-                (F.sum(F.col("sa") * F.col("sa")) == 0)
-                | (F.sum(F.col("sb") * F.col("sb")) == 0),
+                (F.sum(F.col("sa").cast("decimal(19,0)") * F.col("sa")) == 0)
+                | (F.sum(F.col("sb").cast("decimal(19,0)") * F.col("sb")) == 0),
                 F.lit(None).cast("double"),
             )
             .otherwise(
-                F.sum(F.col("sa") * F.col("sb")).cast("double")
+                F.sum(F.col("sa").cast("decimal(19,0)") * F.col("sb")).cast(
+                    "double"
+                )
                 / (
-                    F.sqrt(F.sum(F.col("sa") * F.col("sa")).cast("double"))
-                    * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
+                    F.sqrt(
+                        F.sum(
+                            F.col("sa").cast("decimal(19,0)") * F.col("sa")
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        F.sum(
+                            F.col("sb").cast("decimal(19,0)") * F.col("sb")
+                        ).cast("double")
+                    )
                 )
             )
             .alias("centroid_cosine"),

@@ -214,7 +214,10 @@ def orders_weekly_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same single-scan array-pair construction as
     ``orders_weekly_mann_kendall``: the weekly rollup is the only
     fact shuffle, and the O(weeks^2) pair census runs inside one
-    task over a calendar-bounded array."""
+    task over a calendar-bounded array. Int64 bound (r13 overflow
+    audit): dx,dy are signs, so |tau_num| <= n_pairs ~ weeks^2/2 —
+    calendar-bounded (~350 weeks in TPC-H, ~6e4 pairs) independent
+    of sf."""
     orders = load_table(spark, sf_dir, "orders")
     weekly = orders.groupBy(
         F.expr(f"datediff(o_orderdate, DATE'{EPOCH}') div 7").alias("week_idx")

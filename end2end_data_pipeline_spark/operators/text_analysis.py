@@ -566,6 +566,9 @@ def bigram_surprise_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ENTIRELY by integer cross-multiplication (100*(N^2 - sum(c^2))
     # vs k*N^2) — the log-free entropy stand-in, so no float ever
     # enters the banding (same device as user_type_diversity_bands).
+    # Int64 bound (r13 overflow audit): N is PER-DOCUMENT bigram
+    # count, bounded by document length (~600 chars -> ~100 bigrams)
+    # independent of sf, so 100*N^2 ~ 1e6 at any scale.
     oracle=f"""
     WITH occ AS (
       SELECT doc_id, lang,
