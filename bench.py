@@ -372,6 +372,25 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # machine-speed canary (VERDICT r12 #2): a fixed, pure-CPU,
+    # JVM-side job — no I/O, no Python, no shuffle — timed after the
+    # warmups. Its wall time depends only on this machine's effective
+    # CPU speed at recording time, so cross-round bench records are
+    # normalizable: carried_min ratios that track canary ratios are
+    # machine drift; ratios that exceed them are engine regressions.
+    # min-of-2 strips a stray scheduling hiccup without absorbing
+    # sustained contention (which is exactly what it should measure).
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        # avg, not sum: xxhash64 is full-range int64, so summing 200M
+        # of them overflows under ANSI; avg aggregates in double
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "avg(xxhash64(id)) as h"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    canary_sec = round(min(_canary_once(), _canary_once()), 3)
+
     # SPARK_GRAFT_BENCH_REPEAT=N times each query N times. Default 3
     # since r8 (VERDICT r7 #6: load spikes on the shared container
     # made every cross-round comparison an adjudication). TWO metrics
@@ -425,6 +444,9 @@ def main() -> None:
         # a high start means wall times landed on a loaded machine —
         # read carried_subtotal_min, not the first-exec totals
         "loadavg_delta_1m": round(load_end[0] - load_start[0], 2),
+        # fixed pure-CPU Spark job (min-of-2) — the machine-speed
+        # yardstick for normalizing wall times across rounds
+        "canary_sec": canary_sec,
         "cpus": os.cpu_count(),
         "repeat": repeat,
     }
@@ -458,20 +480,25 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    # slowest-5 selected BY MIN-OF-REPEATS, and the min fields emitted
+    # first (VERDICT r12 #6): a cold read of BENCH_rN leads with the
+    # noise-stripped signal, not the contended first-exec walls —
+    # BENCH_r12's headline table led with a 34 s first-exec for a
+    # query whose min was 0.52 s.
+    slowest = dict(sorted(timings_min.items(), key=lambda kv: -kv[1])[:5])
     compact = {
         "metric": "headline_queries_total_wall",
-        "value": total,
         "value_min": total_min,
-        "unit": "sec",
-        "carried_subtotal": carried,
         "carried_subtotal_min": carried_min,
-        "queries": slowest,
-        # the same 5 queries' noise-stripped min-of-repeats, right next
-        # to their first-exec walls: a big first/min spread on a loaded
-        # machine (see env.loadavg_delta_1m) is ambient contention, not
-        # a plan regression (VERDICT r11 #6)
-        "queries_min": {k: timings_min[k] for k in slowest},
+        # the same 5 queries' first-exec walls, right next to their
+        # min-of-repeats: a big first/min spread on a loaded machine
+        # (see env.loadavg_delta_1m) is ambient contention, not a
+        # plan regression (VERDICT r11 #6)
+        "queries_min": slowest,
+        "value": total,
+        "carried_subtotal": carried,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in slowest},
         "n_queries": len(timings),
         "sf": full["sf"],
         "env": env,
