@@ -16,6 +16,11 @@ fabricate superlinear behavior the operators don't have):
   within-copy shingle-set structure exactly (same Jaccard matrix as
   sf0.1) while making cross-copy shingle sets disjoint — so near-dup
   pair counts grow k-fold, not C(k,2)-fold as identical text would.
+  Disjointness could in principle leak if a copy-0 token naturally
+  ended with a tag ("...zb" etc.); scanned r13: the sf0.1 corpus has
+  31 distinct tokens and NONE ends with z[b-j], so the claim is
+  strict for this corpus (re-run the scan if the driver testdata
+  generator ever changes its vocabulary).
 - ``embeddings.embedding``: copy c rotates the float vector by
   (c * 7) mod dim. Norm- and geometry-preserving within a copy,
   decorrelating across copies — ANN/cosine near-dup candidate counts
