@@ -181,6 +181,53 @@ def test_bench_diff_flags_fingerprint_changes():
     assert d2["plan_regression"] and d2["fingerprint_changes"] == {"b": (20, 33)}
 
 
+def test_bench_diff_drift_attribution():
+    """The engine-drift verdict comes from the MEDIAN per-query min
+    ratio cross-checked against the canary (machine CPU yardstick):
+    walls tracking the canary are machine drift, walls flat despite a
+    canary move are engine-flat, and a direction disagreement is
+    flagged ambiguous rather than over-claimed (the r13 cross-host
+    datapoint: canary 1.8x faster, median walls 1.008)."""
+    from tools.bench_diff import diff
+
+    def rec(qmin, canary):
+        return {
+            "queries": dict(qmin),
+            "tasks": {q: 10 for q in qmin},
+            "queries_min": dict(qmin),
+            "carried_subtotal_min": round(sum(qmin.values()), 3),
+            "env": {"canary_sec": canary},
+        }
+
+    base = {"a": 1.0, "b": 2.0, "c": 4.0}
+    old = rec(base, 0.4)
+
+    # machine 1.5x slower, every wall 1.5x slower: tracks machine
+    d = diff(old, rec({q: w * 1.5 for q, w in base.items()}, 0.6))
+    assert d["canary_ratio"] == 1.5
+    assert d["median_min_ratio"] == 1.5
+    assert d["median_min_ratio_normalized"] == 1.0
+    assert d["engine_drift"] == "flat (tracks machine)"
+
+    # same machine, walls 1.5x slower: engine regression
+    d2 = diff(old, rec({q: w * 1.5 for q, w in base.items()}, 0.4))
+    assert d2["engine_drift"] == "slower"
+
+    # walls flat despite a much faster canary: engine flat (the r13
+    # host-change shape) — NOT "slower" as naive canary division says
+    d3 = diff(old, rec(base, 0.22))
+    assert d3["median_min_ratio"] == 1.0
+    assert d3["engine_drift"] == "flat"
+
+    # canary faster but walls 1.3x slower: direction disagreement
+    d4 = diff(old, rec({q: w * 1.3 for q, w in base.items()}, 0.22))
+    assert d4["engine_drift"] == "ambiguous-host-change"
+
+    # records without queries_min/canary (r12-) degrade gracefully
+    d5 = diff({"queries": {}, "tasks": {}}, old)
+    assert "engine_drift" not in d5 and "median_min_ratio" not in d5
+
+
 def test_bench_diff_on_committed_records():
     """The committed r6 record vs the full-run record must diff cleanly
     (same pinned fingerprints for shared queries)."""
