@@ -1093,7 +1093,13 @@ def embedding_centroid_margin_profile(
             ).alias("best_other"),
         )
     )
-    neg = (F.col("own_cos") - F.col("best_other") < 0).cast("int")
+    # when(...).otherwise(0), not a bare boolean cast: with a single
+    # label in the slice best_other is MAX over an empty set (NULL),
+    # and NULL < 0 must count as NOT-negative (0) exactly as the
+    # oracle's CASE ... ELSE 0 END does — a bare cast propagates the
+    # NULL into sum() and returns NULL counts (found by the 1-row
+    # tiny-fixture strict sweep, r13)
+    neg = F.when(F.col("own_cos") - F.col("best_other") < 0, 1).otherwise(0)
     return (
         scored.groupBy("label")
         .agg(

@@ -43,3 +43,34 @@ def test_scale_gate_record_green_and_current():
         "registry contents changed since the last scale-gate run "
         "(a query or oracle was added/edited) — re-run tools/scale_gate.py"
     )
+
+
+def test_tiny_gate_record_green_and_current():
+    """The low-scale pole (tools/tiny_gate.py): whole registry strict
+    at 1-row and 5-row fixtures once per round, evidence committed.
+    Its first run caught a real NULL-vs-0 divergence
+    (embedding_centroid_margin_profile with a single-label slice)."""
+    gate = os.path.join(REPO, "TINY_GATE.json")
+    assert os.path.exists(gate), (
+        "TINY_GATE.json missing — run `PYTHONPATH=. python "
+        "tools/tiny_gate.py` (regenerates the 1/5-row fixtures if "
+        "absent, strict-sweeps the whole registry on both)"
+    )
+    with open(gate) as f:
+        record = json.load(f)
+    assert record["all_match"] and record["failures"] == 0, record
+    assert record["row_counts"] == [1, 5], record
+
+    from tools.scale_gate import registry_sha
+    import __spark_entry__ as entrymod
+
+    assert record["n_queries"] == len(entrymod.oracle_sql()), (
+        "registry size changed since the last tiny-gate run — re-run "
+        "tools/tiny_gate.py",
+        record["n_queries"],
+        len(entrymod.oracle_sql()),
+    )
+    assert record["registry_sha"] == registry_sha(), (
+        "registry contents changed since the last tiny-gate run — "
+        "re-run tools/tiny_gate.py"
+    )
