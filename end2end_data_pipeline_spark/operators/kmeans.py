@@ -93,7 +93,14 @@ def _fit_model(
     base = session_cached(
         spark,
         f"kmeans_qbase:{sf_dir}",
-        fan_out(spark, load_table(spark, sf_dir, "embeddings")).select(
+        # NULL embeddings (a source that never filled the column) are
+        # excluded from clustering — they cannot seed, cannot be
+        # assigned, and a NULL seed crashed the centroid collect
+        # (caught by the r13 null-flood sweep); the oracle q CTE
+        # carries the same IS NOT NULL
+        fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("embedding").isNotNull())
+        .select(
             "vec_id",
             "label",
             F.expr(vec.quantize("embedding", th.SPARK)).alias("qv"),
@@ -174,7 +181,7 @@ def _kmeans_ctes() -> str:
     ctes = [
         f"""q AS (
           SELECT vec_id, label, {vec.quantize('embedding', th.DUCK)} AS qv
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         )""",
         f"""c0 AS (
           SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {K}

@@ -18,9 +18,18 @@ reproducible without any RNG. Referential integrity is NOT preserved
 — both engines see the same orphaned keys, so parity still must hold;
 orphan-heavy shapes (empty join results) are exactly the point.
 
+A second variant (``--nulls``) builds the NULL-FLOOD fixture: the same
+rows but every column NULLed except each table's primary identifier.
+Optional attributes going NULL is routine at 100 TB (a schema
+migration, a source that never filled the field), and NULL propagation
+is where SQL dialects genuinely diverge (e.g. concat-with-NULL yields
+NULL in Spark but skips the NULL in DuckDB), so the oracle pair must
+be proven to agree on it, not assumed.
+
 Usage:
     python tools/gen_tiny_fixture.py            # 5 rows -> tiny_fixtures/sf5r
     python tools/gen_tiny_fixture.py 1          # 1 row  -> tiny_fixtures/sf1r
+    python tools/gen_tiny_fixture.py 5 --nulls  # -> tiny_fixtures/sf5rN
 Then:
     python tools/sf_sweep.py tiny_fixtures/sf5r
 """
@@ -35,21 +44,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SOURCE_SF = "/root/testdata/sf0.001"
 
+# Columns that stay non-NULL in the --nulls variant: the row's
+# identity. Everything else (attributes, measures, text, vectors,
+# timestamps, even join keys) goes NULL — at 100 TB every one of those
+# can legitimately arrive NULL, and both engines see the same NULLs so
+# strict parity must still hold.
+KEEP_NONNULL = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
 
-def build(rows: int) -> str:
+
+def build(rows: int, nulls: bool = False) -> str:
     import duckdb
 
     from end2end_data_pipeline_spark.sources.tables import TABLE_NAMES
 
-    out_dir = os.path.join(REPO, "tiny_fixtures", f"sf{rows}r")
+    suffix = f"sf{rows}r" + ("N" if nulls else "")
+    out_dir = os.path.join(REPO, "tiny_fixtures", suffix)
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     try:
         for t in TABLE_NAMES:
             src = os.path.join(SOURCE_SF, f"{t}.parquet")
             dst = os.path.join(out_dir, f"{t}.parquet")
+            if nulls:
+                keep = set(KEEP_NONNULL[t])
+                cols = con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet('{src}')"
+                ).fetchall()
+                select = ", ".join(
+                    name if name in keep else f'CAST(NULL AS {typ}) AS "{name}"'
+                    for name, typ, *_ in cols
+                )
+            else:
+                select = "*"
             con.execute(
-                f"COPY (SELECT * FROM read_parquet('{src}') LIMIT {rows}) "
+                f"COPY (SELECT {select} FROM read_parquet('{src}') LIMIT {rows}) "
                 f"TO '{dst}' (FORMAT PARQUET)"
             )
             n = con.execute(
@@ -62,11 +101,13 @@ def build(rows: int) -> str:
 
 
 def main() -> int:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:] if a != "--nulls"]
+    nulls = "--nulls" in sys.argv[1:]
+    rows = int(args[0]) if args else 5
     if rows < 1:
         print("rows must be >= 1 (the zero-row case is the empty-input sweep)")
         return 2
-    build(rows)
+    build(rows, nulls=nulls)
     return 0
 
 
