@@ -343,8 +343,14 @@ def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec.cosine_q("l_qv", "r_qv", "l_norm2", "r_norm2", th.SPARK)
         ).alias("cosine")
     )
+    # when/otherwise(0), not a bare boolean cast: a candidate pair of
+    # NULL-embedding vectors has NULL cosine, and the oracle's
+    # CASE ... ELSE 0 counts it as below-threshold; a bare cast would
+    # sum the NULLs to NULL (r13 null-flood sweep)
     aggs = [F.count("*").alias("n_candidates")] + [
-        F.sum((F.col("cosine") * 100 >= p).cast("bigint")).alias(f"ge_{p}")
+        F.sum(F.when(F.col("cosine") * 100 >= p, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"ge_{p}")
         for p in SWEEP_PCTS
     ]
     s = cand.agg(*aggs)

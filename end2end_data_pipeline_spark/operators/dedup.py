@@ -362,9 +362,17 @@ def _simhash_duck_cte() -> str:
     toks = th.tokens("text", th.DUCK)
     hashes = th.token_hashes(toks, th.DUCK)
     sig = th.simhash("hs", SIMHASH_BITS, th.DUCK)
+    # the token-less filter mirrors the Spark side EXACTLY: explode +
+    # groupBy drops a doc with no tokens (NULL or empty text), while a
+    # list-fold over an empty/NULL token list would emit signature 0 —
+    # and every token-less doc sharing signature 0 makes them all
+    # pairwise "duplicates", a quadratic pair blowup on a corpus with
+    # a null-text flood (r13 null-flood sweep). Token-less docs carry
+    # no content to fingerprint; they are excluded from SimHash dedup.
     return f"""
     WITH hashed AS (
       SELECT doc_id, {hashes} AS hs FROM documents
+      WHERE COALESCE(len({hashes}), 0) >= 1
     ), sigs AS (
       SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM hashed
     )"""

@@ -829,12 +829,34 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt_lt"
         ),
     )
-    n = F.col("n_values")
-    ok = (
-        (F.col("cnt_le") * 100 >= (F.col("pct") - 2) * n)
-        & (F.col("cnt_lt") * 100 <= (F.col("pct") + 2) * n + 100)
+    # a type whose values are ALL NULL has no sketch rows at all
+    # (approx_percentile returns a NULL array, posexplode drops it),
+    # but the rank contract is vacuously satisfied at n = 0 and the
+    # oracle emits its (type, quantile) rows with n_values = 0 — so
+    # anchor the output on the full type x quantile grid and coalesce
+    # the rank counts to 0 (r13 null-flood sweep)
+    grid = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_values")
+    ).crossJoin(
+        broadcast(
+            spark.createDataFrame(
+                [("p50", 50), ("p95", 95), ("p99", 99)], "quantile string, pct int"
+            )
+        )
     )
-    return ranked.select(
+    full = grid.join(
+        ranked.select("event_type", "quantile", "cnt_le", "cnt_lt"),
+        ["event_type", "quantile"],
+        "left",
+    )
+    n = F.col("n_values")
+    cnt_le = F.coalesce(F.col("cnt_le"), F.lit(0))
+    cnt_lt = F.coalesce(F.col("cnt_lt"), F.lit(0))
+    ok = (
+        (cnt_le * 100 >= (F.col("pct") - 2) * n)
+        & (cnt_lt * 100 <= (F.col("pct") + 2) * n + 100)
+    )
+    return full.select(
         "event_type",
         "quantile",
         "n_values",
@@ -1353,7 +1375,12 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count("*").alias("n_events"),
-        F.sum((k < ERROR_K_THRESHOLD).cast("bigint"))
+        # when/otherwise(0), not a bare boolean cast: a NULL props (in
+        # contract — the generator emits conditional nulls) makes k
+        # NULL, and the oracle's CASE ... ELSE 0 counts it as
+        # not-an-error; a bare cast would sum NULLs to NULL (r13
+        # null-flood sweep)
+        F.sum(F.when(k < ERROR_K_THRESHOLD, 1).otherwise(0))
         .cast("bigint")
         .alias("n_errors"),
     )

@@ -57,12 +57,17 @@ except ImportError:
 
 @query(
     "multimodal_meta",
+    # `text || ':w'`, not concat(): a NULL payload must yield NULL
+    # metadata on BOTH engines, and DuckDB's variadic concat() skips
+    # NULL args (width would come out as md5h(':w') while n_bytes and
+    # the sha are NULL) where `||` null-propagates like Spark's concat
+    # (r13 null-flood sweep).
     oracle=f"""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS payload_sha,
-           CAST(16 + {th.md5h("concat(text, ':w')", th.DUCK)} % 1024 AS INT) AS width,
-           CAST(16 + {th.md5h("concat(text, ':h')", th.DUCK)} % 1024 AS INT) AS height
+           CAST(16 + {th.md5h("(text || ':w')", th.DUCK)} % 1024 AS INT) AS width,
+           CAST(16 + {th.md5h("(text || ':h')", th.DUCK)} % 1024 AS INT) AS height
     FROM documents ORDER BY doc_id
     """,
 )
@@ -204,7 +209,7 @@ _SHA = "sha256(text)"
            CAST(16 + {_sha_byte(_SHA, 1)} * 4 AS INT) AS height,
            CAST(1 + {_sha_byte(_SHA, 2)} % 4 AS INT) AS n_channels,
            CAST({_sha_byte(_SHA, 3)} AS INT) AS mean_luma
-    FROM documents ORDER BY doc_id
+    FROM documents WHERE text IS NOT NULL ORDER BY doc_id
     """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +221,11 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces exactly — so the whole Arrow round-trip is
     value-checked, not just smoke-tested."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
+    # payload-less rows (NULL text) are SKIPPED by the decode pass —
+    # the dead-letter semantics of a media pipeline: there is nothing
+    # to decode, and the non-nullable feature schema stays honest
+    # (r13 null-flood sweep; the oracle filters identically)
+    payloads = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA).orderBy("doc_id")
@@ -294,7 +303,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CAST(64 AS INT) AS width,
            CAST(64 AS INT) AS height,
            repeat(sha256(text), 128) AS resized_hex
-    FROM documents ORDER BY doc_id
+    FROM documents WHERE text IS NOT NULL ORDER BY doc_id
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +317,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binary round-trip (raw binary stringifies engine-specifically);
     production consumers would keep the ``resized`` binary column."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    payloads = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
     resized = payloads.mapInPandas(_resize_batches, RESIZE_SCHEMA)
     return resized.select(
         "doc_id",
@@ -363,7 +374,7 @@ def _frame_sample_batches(
              text,
              unnest(range(0, greatest(1, octet_length(encode(text)) // 100)))
                AS frame_idx
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(frame_idx AS INT) AS frame_idx,
@@ -380,7 +391,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape for ffmpeg-style frame extraction (map-side fanout,
     no shuffle until someone aggregates frames)."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    payloads = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
     frames = payloads.mapInPandas(_frame_sample_batches, FRAME_SCHEMA)
     return frames.select(
         "doc_id",

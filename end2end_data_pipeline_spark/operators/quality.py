@@ -457,6 +457,7 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     , ex AS (
       SELECT CAST(d AS INT) AS dim, qv[d] AS val
       FROM qbase, range(1, 65) AS t(d)
+      WHERE qv IS NOT NULL
     )
     SELECT dim,
            count(*) AS n,

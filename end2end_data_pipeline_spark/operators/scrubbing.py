@@ -45,8 +45,13 @@ def _aug(dialect: str) -> str:
         if dialect == SPARK
         else "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
     )
+    # coalesce(text, '') — EXPLICIT null-as-empty on both engines: a
+    # NULL text doc still receives its injected PII and scrubs like an
+    # empty doc. Without it the two concats diverge (DuckDB's variadic
+    # concat SKIPS NULL arguments, Spark's returns NULL — the r13
+    # null-flood sweep caught exactly that split).
     return (
-        "concat(text,"
+        "concat(coalesce(text, ''),"
         f" CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', {s},"
         " '@example.com') ELSE '' END,"
         f" CASE WHEN doc_id % 11 = 0 THEN concat(' see"

@@ -1284,7 +1284,10 @@ def docs_merge_upsert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("upsert").alias("op"),
         "doc_id",
-        F.concat(F.col("text"), F.lit(" [rev]")).alias("text"),
+        # coalesce: a NULL-text doc still takes the revision suffix
+        # (DuckDB-side the rev flag is doc_id arithmetic, so the
+        # engines must agree on NULL text too — r13 null-flood sweep)
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [rev]")).alias("text"),
         "lang",
         (F.col("n_chars") + 6).alias("n_chars"),
     )
@@ -1309,7 +1312,9 @@ def docs_merge_upsert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("sum_nchars"),
-            F.sum(F.col("text").endswith(" [rev]").cast("int"))
+            F.sum(
+                F.when(F.col("text").endswith(" [rev]"), 1).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_revised"),
         )

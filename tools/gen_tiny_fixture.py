@@ -19,12 +19,26 @@ reproducible without any RNG. Referential integrity is NOT preserved
 orphan-heavy shapes (empty join results) are exactly the point.
 
 A second variant (``--nulls``) builds the NULL-FLOOD fixture: the same
-rows but every column NULLed except each table's primary identifier.
-Optional attributes going NULL is routine at 100 TB (a schema
-migration, a source that never filled the field), and NULL propagation
-is where SQL dialects genuinely diverge (e.g. concat-with-NULL yields
-NULL in Spark but skips the NULL in DuckDB), so the oracle pair must
-be proven to agree on it, not assumed.
+rows but every NULLABLE-by-contract column forced NULL. Optional
+attributes going NULL is routine at 100 TB (a schema migration, a
+source that never filled the field), and NULL propagation is where SQL
+dialects genuinely diverge (e.g. concat-with-NULL yields NULL in Spark
+but skips the NULL in DuckDB), so the oracle pair must be proven to
+agree on it, not assumed.
+
+The null contract (what can legitimately arrive NULL):
+- TPC-H tables (region..lineitem): NOTHING — the TPC-H spec declares
+  every column NOT NULL, and relational queries may rely on it.
+- events: ``value`` and ``props`` only — the reference's own generator
+  emits conditional nulls for exactly these (producer payloads with
+  absent fields); ``event_id``/``ts``/``user_id``/``event_type`` are
+  the identity plus the warehouse partition/order keys (the reference's
+  MergeTree DDL partitions by minute(ts) and orders by type — a NULL
+  there is a rejected insert, not a row).
+- documents: everything but ``doc_id`` (text/lang/source/n_chars are
+  scraped attributes; any can be missing).
+- embeddings: everything but ``vec_id`` (a vector not yet computed, a
+  label not yet assigned).
 
 Usage:
     python tools/gen_tiny_fixture.py            # 5 rows -> tiny_fixtures/sf5r
@@ -44,22 +58,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SOURCE_SF = "/root/testdata/sf0.001"
 
-# Columns that stay non-NULL in the --nulls variant: the row's
-# identity. Everything else (attributes, measures, text, vectors,
-# timestamps, even join keys) goes NULL — at 100 TB every one of those
-# can legitimately arrive NULL, and both engines see the same NULLs so
-# strict parity must still hold.
-KEEP_NONNULL = {
-    "region": ("r_regionkey",),
-    "nation": ("n_nationkey",),
-    "customer": ("c_custkey",),
-    "supplier": ("s_suppkey",),
-    "part": ("p_partkey",),
-    "orders": ("o_orderkey",),
-    "lineitem": ("l_orderkey", "l_linenumber"),
-    "events": ("event_id",),
-    "documents": ("doc_id",),
-    "embeddings": ("vec_id",),
+# Columns the --nulls variant forces NULL: exactly the
+# nullable-by-contract set (see module docstring). Both engines see
+# the same NULLs, so strict parity must hold on every query that
+# touches these columns.
+NULLABLE = {
+    "events": ("value", "props"),
+    "documents": ("text", "lang", "source", "n_chars"),
+    "embeddings": ("embedding", "label"),
 }
 
 
@@ -77,12 +83,12 @@ def build(rows: int, nulls: bool = False) -> str:
             src = os.path.join(SOURCE_SF, f"{t}.parquet")
             dst = os.path.join(out_dir, f"{t}.parquet")
             if nulls:
-                keep = set(KEEP_NONNULL[t])
+                flood = set(NULLABLE.get(t, ()))
                 cols = con.execute(
                     f"DESCRIBE SELECT * FROM read_parquet('{src}')"
                 ).fetchall()
                 select = ", ".join(
-                    name if name in keep else f'CAST(NULL AS {typ}) AS "{name}"'
+                    f'CAST(NULL AS {typ}) AS "{name}"' if name in flood else name
                     for name, typ, *_ in cols
                 )
             else:
