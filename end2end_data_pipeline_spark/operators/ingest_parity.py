@@ -102,10 +102,18 @@ def _webdataset_fixture(spark: SparkSession, sf_dir: str) -> str:
         f"documents doc_id below {WDS_DOC_LIMIT} not a dense prefix: "
         f"{len(got)} rows, head {got[:5]}"
     )
+    # NULL text/lang packs as a ZERO-BYTE member: tar members are raw
+    # bytes with no NULL, and an absent field arriving as an empty
+    # member is exactly what a WebDataset writer emits for a missing
+    # modality (r13 null-flood sweep). The audit and the oracle treat
+    # empty-vs-NULL as equivalent through the same coalesce.
     samples = [
         (
             f"doc{r['doc_id']:05d}",
-            {"txt": r["text"].encode("utf-8"), "lang": r["lang"].encode("utf-8")},
+            {
+                "txt": (r["text"] or "").encode("utf-8"),
+                "lang": (r["lang"] or "").encode("utf-8"),
+            },
         )
         for r in docs
     ]
@@ -148,7 +156,10 @@ def _audit_members_by_shard(
             F.sum(
                 F.when(
                     (F.col("ext") == "txt")
-                    & (F.col("content").cast("string") == F.col("src_text")),
+                    & (
+                        F.col("content").cast("string")
+                        == F.coalesce(F.col("src_text"), F.lit(""))
+                    ),
                     1,
                 ).otherwise(0)
             )
@@ -167,7 +178,8 @@ def _audit_members_by_shard(
     ), shards AS (
       SELECT CAST(doc_id // {WDS_SHARD_SIZE} AS BIGINT) AS shard_idx,
              CAST(count(*) * 2 AS BIGINT) AS n_members,
-             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS txt_bytes,
+             CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT)
+               AS txt_bytes,
              CAST(count(*) AS BIGINT) AS n_roundtrip_ok
       FROM d GROUP BY 1
     )
@@ -479,8 +491,12 @@ def _format_roundtrip_rollup(
             F.count("*").alias("n"),
             F.sum("n_chars").cast("bigint").alias("sum_nchars"),
             F.sum(F.length("text")).cast("bigint").alias("chars"),
+            # eqNullSafe: a NULL text that comes back NULL IS a
+            # faithful roundtrip (plain == gives NULL for NULL==NULL
+            # and the flag under-counts — r13 null-flood sweep); a
+            # NULL corrupted to '' or vice versa still fails
             F.sum(
-                F.when(F.col("text") == F.col("src_text"), 1).otherwise(0)
+                F.when(F.col("text").eqNullSafe(F.col("src_text")), 1).otherwise(0)
             )
             .cast("bigint")
             .alias("n_roundtrip_ok"),
@@ -864,9 +880,14 @@ def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
     cached = _fixture_dir(spark, sf_dir, "csv")
     if cached:
         return cached
+    # NULL text is excluded: RFC-4180 has no NULL — csv.writer would
+    # serialize None as "" and the read-back could not distinguish a
+    # null doc from an empty one (r13 null-flood sweep); the oracle
+    # filters identically, so the parity claim stays exact over the
+    # representable rows
     docs = (
         load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < CSV_DOC_LIMIT)
+        .where((F.col("doc_id") < CSV_DOC_LIMIT) & F.col("text").isNotNull())
         .select("doc_id", "lang", "text", "n_chars")
         .orderBy("doc_id")
         .collect()
@@ -903,7 +924,7 @@ def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
            CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(length(text)) AS BIGINT) AS chars,
            CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
-    FROM documents WHERE doc_id < {CSV_DOC_LIMIT}
+    FROM documents WHERE doc_id < {CSV_DOC_LIMIT} AND text IS NOT NULL
     GROUP BY lang
     UNION ALL
     SELECT '_quarantined', {len(CSV_CORRUPT_LINES)},
@@ -1001,7 +1022,12 @@ def _skew_fixture(spark: SparkSession, sf_dir: str) -> str:
         .where(F.col("doc_id") < SKEW_DOC_LIMIT)
         .select(
             F.format_string("doc%05d", F.col("doc_id")).alias("key"),
-            F.create_map(F.lit("txt"), F.encode("text", "UTF-8")).alias("files"),
+            # NULL text packs as a zero-byte member (same contract as
+            # the driver-side packer above — tar has no NULL)
+            F.create_map(
+                F.lit("txt"),
+                F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"),
+            ).alias("files"),
         )
     )
     out = tempfile.mkdtemp(prefix="spark_graft_skew_")
@@ -1067,7 +1093,10 @@ def docs_shard_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 (F.col("ext") == "txt")
-                & (F.col("content").cast("string") == F.col("src_text")),
+                & (
+                    F.col("content").cast("string")
+                    == F.coalesce(F.col("src_text"), F.lit(""))
+                ),
                 1,
             ).otherwise(0)
         ).alias("ok"),

@@ -47,9 +47,10 @@ def test_scale_gate_record_green_and_current():
 
 def test_tiny_gate_record_green_and_current():
     """The low-scale pole (tools/tiny_gate.py): whole registry strict
-    at 1-row and 5-row fixtures once per round, evidence committed.
-    Its first run caught a real NULL-vs-0 divergence
-    (embedding_centroid_margin_profile with a single-label slice)."""
+    at the 1-row, 5-row, and 5-row-null-flood fixtures once per round,
+    evidence committed. First runs caught a NULL-vs-0 divergence
+    (embedding_centroid_margin_profile, single-label slice) and then
+    22 null-semantics divergences across the registry."""
     gate = os.path.join(REPO, "TINY_GATE.json")
     assert os.path.exists(gate), (
         "TINY_GATE.json missing — run `PYTHONPATH=. python "
@@ -59,7 +60,7 @@ def test_tiny_gate_record_green_and_current():
     with open(gate) as f:
         record = json.load(f)
     assert record["all_match"] and record["failures"] == 0, record
-    assert record["row_counts"] == [1, 5], record
+    assert record["fixtures"] == ["sf1r", "sf5r", "sf5rN"], record
 
     from tools.scale_gate import registry_sha
     import __spark_entry__ as entrymod

@@ -32,13 +32,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATE_PATH = os.path.join(REPO, "TINY_GATE.json")
-ROW_COUNTS = (1, 5)
+# (rows, null-flood?) — the 1-row and 5-row fixtures exercise
+# shrunk-group edges; the 5-row null-flood variant forces every
+# nullable-by-contract column NULL (its first run caught 22 real
+# divergences: bare boolean casts, DuckDB concat() NULL-skipping,
+# NULL payloads crashing pack/decode paths)
+FIXTURES = ((1, False), (5, False), (5, True))
 
 
-def fixture_ready(rows: int) -> bool:
+def _suffix(rows: int, nulls: bool) -> str:
+    return f"sf{rows}r" + ("N" if nulls else "")
+
+
+def fixture_ready(rows: int, nulls: bool) -> bool:
     from end2end_data_pipeline_spark.sources.tables import TABLE_NAMES
 
-    d = os.path.join(REPO, "tiny_fixtures", f"sf{rows}r")
+    d = os.path.join(REPO, "tiny_fixtures", _suffix(rows, nulls))
     return all(
         os.path.exists(os.path.join(d, f"{t}.parquet")) for t in TABLE_NAMES
     )
@@ -47,10 +56,10 @@ def fixture_ready(rows: int) -> bool:
 def main() -> int:
     from tools.gen_tiny_fixture import build
 
-    for rows in ROW_COUNTS:
-        if not fixture_ready(rows):
-            print(f"tiny fixture sf{rows}r absent — generating")
-            build(rows)
+    for rows, nulls in FIXTURES:
+        if not fixture_ready(rows, nulls):
+            print(f"tiny fixture {_suffix(rows, nulls)} absent — generating")
+            build(rows, nulls=nulls)
 
     from pyspark.sql import SparkSession
 
@@ -66,15 +75,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     failures = 0
-    for rows in ROW_COUNTS:
-        fixture_dir = os.path.join(REPO, "tiny_fixtures", f"sf{rows}r")
-        failures += run_sweep(spark, fixture_dir, label=f"tiny-gate-{rows}r")
+    for rows, nulls in FIXTURES:
+        fixture_dir = os.path.join(REPO, "tiny_fixtures", _suffix(rows, nulls))
+        failures += run_sweep(
+            spark, fixture_dir, label=f"tiny-gate-{_suffix(rows, nulls)}"
+        )
 
     import __spark_entry__ as entrymod
 
     record = {
         "metric": "tiny_gate",
-        "row_counts": list(ROW_COUNTS),
+        "fixtures": [_suffix(r, n) for r, n in FIXTURES],
         "n_queries": len(entrymod.oracle_sql()),
         "failures": failures,
         "all_match": failures == 0,
