@@ -27,6 +27,7 @@ from end2end_data_pipeline_spark.operators.similarity import (
 )
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
+    disk_checkpoint,
     load_table,
     session_cached,
     sf_tag,
@@ -213,9 +214,21 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     order size (~7 in TPC-H), i.e. linear in lineitem. The per-part
     counts join is on the pair table AFTER the support filter."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    pc = op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    # Materialize the distinct (order, part) incidence ONCE: the r12
+    # plan computed it FOUR times (AQE broadcast one self-join side,
+    # which killed exchange reuse) and scanned lineitem a fifth time
+    # for the order total (r13 plan capture: 5 parquet scans). The
+    # incidence is the §8 "lightweight proxy" — two bigints per row —
+    # and every downstream decision (pairs, per-part counts, total)
+    # derives from it; n_orders over op == over lineitem because
+    # DISTINCT (orderkey, partkey) preserves the orderkey set.
+    op = (
+        disk_checkpoint(li.select("l_orderkey", "l_partkey").distinct())
+    )
+    tot = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = disk_checkpoint(
+        op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    )
     a = op.alias("a")
     b = op.alias("b")
     pairs = (

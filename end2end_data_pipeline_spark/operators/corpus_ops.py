@@ -715,19 +715,22 @@ def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = base.select(
         "doc_id", "lang", F.explode("ph").alias("h")
     ).select("doc_id", "lang", (F.col("h") % DSIR_B).alias("b"))
-    rcounts = occ.groupBy("b").agg(F.count("*").cast("bigint").alias("r"))
-    tcounts = (
-        occ.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count("*").cast("bigint").alias("t"))
+    # ONE bucket census instead of two (raw + target were separate
+    # aggregates over the same exploded frame, r13: one less explode
+    # pass and one less broadcast join; t is 0 where the left join
+    # used to produce NULL, and every consumer already coalesced).
+    bcounts = occ.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("r"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("int"))
+        .cast("bigint")
+        .alias("t"),
     )
-    totals = rcounts.join(tcounts, "b", "left").agg(
+    totals = bcounts.agg(
         F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("raw_total"),
         F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("target_total"),
     )
     perdoc = (
-        occ.join(F.broadcast(rcounts), "b")
-        .join(F.broadcast(tcounts), "b", "left")
+        occ.join(F.broadcast(bcounts), "b")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_feats"),

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
+    disk_checkpoint,
     fan_out,
     load_table,
     model_memo_key,
@@ -1001,8 +1002,16 @@ def dedup_prefixfilter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id").orderBy("df", "shingle")
         ),
     )
-    pref = ranked.where(F.col("pos") <= F.expr("sz DIV 2 + 1")).select(
-        "doc_id", "sz", "shingle"
+    # Materialize the prefix index ONCE per invocation: the self-join
+    # below otherwise re-executes the whole explode -> df-aggregate ->
+    # join -> window subtree per side (r13 plan capture showed the
+    # subtree duplicated under both join inputs). localCheckpoint is
+    # the PPJoin "build the index, then probe it" step made explicit —
+    # at 100 TB this is one corpus-scale index write, re-read by both
+    # probe sides, instead of two full index builds.
+    pref = disk_checkpoint(
+        ranked.where(F.col("pos") <= F.expr("sz DIV 2 + 1"))
+        .select("doc_id", "sz", "shingle")
     )
     x = pref.alias("x")
     y = pref.alias("y")
@@ -1277,7 +1286,13 @@ def _dupspan_frames(
         .where(F.col("nd") >= 2)
         .select("h")
     )
-    return base, occ.join(dup, "h", "left_semi")
+    # Materialize the duplicated-start set ONCE: the coverage profile
+    # consumes it twice (covered + starts) and re-ran the explode +
+    # distinct-doc aggregate + semi-join per consumer (r13 plan
+    # review). dup_occ is two ints per duplicated position — the
+    # lightweight decision set of guide §8 — so the write is small
+    # relative to the passes it removes.
+    return base, disk_checkpoint(occ.join(dup, "h", "left_semi"))
 
 
 @query(
@@ -1446,6 +1461,13 @@ def split_leakage_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("split_a", "split_b").alias("split_lo"),
             F.greatest("split_a", "split_b").alias("split_hi"),
         )
+        # Materialize ONCE: three consumers below (pair_stats + both
+        # arms of the involved union) otherwise re-execute the whole
+        # MinHash pipeline per branch (r13 plan capture: 87 Exchange
+        # nodes). The pair set is the LSH output — far smaller than
+        # the corpus — so this is a tiny write that removes two full
+        # pipeline re-runs (guide §2.4: remove shuffles outright).
+        .localCheckpoint(eager=True)
     )
     pair_stats = labeled.groupBy("split_lo", "split_hi").agg(
         F.count("*").cast("bigint").alias("n_pairs"),

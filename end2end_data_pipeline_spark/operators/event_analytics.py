@@ -835,13 +835,21 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle emits its (type, quantile) rows with n_values = 0 — so
     # anchor the output on the full type x quantile grid and coalesce
     # the rank counts to 0 (r13 null-flood sweep)
-    grid = ev.groupBy("event_type").agg(
-        F.count("value").alias("n_values")
-    ).crossJoin(
-        broadcast(
-            spark.createDataFrame(
-                [("p50", 50), ("p95", 95), ("p99", 99)], "quantile string, pct int"
-            )
+    grid = (
+        ev.groupBy("event_type")
+        .agg(F.count("value").alias("n_values"))
+        .select(
+            "event_type",
+            "n_values",
+            # inline literal grid instead of a crossJoin(broadcast(3-row
+            # frame)): same rows, no BroadcastNestedLoopJoin node at all
+            # (plan-audit r13; the BNLJ tripped bnlj-over-two-scans)
+            F.expr(
+                "inline(array("
+                "named_struct('quantile','p50','pct',50),"
+                "named_struct('quantile','p95','pct',95),"
+                "named_struct('quantile','p99','pct',99)))"
+            ),
         )
     )
     full = grid.join(

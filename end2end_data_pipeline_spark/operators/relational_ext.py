@@ -1283,10 +1283,42 @@ def nation_cosupply_bfs_recursive(
     frontier against the edge list; the per-level DISTINCT plus the
     {HOPS}-hop guard caps total recursion rows at O(|nations| x
     hops). The edge derivation is the expensive part (order-keyed
-    self-join, same shape as ``part_copurchase_lift``) and runs once
-    before the recursion."""
+    self-join, same shape as ``part_copurchase_lift``) — and Spark 4's
+    UnionLoop INLINES non-recursive CTEs into the loop body, so the
+    verbatim one-text form re-derived the edges at EVERY level (r13
+    plan capture: scans+joins under UnionLoop; 4 levels = 4 edge
+    derivations). The Spark side therefore materializes the O(|nations|^2)
+    edge list once (``localCheckpoint``, computed fresh per invocation)
+    and recurses over the materialized view; the recursion text and the
+    DuckDB oracle are byte-identical to the one-text form, so the
+    result is unchanged."""
     register_views(spark, sf_dir, "lineitem", "supplier")
-    return spark.sql(_BFS_SQL)
+    edges = spark.sql(
+        """
+        WITH supnation AS (
+          SELECT DISTINCT l.l_orderkey, s.s_nationkey
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        )
+        SELECT DISTINCT a.s_nationkey AS src, b.s_nationkey AS dst
+        FROM supnation a JOIN supnation b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.s_nationkey <> b.s_nationkey
+        """
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("cosupply_edges_ckpt")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE hops(nation, dist) AS (
+          SELECT CAST({BFS_SEED_NATION} AS BIGINT), 0
+          UNION ALL
+          SELECT DISTINCT e.dst, h.dist + 1
+          FROM hops h JOIN cosupply_edges_ckpt e ON e.src = h.nation
+          WHERE h.dist < {BFS_MAX_HOPS}
+        )
+        SELECT nation, CAST(MIN(dist) AS INTEGER) AS hops
+        FROM hops GROUP BY nation ORDER BY nation
+        """
+    )
 
 
 nation_cosupply_bfs_recursive.__doc__ = (

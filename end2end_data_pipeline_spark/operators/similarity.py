@@ -1074,24 +1074,32 @@ def embedding_centroid_margin_profile(
         )
         .withColumn("cnorm2", F.expr(vec.dot_q("cvec", "cvec", th.SPARK)))
     )
-    cos = F.expr(vec.cosine_q("qv", "cvec", "norm2", "cnorm2", th.SPARK))
-    scored = (
-        base.crossJoin(F.broadcast(sums))
-        .select(
-            "vec_id",
-            "label",
-            F.col("c_label"),
-            cos.alias("cos"),
-        )
-        .groupBy("vec_id", "label")
-        .agg(
-            F.max(
-                F.when(F.col("c_label") == F.col("label"), F.col("cos"))
-            ).alias("own_cos"),
-            F.max(
-                F.when(F.col("c_label") != F.col("label"), F.col("cos"))
-            ).alias("best_other"),
-        )
+    # Gather the O(|labels|) centroids into ONE broadcast row and take
+    # the own/best-other maxima with array higher-order functions in a
+    # single map-only projection — the r12 shape (crossJoin + n x K
+    # rows through a (vec_id, label) re-aggregation shuffle) paid a
+    # corpus-sized exchange purely to undo the expansion it created
+    # (guide §2.3/§2.4: aggregate before you shuffle / remove the
+    # shuffle outright). array_max == MAX over the same double set
+    # (NULLs ignored, empty -> NULL), so values are bit-identical.
+    # The .where(size > 0) guard keeps the no-centroids case (all
+    # embeddings NULL) returning ZERO rows exactly like the oracle's
+    # CROSS JOIN against an empty cn.
+    cents = sums.agg(
+        F.collect_list(F.struct("c_label", "cvec", "cnorm2")).alias("cents")
+    ).where(F.size("cents") > 0)
+    cos_c = vec.cosine_q("qv", "c.cvec", "norm2", "c.cnorm2", th.SPARK)
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"array_max(transform(filter(cents, c -> c.c_label = label),"
+            f" c -> {cos_c}))"
+        ).alias("own_cos"),
+        F.expr(
+            f"array_max(transform(filter(cents, c -> c.c_label <> label),"
+            f" c -> {cos_c}))"
+        ).alias("best_other"),
     )
     # when(...).otherwise(0), not a bare boolean cast: with a single
     # label in the slice best_other is MAX over an empty set (NULL),
@@ -2216,6 +2224,11 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         melted.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("dim_budget", "query_id", "neighbor_id")
+        # Materialize ONCE: three consumers (full-dim anchor, the hits
+        # join, and the query-count scalar) otherwise re-execute the
+        # whole O(n x q x dims) pair/melt/rank pipeline each (r13 plan
+        # review). ranked is |budgets| x |queries| x K rows — tiny.
+        .localCheckpoint()
     )
     full_k = ranked.where(F.col("dim_budget") == MRL_DIMS[-1]).select(
         "query_id", "neighbor_id"

@@ -53,6 +53,21 @@ def session_cached(spark: SparkSession, tag: str, frame: DataFrame) -> DataFrame
     return out
 
 
+def disk_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` at DISK_ONLY — for corpus-scale
+    intermediates that feed several consumers. MEMORY_AND_DISK (the
+    localCheckpoint default) lets checkpoint blocks compete with the
+    session's cached frames in the storage pool and evict them (r13:
+    a bench run with memory-level checkpoints showed cache-dependent
+    queries recomputing — task fingerprints jumped 73->239 — while
+    disk-level blocks leave the working caches alone; the blocks are
+    read back once per consumer, sequentially, which the OS page
+    cache absorbs anyway)."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 _SCRATCH_DIRS: list[str] = []
 
 

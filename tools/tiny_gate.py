@@ -70,6 +70,14 @@ def main() -> int:
         SparkSession.builder.master("local[16]")
         .appName("tiny-gate")
         .config("spark.ui.enabled", "false")
+        # capacity, not semantics (same note as scale_gate.py): the
+        # default 1g driver heap OOMed the 3-fixture sweep partway
+        # through sf5rN once ~1000 queries' caches and replay states
+        # accumulated in one session (r13: Java heap OOM at o100308)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,6 +88,10 @@ def main() -> int:
         failures += run_sweep(
             spark, fixture_dir, label=f"tiny-gate-{_suffix(rows, nulls)}"
         )
+        # drop the finished fixture's cached frames before the next
+        # sweep — the per-sf_dir session caches are never re-read
+        # once the sweep moves on, they only hold heap
+        spark.catalog.clearCache()
 
     import __spark_entry__ as entrymod
 
