@@ -173,6 +173,29 @@ MIN_SUPPORT = 2
 TOP_PAIRS = 50
 
 
+def _copurchase_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached DISTINCT (l_orderkey, l_partkey) incidence — the
+    §8 "lightweight proxy" (two bigints per row) every co-purchase
+    operator decides from. Cached ONCE per (session, sf_dir): the r12
+    lift plan computed it FOUR times (AQE broadcast one self-join
+    side, which killed exchange reuse) and scanned lineitem a fifth
+    time for the order total; n_orders over op == over lineitem
+    because DISTINCT (orderkey, partkey) preserves the orderkey set.
+    An InMemoryRelation (not a checkpoint — the r13 A/B measured the
+    eager-checkpoint variant a wash, its barriers costing what the
+    dedup saved) keeps Catalyst statistics, so the pair self-join
+    still plans its broadcasts."""
+    import os
+
+    return session_cached(
+        spark,
+        f"copurchase_op:{os.path.abspath(sf_dir)}",
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+
+
 @query(
     "part_copurchase_lift",
     oracle=f"""
@@ -213,22 +236,9 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused) and fans out O(k²/2) per order where k is the bounded
     order size (~7 in TPC-H), i.e. linear in lineitem. The per-part
     counts join is on the pair table AFTER the support filter."""
-    li = load_table(spark, sf_dir, "lineitem")
-    # Materialize the distinct (order, part) incidence ONCE: the r12
-    # plan computed it FOUR times (AQE broadcast one self-join side,
-    # which killed exchange reuse) and scanned lineitem a fifth time
-    # for the order total (r13 plan capture: 5 parquet scans). The
-    # incidence is the §8 "lightweight proxy" — two bigints per row —
-    # and every downstream decision (pairs, per-part counts, total)
-    # derives from it; n_orders over op == over lineitem because
-    # DISTINCT (orderkey, partkey) preserves the orderkey set.
-    op = (
-        disk_checkpoint(li.select("l_orderkey", "l_partkey").distinct())
-    )
+    op = _copurchase_op(spark, sf_dir)
     tot = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    pc = disk_checkpoint(
-        op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
-    )
+    pc = op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
     a = op.alias("a")
     b = op.alias("b")
     pairs = (
@@ -572,8 +582,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from end2end_data_pipeline_spark.sources.tables import session_cached
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    op = _copurchase_op(spark, sf_dir)
     a = op.alias("a")
     b = op.alias("b")
     edges = session_cached(

@@ -320,11 +320,34 @@ def _ivf_assign_frame(base: DataFrame, centroids: DataFrame) -> DataFrame:
             "c_cos"
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cell_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "qv", "norm2", "cell_id")
+    # argmax via max(struct(...)): lexicographic struct-max IS the
+    # (cosine DESC, cell_id ASC) pick — negated cell_id turns the
+    # ascending tie-break into a max — but partial-aggregates
+    # map-side, so the K-way fan-out collapses before the shuffle
+    # instead of sorting n x K rows inside a per-vector window (the
+    # r13 family profile showed this window's Exchange+Sort repeated
+    # in every IVF/IVF-PQ composition; same trick as _pq_assigned).
+    # NULL cosines (NULL embedding) land below every non-NULL in the
+    # struct order and fall through to the smallest cell id — exactly
+    # the window's NULLS-LAST + cell_id tie-break pick.
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("c_cos"),
+                (-F.col("cell_id")).alias("negc"),
+                F.col("cell_id"),
+                F.col("label"),
+                F.col("qv"),
+                F.col("norm2"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.label").alias("label"),
+        F.col("b.qv").alias("qv"),
+        F.col("b.norm2").alias("norm2"),
+        F.col("b.cell_id").alias("cell_id"),
     )
 
 
