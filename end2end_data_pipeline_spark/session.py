@@ -54,7 +54,15 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # capacity, not semantics (the scale_gate/tiny_gate note): 12g
+        # gives the unified storage pool headroom for the full-registry
+        # session-cache working set plus the r13 materialized indexes
+        # (PPJoin prefix, co-purchase incidence, ~65 MB) — at 8g the
+        # r13 bench showed late-run LRU evictions of the shared
+        # copurchase edge cache (kcore task fingerprint 170 -> 655,
+        # a recompute, not a plan change). Env-overridable; the
+        # sandbox has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
