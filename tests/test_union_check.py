@@ -252,11 +252,23 @@ def test_bench_diff_on_committed_records():
     #   the delta is AQE scan/coalesce task jitter that flipped when
     #   the r13 pin landed on an idle window (both r13 runs agree on
     #   53; data unmodified since r11). Documented in PERF_NOTES.md.
-    waived = {"fk_orphan_audit": (59, 53)}
+    waived = {
+        "fk_orphan_audit": {(59, 53)},
+        # part_copurchase_lift 71 -> 551 (r13 code, verified r14): the
+        # r13 `_copurchase_op` session cache moved the shared distinct-
+        # incidence build INTO lift's first execution (the fingerprint
+        # is first-exec-only), and the cached stats made the planner
+        # broadcast the incidence for the pair self-join — reproduced
+        # identically on two independent 12 g runs, so NOT the 8 g
+        # eviction artifact the r13 pin was suspected of. 71 -> 269 is
+        # the r14 family re-shape (shared checkpointed pair list,
+        # merge-hinted self-join — plans/r14/part_copurchase_lift_*).
+        "part_copurchase_lift": {(71, 551), (71, 269)},
+    }
     unexplained = {
         q: ab
         for q, ab in d["fingerprint_changes"].items()
-        if waived.get(q) != ab
+        if ab not in waived.get(q, set())
     }
     assert not unexplained, unexplained
 
