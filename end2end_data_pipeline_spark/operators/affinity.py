@@ -27,9 +27,10 @@ from end2end_data_pipeline_spark.operators.similarity import (
 )
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
-    disk_checkpoint,
+    frame_memo_tag,
     load_table,
     session_cached,
+    session_checkpointed,
     sf_tag,
 )
 
@@ -189,10 +190,57 @@ def _copurchase_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return session_cached(
         spark,
-        f"copurchase_op:{os.path.abspath(sf_dir)}",
+        frame_memo_tag(sf_dir, "copurchase_op"),
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct(),
+    )
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-filtered co-purchase PAIR list (part_a < part_b,
+    n_both >= MIN_SUPPORT) — materialized ONCE per (session, sf_dir)
+    and shared by the whole family: lift reads it verbatim, triangles
+    projects the edge columns, and ``copurchase_sym_edges`` (LPA /
+    k-core / assortativity) symmetrizes it. Before r14 the order-keyed
+    self-join + groupBy executed independently inside lift, triangles
+    AND sym_edges (three builds per session of the same frame).
+
+    Two deliberate shape choices, both measured (r14 A/B, one
+    session, interleaved):
+    - The self-join carries a ``merge`` hint: with the cached
+      incidence's ~10 MB statistics the planner otherwise BROADCASTS
+      one self-join side — the whole corpus proxy, rebuilt as a new
+      broadcast on every execution (lift first-exec 7.5 s vs 2.4 s
+      hinted; at 100 TB a corpus-sized broadcast is simply wrong).
+      The hinted form shuffles op once on l_orderkey and both sides
+      ride the SAME exchange (ReusedExchange), which is what this
+      operator's scale contract always claimed.
+    - ``session_checkpointed`` (eager DISK_ONLY), not .cache(): six
+      consumers re-ANALYZE this subtree per invocation; the
+      checkpoint turns it into a LogicalRDD leaf, which is what
+      collapsed the k-core plan from 234k lines to 4 leaves. Stats
+      loss is harmless here — every downstream join puts the pair
+      list on the probe side (the build sides are O(|parts|)
+      aggregates with their own stats).
+    """
+    op = _copurchase_op(spark, sf_dir)
+    a = op.alias("a").hint("merge")
+    b = op.alias("b").hint("merge")
+    return session_checkpointed(
+        spark,
+        frame_memo_tag(sf_dir, "copurchase_pairs"),
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= MIN_SUPPORT),
     )
 
 
@@ -239,21 +287,9 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = _copurchase_op(spark, sf_dir)
     tot = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     pc = op.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= MIN_SUPPORT)
-    )
+    # pair generation shared with triangles / sym_edges — see
+    # _copurchase_pairs for the merge-hint + checkpoint rationale
+    pairs = _copurchase_pairs(spark, sf_dir)
     ca = pc.select(
         F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a")
     )
@@ -578,28 +614,22 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     built from one keyed self-join); every join after that is keyed
     on node ids. The oracle's naive triple self-join is the form that
     dies at scale; both produce identical exact counts."""
-    import os
-
-    from end2end_data_pipeline_spark.sources.tables import session_cached
-
-    op = _copurchase_op(spark, sf_dir)
-    a = op.alias("a")
-    b = op.alias("b")
+    # a cached projection of the family-shared materialized pair list
+    # (the pre-r14 edge cache was the same frame BUILT a second time;
+    # now it is one map-only read of the checkpoint). The thin cache
+    # layer matters: the checkpoint is a stats-less LogicalRDD, and
+    # without size statistics the planner sort-merges the degree
+    # attach and the closing-edge probe (measured 15.2 s vs 2.1 s);
+    # the InMemoryRelation carries its real materialized size, so the
+    # O(|nodes|) degree frames broadcast here at bench scale while a
+    # 100 TB edge list — whose true cached size exceeds the broadcast
+    # threshold — correctly falls back to shuffled joins.
     edges = session_cached(
         spark,
-        f"copurchase_edges:{os.path.abspath(sf_dir)}",
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= MIN_SUPPORT)
-        .select("pa", "pb"),
+        frame_memo_tag(sf_dir, "copurchase_dir_edges"),
+        _copurchase_pairs(spark, sf_dir).select(
+            F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
+        ),
     )
     deg = (
         edges.select(F.explode(F.array("pa", "pb")).alias("node"))
@@ -864,22 +894,8 @@ def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     size cached builds)."""
     import os
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    p0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= MIN_SUPPORT)
-        .select("u", "v")
+    p0 = _copurchase_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
     )
     return session_cached(
         spark,
@@ -923,20 +939,29 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level aggregate — the classic synchronous Pregel step
     expressed as join+groupBy, {LPA_ITERS} bounded rounds, no
     driver-side graph state."""
+    import os
+
     edges = copurchase_sym_edges(spark, sf_dir)
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     rk_w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
-    for _ in range(LPA_ITERS):
-        labels = (
+    for k in range(LPA_ITERS):
+        # per-round label state checkpointed, not chained: the k-core
+        # lesson (r14) — a chained round keeps every earlier round's
+        # lineage in the analyzed plan, so planning cost grows with
+        # the iteration count; the eager DISK_ONLY checkpoint keeps
+        # each round O(|parts|) rows and the plan O(1) per round.
+        labels = session_checkpointed(
+            spark,
+            f"lpa_l{k + 1}_{sf_tag(os.path.abspath(sf_dir))}",
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy(F.col("u").alias("nd"), "label")
             .agg(F.count("*").alias("cnt"))
             .select(F.col("nd").alias("node"), "label", "cnt")
             .withColumn("rk", F.row_number().over(rk_w))
             .where(F.col("rk") == 1)
-            .select("node", "label")
+            .select("node", "label"),
         )
     return (
         labels.groupBy(F.col("label").cast("bigint").alias("community"))

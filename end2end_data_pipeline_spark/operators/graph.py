@@ -35,6 +35,7 @@ from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
     load_table,
     session_cached,
+    session_checkpointed,
     sf_tag,
 )
 
@@ -522,12 +523,18 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("deg") >= KCORE_K)
             .select(F.col("u").alias("node"))
         )
-        # each round's survivors are session-cached: the next level
+        # each round's survivors are materialized: the next level
         # references this frame three times (directly + via both semi
-        # probes) and the census reads it again — uncached, the chain
-        # re-derives the base O(3^rounds) times (mirrors the oracle's
-        # MATERIALIZED hint)
-        edges = session_cached(
+        # probes) and the census reads it again — unmaterialized, the
+        # chain re-derives the base O(3^rounds) times (mirrors the
+        # oracle's MATERIALIZED hint). CHECKPOINTED, not cached (r14):
+        # a session_cached round keeps its full lineage in the
+        # analyzed plan, so four rounds compounded to a 234k-line
+        # tree and ~3 s of driver-side re-planning PER INVOCATION;
+        # the eager DISK_ONLY checkpoint truncates each round to a
+        # LogicalRDD leaf (interleaved A/B: min 2.9-3.5 s cached vs
+        # 0.35-0.45 s checkpointed, identical rows).
+        edges = session_checkpointed(
             spark,
             f"kcore_e{r + 1}_{sf_tag(os.path.abspath(sf_dir))}",
             edges.join(keep, edges["u"] == keep["node"], "left_semi").join(

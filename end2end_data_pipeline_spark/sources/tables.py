@@ -62,10 +62,62 @@ def disk_checkpoint(df: DataFrame) -> DataFrame:
     queries recomputing — task fingerprints jumped 73->239 — while
     disk-level blocks leave the working caches alone; the blocks are
     read back once per consumer, sequentially, which the OS page
-    cache absorbs anyway)."""
+    cache absorbs anyway).
+
+    Cluster-scale caveat (applies to every localCheckpoint site):
+    blocks live on executors, so a lost executor fails the query
+    instead of recomputing — acceptable for these bounded
+    intermediates; a 100 TB deployment that needs fault tolerance
+    swaps this for ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint()`` with no other code change. Unlike
+    ``session_cached`` the result is a LogicalRDD leaf: downstream
+    plans lose Catalyst statistics (joins against it won't
+    auto-broadcast) but also lose the parent LINEAGE — use it when
+    the consumer's analyzed plan would otherwise grow with every
+    composition (iterative rounds: the r14 k-core fix took the
+    4-round plan from 234k lines / ~3 s of per-invocation planning
+    to a 4-leaf plan at ~0.4 s)."""
     from pyspark import StorageLevel
 
     return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
+# (applicationId, tag) -> an eagerly disk-checkpointed DataFrame; the
+# checkpoint IS the materialization, so no .cache() on top (blocks
+# would be stored twice). Same lifecycle as _FRAME_MEMO.
+_CKPT_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def session_checkpointed(spark: SparkSession, tag: str, frame: DataFrame) -> DataFrame:
+    """Memoized ``disk_checkpoint`` keyed on (applicationId, tag) —
+    the lineage-TRUNCATING sibling of ``session_cached``, for
+    intermediates whose consumers would otherwise re-analyze the
+    whole upstream tree every invocation (iterative graph rounds,
+    deep shared builders). Eager: fn() runs Spark jobs at
+    construction time on the first call per session."""
+    key = (spark.sparkContext.applicationId, tag)
+    hit = _CKPT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = disk_checkpoint(frame)
+    _CKPT_MEMO[key] = out
+    return out
+
+
+def frame_memo_tag(sf_dir: str, name: str) -> str:
+    """Canonical ``session_cached``/``session_checkpointed`` tag for a
+    frame derived from one fixture dir: name + abspath, so relative
+    and absolute callers share ONE memo entry (r13 advice: the
+    ppjoin_prefix tag keyed the raw sf_dir string while
+    _copurchase_op keyed abspath — mixed callers double-materialize).
+    Deliberately no (mtime, size) component, unlike model_memo_key:
+    cached frames hold derived ROWS that are rebuilt per application,
+    and no harness regenerates a fixture in place within one
+    application (tests use fresh tmp_path dirs); model state, which
+    bakes values into later plans, keeps the stat-based key."""
+    import os
+
+    return f"{name}:{os.path.abspath(sf_dir)}"
 
 
 _SCRATCH_DIRS: list[str] = []
