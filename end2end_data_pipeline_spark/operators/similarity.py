@@ -25,6 +25,8 @@ from end2end_data_pipeline_spark.functions import vectors as vec
 from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
     fan_out,
+    frame_memo_tag,
+    input_scaled_partitions,
     load_table,
     session_cached,
     sf_tag,
@@ -352,6 +354,15 @@ def _ivf_assign_frame(base: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus cell assignment. Deliberately NOT session-cached
+    (r14, measured): the assignment is a map-side argmax riding the
+    scan — cheap per execution — and putting an InMemoryRelation here
+    destabilized the ann_ivf_topk candidate join (the unmaterialized
+    cache's inflated size estimate flipped the probe join to
+    sort-merge depending on which family member ran first; nprobe
+    0.94 s -> 2.4 s). The PQ encoders fuse this derivation into their
+    own one-time cached builds instead (_pq_codes_op /
+    _pq_resid_codes_op)."""
     base = _qbase(spark, sf_dir)
     return _ivf_assign_frame(base, _ivf_centroids(base))
 
@@ -1185,26 +1196,48 @@ def _pq_codebook(subs: DataFrame) -> DataFrame:
     )
 
 
-def _pq_assigned(base: DataFrame) -> DataFrame:
-    """(vec_id, subspace, code, d): nearest codeword per subvector.
-    argmin via min(struct(d, code)): lexicographic struct-min is
-    exactly the (distance, code-id) tie-broken assignment the oracle
-    ranks, but partial-aggregates map-side — the K-way fan-out
-    collapses before the shuffle instead of sorting inside a
-    (vec, subspace) window."""
-    subs = _pq_subs(base)
+def _pq_codes_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, subspace, code, d): the raw-vector PQ corpus
+    ENCODE, session-cached once per (session, sf_dir) and shared by
+    embedding_pq_codebook (subspace/code/d census), ann_pq_topk
+    (vec/subspace/code lookup table) and ann_ivfpq_topk (the same
+    codes plus the IVF cell) — before r14 each of the three re-ran
+    the corpus-scale explode + broadcast-codebook argmin per
+    execution. argmin via min(struct(d, code)): lexicographic
+    struct-min is exactly the (distance, code-id) tie-broken
+    assignment the oracle ranks, but partial-aggregates map-side.
+    cell_id rides along from the session-cached IVF assignment (one
+    int per row; functionally dependent on vec_id, so grouping by it
+    changes nothing) — one encode serves both the flat-PQ and IVF-PQ
+    shapes."""
+    assigned = _ivf_assign(spark, sf_dir)
+    slices = F.array(
+        *[F.slice("qv", i * PQ_SUBDIM + 1, PQ_SUBDIM) for i in range(PQ_M)]
+    )
+    subs = assigned.select(
+        "vec_id", "cell_id", F.posexplode(slices).alias("subspace", "sv")
+    ).select(
+        "vec_id",
+        "cell_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        "sv",
+    )
     scored = subs.join(_pq_codebook(subs), "subspace").withColumn(
         "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
     )
-    return (
-        scored.groupBy("vec_id", "subspace")
+    return session_cached(
+        spark,
+        frame_memo_tag(sf_dir, "pq_codes"),
+        scored.groupBy("vec_id", "cell_id", "subspace")
         .agg(F.min(F.struct("d", "code")).alias("best"))
         .select(
             "vec_id",
+            "cell_id",
             "subspace",
             F.col("best.code").alias("code"),
             F.col("best.d").alias("d"),
         )
+        .coalesce(input_scaled_partitions(sf_dir, "embeddings")),
     )
 
 
@@ -1257,9 +1290,7 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast codebook on the subspace key; the census is an
     O({M}x{K})-key partial aggregate. The codebook bootstrap
     (vec_id < {K}) is a filter, not a collect."""
-    assigned = _pq_assigned(_qbase(spark, sf_dir)).select(
-        "subspace", "code", "d"
-    )
+    assigned = _pq_codes_op(spark, sf_dir).select("subspace", "code", "d")
     return (
         assigned.groupBy("subspace", F.col("code").cast("bigint").alias("code"))
         .agg(
@@ -1340,16 +1371,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     during scoring (same brute-force-vs-index contract as
     ``ann_ivf_persisted_topk``; accuracy vs exact search is
     ``ann_recall_eval``'s job)."""
+    # corpus codes from the family-shared session cache (one encode
+    # per session for pq/ivfpq/codebook — r14); the query-side
+    # distance table below stays a FRESH tiny scan: its vec_id filter
+    # pushes into the parquet read and it must not drag the corpus
+    # encode lineage into the broadcast branch.
+    codes = _pq_codes_op(spark, sf_dir).select("vec_id", "subspace", "code")
     subs = _pq_subs(_qbase(spark, sf_dir))
     codebook = _pq_codebook(subs)
-    scored = subs.join(codebook, "subspace").withColumn(
-        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
-    )
-    codes = (
-        scored.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d", "code")).alias("best"))
-        .select("vec_id", "subspace", F.col("best.code").alias("code"))
-    )
     qsubs = subs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("subspace").alias("q_subspace"),
@@ -1463,30 +1492,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe) x {M} rows collapsing through a map-side partial SUM; the
     rank window runs on the query key space. The corpus never joins
     itself and never re-reads full vectors after encoding."""
-    base = _qbase(spark, sf_dir)
-    assigned = _ivf_assign_frame(base, _ivf_centroids(base))
-    slices = F.array(
-        *[F.slice("qv", i * PQ_SUBDIM + 1, PQ_SUBDIM) for i in range(PQ_M)]
+    # cell-tagged corpus codes from the family-shared session cache
+    # (one fused assign+encode per session — r14); the raw codebook
+    # for the query-side distance table is the same first-PQ_K-vector
+    # derivation either way, rebuilt from a pushdown-filtered scan.
+    codes = _pq_codes_op(spark, sf_dir).select(
+        "vec_id", "cell_id", "subspace", "code"
     )
-    subs = assigned.select(
-        "vec_id", "cell_id", F.posexplode(slices).alias("subspace", "sv")
-    ).select(
-        "vec_id",
-        "cell_id",
-        F.col("subspace").cast("int").alias("subspace"),
-        "sv",
-    )
-    codebook = _pq_codebook(subs)
-    scored = subs.join(codebook, "subspace").withColumn(
-        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
-    )
-    codes = (
-        scored.groupBy("vec_id", "cell_id", "subspace")
-        .agg(F.min(F.struct("d", "code")).alias("best"))
-        .select(
-            "vec_id", "cell_id", "subspace", F.col("best.code").alias("code")
-        )
-    )
+    codebook = _pq_codebook(_pq_subs(_qbase(spark, sf_dir)))
     probes = F.broadcast(
         _ivf_probes(spark, sf_dir, IVF_NPROBE).select("query_id", "q_cell")
     )
@@ -1563,6 +1576,53 @@ def ivf_cell_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("label").alias("n_labels"),
         )
         .orderBy("cell_id")
+    )
+
+
+def _pq_resid_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, subspace, sv): every vector's RESIDUAL
+    (vector − its cell centroid) exploded into PQ subvectors — the
+    front end of the residual encode and of the residual codebook
+    derivation. Reads the session-cached IVF assignment, so the only
+    per-call work is a broadcast centroid join + zip_with + explode
+    (and a vec_id filter on the cache when only codebook rows are
+    wanted)."""
+    assigned = _ivf_assign(spark, sf_dir)
+    cents = _ivf_centroids(_qbase(spark, sf_dir))
+    resid = assigned.join(F.broadcast(cents), "cell_id").withColumn(
+        "rv", F.expr(vec.sub_q("qv", "c_qv", th.SPARK))
+    )
+    slices = F.array(
+        *[F.slice("rv", i * PQ_SUBDIM + 1, PQ_SUBDIM) for i in range(PQ_M)]
+    )
+    return resid.select(
+        "vec_id", "cell_id", F.posexplode(slices).alias("subspace", "sv")
+    ).select(
+        "vec_id",
+        "cell_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        "sv",
+    )
+
+
+def _pq_resid_codes_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, subspace, code): the residual-PQ corpus
+    encode, session-cached once per (session, sf_dir) — the residual
+    twin of ``_pq_codes_op`` (different codebook, so the two caches
+    cannot merge)."""
+    rsubs = _pq_resid_subs(spark, sf_dir)
+    scored = rsubs.join(_pq_codebook(rsubs), "subspace").withColumn(
+        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
+    )
+    return session_cached(
+        spark,
+        frame_memo_tag(sf_dir, "pq_resid_codes"),
+        scored.groupBy("vec_id", "cell_id", "subspace")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select(
+            "vec_id", "cell_id", "subspace", F.col("best.code").alias("code")
+        )
+        .coalesce(input_scaled_partitions(sf_dir, "embeddings")),
     )
 
 
@@ -1657,32 +1717,13 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-filter with the table lookup."""
     base = _qbase(spark, sf_dir)
     cents = _ivf_centroids(base)
-    assigned = _ivf_assign_frame(base, cents)
-    resid = assigned.join(F.broadcast(cents), "cell_id").withColumn(
-        "rv", F.expr(vec.sub_q("qv", "c_qv", th.SPARK))
-    )
-    slices = F.array(
-        *[F.slice("rv", i * PQ_SUBDIM + 1, PQ_SUBDIM) for i in range(PQ_M)]
-    )
-    rsubs = resid.select(
-        "vec_id", "cell_id", F.posexplode(slices).alias("subspace", "sv")
-    ).select(
-        "vec_id",
-        "cell_id",
-        F.col("subspace").cast("int").alias("subspace"),
-        "sv",
-    )
-    codebook = _pq_codebook(rsubs)
-    scored = rsubs.join(codebook, "subspace").withColumn(
-        "d", F.expr(_pq_sqdist("sv", "cv", th.SPARK))
-    )
-    codes = (
-        scored.groupBy("vec_id", "cell_id", "subspace")
-        .agg(F.min(F.struct("d", "code")).alias("best"))
-        .select(
-            "vec_id", "cell_id", "subspace", F.col("best.code").alias("code")
-        )
-    )
+    # residual corpus codes from the family-shared session cache (one
+    # residual encode per session — r14); the residual CODEBOOK for
+    # the query-side distance tables rebuilds from the same rsubs
+    # derivation, whose vec_id < PQ_K filter prunes the cached
+    # assignment scan to a handful of rows.
+    codes = _pq_resid_codes_op(spark, sf_dir)
+    codebook = _pq_codebook(_pq_resid_subs(spark, sf_dir))
     qres = (
         _ivf_probes(spark, sf_dir, IVF_NPROBE)
         .join(F.broadcast(cents), F.col("q_cell") == F.col("cell_id"))

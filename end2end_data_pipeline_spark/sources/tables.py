@@ -104,6 +104,37 @@ def session_checkpointed(spark: SparkSession, tag: str, frame: DataFrame) -> Dat
     return out
 
 
+def input_scaled_partitions(
+    sf_dir: str, *tables: str, target_mb: int = 64, factor: float = 1.0
+) -> int:
+    """Partition count for a session-cached frame derived from the
+    given fixture tables: ceil(input_bytes * factor / target_mb).
+    Cached frames pin their partitioning (AQE cannot coalesce an
+    InMemoryRelation after the fact), so an un-coalesced cache keeps
+    the build's 32-way layout forever — at sf0.1 that turned every
+    consumer pass over an 8k-row cache into 32 fixed-cost tasks
+    (guide §2.2: partitions should be data-sized). A CONSTANT
+    coalesce is the opposite failure at 100 TB, so the count derives
+    from the actual input bytes: ~1 locally, thousands on a real
+    table. ``factor`` scales for frames materially smaller than their
+    input (e.g. codes vs raw vectors)."""
+    import math
+    import os
+
+    total = 0
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return max(1, math.ceil(total * factor / (target_mb * 1024 * 1024)))
+
+
 def frame_memo_tag(sf_dir: str, name: str) -> str:
     """Canonical ``session_cached``/``session_checkpointed`` tag for a
     frame derived from one fixture dir: name + abspath, so relative
