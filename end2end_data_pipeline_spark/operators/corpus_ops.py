@@ -24,6 +24,8 @@ from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
     fan_out,
+    frame_memo_tag,
+    input_scaled_partitions,
     load_table,
     session_cached,
     sf_tag,
@@ -126,13 +128,25 @@ def _contam_shingles_sql(dialect: str, side_filter: str) -> str:
         )"""
 
 
-def _contam_shingles_spark(spark: SparkSession, sf_dir: str, eval_side: bool) -> DataFrame:
+def _all_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, shh) positional-shingle inventory over
+    the WHOLE corpus — the one md5 tokenize/hash pass behind
+    eval_contamination (train side = doc_id % EVAL_MOD != 0 filter,
+    eval side = == 0), the curation funnel's contamination stage, and
+    shingle_novelty_curve (no filter). Before r14 these were THREE
+    separately-cached corpus passes computing the identical shingle
+    expression (contam_train/contam_eval/novelty tags); the filters
+    are row-level, so one materialization serves all three.
+    Materialization (not just memoization) is load-bearing: a
+    Generate over the raw shingle expression re-inlines the whole
+    token-hash pass into every element_at reference (~8x the md5
+    work, measured r10)."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
-    cond = F.col("doc_id") % EVAL_MOD == 0 if eval_side else F.col("doc_id") % EVAL_MOD != 0
-    return (
-        docs.where(cond)
-        .where(F.expr(f"size({toks}) >= {CONTAM_N}"))
+    return session_cached(
+        spark,
+        frame_memo_tag(sf_dir, "corpus_shingles"),
+        docs.where(F.expr(f"size({toks}) >= {CONTAM_N}"))
         .select(
             "doc_id", F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr")
         )
@@ -140,6 +154,7 @@ def _contam_shingles_spark(spark: SparkSession, sf_dir: str, eval_side: bool) ->
             "doc_id",
             F.expr(th.shingle_combine("th_arr", CONTAM_N, th.SPARK)).alias("shh"),
         )
+        .coalesce(input_scaled_partitions(sf_dir, "documents")),
     )
 
 
@@ -185,29 +200,18 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _contam_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered per-train-doc contamination frame — shared by the
-    registered query (sorted output) and the curation funnel (joined
-    by doc_id, no sort wanted)."""
-    # cache: train is consumed twice (explode probe + final join) and
-    # its shingle column is an expensive md5-pass expression — without
-    # materialization Catalyst's projection collapse re-inlines the
-    # whole token-hash pass into every downstream reference (the
-    # dedup.py lesson; measured ~80x slower here)
-    train = session_cached(
-        spark,
-        f"contam_train_shingles:{sf_dir}",
-        _contam_shingles_spark(spark, sf_dir, eval_side=False),
-    )
-    # the eval side must ALSO materialize before its explode: a
-    # Generate over the raw shingle expression re-inlines the token-
-    # hash array into every element_at reference (~8x the md5 work,
-    # measured as the whole query's bottleneck)
+    """Per-train-doc contamination frame, session-cached (r14): three
+    consumers (the registered query's sorted output, the curation
+    funnel's doc_id join, the stream replay's static side) each
+    re-ran the explode + broadcast-probe + count pipeline per
+    execution; the output is five narrow columns per train doc, so
+    the flag frame is cached and the pipeline runs once per session.
+    Both shingle sides are row-filters on the ONE cached corpus
+    inventory (_all_shingles)."""
+    sh = _all_shingles(spark, sf_dir)
+    train = sh.where(F.col("doc_id") % EVAL_MOD != 0)
     eval_sh = (
-        session_cached(
-            spark,
-            f"contam_eval_shingles:{sf_dir}",
-            _contam_shingles_spark(spark, sf_dir, eval_side=True),
-        )
+        sh.where(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode("shh").alias("sh"))
         .distinct()
     )
@@ -217,7 +221,9 @@ def _contam_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_raw"))
     )
-    return (
+    return session_cached(
+        spark,
+        frame_memo_tag(sf_dir, "contam_perdoc"),
         train.join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -234,6 +240,7 @@ def _contam_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("contaminated"),
         )
+        .coalesce(input_scaled_partitions(sf_dir, "documents")),
     )
 
 
@@ -381,22 +388,10 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode + min-aggregate keyed by shingle hash (uniform
     8-byte keys, partial agg map-side), then an O(docs) count and a
     doc_id-keyed left join — never all-pairs, no per-doc state."""
-    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
-    toks = th.tokens("text", th.SPARK)
-    sh = session_cached(
-        spark,
-        f"novelty_shingles:{sf_dir}",
-        docs.where(F.expr(f"size({toks}) >= {CONTAM_N}"))
-        .select(
-            "doc_id", F.expr(th.reduced_token_hashes(toks, th.SPARK)).alias("th_arr")
-        )
-        .select(
-            "doc_id",
-            F.expr(th.shingle_combine("th_arr", CONTAM_N, th.SPARK)).alias("shh"),
-        ),
-        # cached + memoized: consumed twice (explode + final join); see
-        # eval_contamination for why materialization is load-bearing
-    )
+    # the full-corpus shingle inventory shared with eval_contamination
+    # and the curation funnel — one cached md5 pass per session (r14);
+    # consumed twice here (explode + final join)
+    sh = _all_shingles(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shh").alias("s"))
     firsts = exploded.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     introduced = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
@@ -691,14 +686,16 @@ def docs_dsir_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered per-document DSIR frame — shared by the registered
-    query (which adds the output sort) and the curation funnel (which
-    joins it by doc_id and must not pay a wasted global sort)."""
+    """Per-document DSIR frame, session-cached (r14): shared by the
+    registered query (adds the output sort), the curation funnel and
+    the stream replay (doc_id joins) — each re-ran the explode +
+    census + re-join pipeline per execution; the output is seven
+    narrow columns per doc, cached once per session."""
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
     base = session_cached(
         spark,
-        f"dsir_base:{sf_dir}",
+        frame_memo_tag(sf_dir, "dsir_base"),
         docs.select(
             "doc_id",
             "lang",
@@ -748,7 +745,9 @@ def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_total") + F.lit(DSIR_B)
     ).cast("double")
     sel = (num / den) >= F.lit(DSIR_TAU)
-    return (
+    return session_cached(
+        spark,
+        frame_memo_tag(sf_dir, "dsir_perdoc"),
         base.join(perdoc, "doc_id", "left")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -769,10 +768,49 @@ def _dsir_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("selected"),
         )
+        .coalesce(input_scaled_partitions(sf_dir, "documents")),
     )
 
 
 # --- end-to-end curation funnel -------------------------------------
+
+
+def _curation_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-document curation base: (doc_id, source,
+    lang, n_chars, h=md5(text), q=quality_ok, lang_ok, tr) — eight
+    narrow columns, one documents scan. Shared by
+    corpus_curation_funnel (scored rows AND the quality-survivor
+    aggregate, i.e. both join sides), training_corpus_filter (its
+    scored rows and its all-docs survivor aggregate) and
+    curation_stream_replay's static survivor side — before r14 each
+    consumer re-scanned documents and recomputed md5 + the quality /
+    lang-ID expression trees per reference (the funnel alone paid the
+    scan twice per execution: once under the flags projection, once
+    under the survivor aggregate)."""
+    from end2end_data_pipeline_spark.operators.text_analysis import (
+        _langid_exprs,
+        _quality_exprs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return session_cached(
+        spark,
+        frame_memo_tag(sf_dir, "curation_scored"),
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.md5("text").alias("h"),
+            F.expr(_quality_exprs(th.SPARK)["quality_ok"]).alias("q"),
+            F.when(
+                F.expr(_langid_exprs(th.SPARK)[1]) == F.col("lang"), 1
+            )
+            .otherwise(0)
+            .alias("lang_ok"),
+            F.when(F.col("doc_id") % EVAL_MOD != 0, 1).otherwise(0).alias("tr"),
+        ).coalesce(input_scaled_partitions(sf_dir, "documents")),
+    )
 
 
 def _funnel_rollup(flags: DataFrame) -> DataFrame:
@@ -887,21 +925,13 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     builders and join back by doc_id — document text is never moved
     more than the component operators already move it, and the final
     rollup is O(|sources|)."""
-    from end2end_data_pipeline_spark.operators.text_analysis import (
-        _quality_exprs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.md5("text").alias("h"),
-        F.expr(_quality_exprs(th.SPARK)["quality_ok"]).alias("q"),
-        F.when(F.col("doc_id") % EVAL_MOD != 0, 1).otherwise(0).alias("tr"),
-    )
+    # both join sides come from the ONE cached per-doc scored frame
+    # (r14): the scan + md5 + quality expressions run once per session
+    # instead of twice per execution
+    base = _curation_scored(spark, sf_dir)
+    scored = base.select("doc_id", "source", "n_chars", "h", "q", "tr")
     surv = (
-        scored.where(F.col("q") == 1)
+        base.where(F.col("q") == 1)
         .groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"))
     )
@@ -1154,14 +1184,9 @@ def curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # joins (deterministic batch frames; session-cached builders).
         # Survivorship among QUALITY SURVIVORS, same convention as the
         # batch funnel (see corpus_curation_funnel docstring).
-        docs = load_table(spark, sf_dir, "documents")
         surv = (
-            docs.select(
-                "doc_id",
-                F.md5("text").alias("h"),
-                F.expr(_quality_exprs(th.SPARK)["quality_ok"]).alias("q0"),
-            )
-            .where(F.col("q0") == 1)
+            _curation_scored(spark, sf_dir)
+            .where(F.col("q") == 1)
             .groupBy("h")
             .agg(F.min("doc_id").alias("keep_id"))
         )

@@ -411,18 +411,26 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(|langs|) rollup. This is the query shape that materializes a
     training corpus at 100 TB — filters first, dedup on hashes, never
     moving document bodies more than once."""
-    docs = load_table(spark, sf_dir, "documents")
-    q = _quality_exprs(th.SPARK)["quality_ok"]
-    pred = _langid_exprs(th.SPARK)[1]
-    scored = docs.select(
+    # per-doc scored base shared with the curation funnel / stream
+    # replay (r14, session-cached in corpus_ops._curation_scored):
+    # one documents scan + md5 + quality/lang-ID expression pass per
+    # session serves this query's scored rows AND its survivor
+    # aggregate (lazy import — corpus_ops lazily imports this module's
+    # expression builders, so neither import is module-level)
+    from end2end_data_pipeline_spark.operators.corpus_ops import (
+        _curation_scored,
+    )
+
+    base = _curation_scored(spark, sf_dir)
+    scored = base.select(
         "doc_id",
         "lang",
         "n_chars",
-        F.md5("text").alias("h"),
-        F.expr(q).alias("quality_ok"),
-        F.when(F.expr(pred) == F.col("lang"), 1).otherwise(0).alias("lang_ok"),
+        "h",
+        F.col("q").alias("quality_ok"),
+        "lang_ok",
     )
-    survivors = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    survivors = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     flagged = scored.join(survivors, "h").select(
         "lang",
         "n_chars",
