@@ -1332,7 +1332,7 @@ def source_ablation_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tot, grid); cache it so the corpus is scanned exactly once
     sl = session_cached(
         spark,
-        f"ablation_sl:{sf_dir}",
+        frame_memo_tag(sf_dir, "ablation_sl"),
         docs.groupBy("source", "lang").agg(
             F.count("*").alias("n_docs"),
             F.sum(F.expr(f"size({toks})")).cast("bigint").alias("n_tokens"),

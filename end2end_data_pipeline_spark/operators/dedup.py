@@ -33,6 +33,7 @@ from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
     disk_checkpoint,
     fan_out,
+    frame_memo_tag,
     load_table,
     model_memo_key,
     session_cached,
@@ -287,7 +288,7 @@ def dedup_minhash_pairs(
     hot-bucket guard; the oversize-bucket list is tiny so the filter
     is a broadcast anti-join)."""
     sigs = session_cached(
-        spark, f"minhash_sigs:{sf_dir}", _signatures(spark, sf_dir)
+        spark, frame_memo_tag(sf_dir, "minhash_sigs"), _signatures(spark, sf_dir)
     )
     bands = bands_for(sigs)
     oversize = (
@@ -419,7 +420,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact hamming filter. 16-bit chunks: hamming <= 3 over 64
     bits guarantees one equal chunk."""
     sigs = session_cached(
-        spark, f"simhash_sigs:{sf_dir}", _simhash_signatures(spark, sf_dir)
+        spark, frame_memo_tag(sf_dir, "simhash_sigs"), _simhash_signatures(spark, sf_dir)
     )
     chunks = sigs.select(
         "doc_id",
@@ -512,7 +513,7 @@ def dedup_ngram_jaccard_pairs(
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     sh = session_cached(
         spark,
-        f"shingle_sets:{sf_dir}",
+        frame_memo_tag(sf_dir, "shingle_sets"),
         docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")),
     )
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
@@ -552,7 +553,7 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_pairs candidate+verify pipeline, minus output
     shaping)."""
     sigs = session_cached(
-        spark, f"minhash_sigs:{sf_dir}", _signatures(spark, sf_dir)
+        spark, frame_memo_tag(sf_dir, "minhash_sigs"), _signatures(spark, sf_dir)
     )
     bands = sigs.select(
         "doc_id",
@@ -645,17 +646,16 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _lsh_edges(spark, sf_dir)
     bidir = session_cached(
         spark,
-        f"cc_bidir_edges:{sf_dir}",
+        frame_memo_tag(sf_dir, "cc_bidir_edges"),
         edges.union(
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .toDF("src", "dst")
         .repartition(CC_PARTITIONS, "src"),
     )
-    labels = (
+    labels = disk_checkpoint(
         bidir.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     try:
         for _ in range(MAX_CC_ITERATIONS):
@@ -679,8 +679,11 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
                 .withColumnRenamed("new_label", "label")
-                .localCheckpoint()
             )
+            # DISK_ONLY level via disk_checkpoint (r14): memory-level
+            # checkpoint blocks compete with the session's cached
+            # frames in the storage pool (see sources/tables.py)
+            new_labels = disk_checkpoint(new_labels)
             changed = new_labels.where("changed").count()
             labels = new_labels.select("node", "label")
             if changed == 0:
@@ -803,7 +806,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     sh = session_cached(
         spark,
-        f"shingle_sets:{sf_dir}",
+        frame_memo_tag(sf_dir, "shingle_sets"),
         docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")),
     )
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
@@ -989,7 +992,7 @@ def dedup_prefixfilter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     sh = session_cached(
         spark,
-        f"shingle_sets:{sf_dir}",
+        frame_memo_tag(sf_dir, "shingle_sets"),
         docs.select("doc_id", F.expr(_shingle_set(th.SPARK)).alias("sh")),
     )
     inv = sh.select(
@@ -1014,7 +1017,7 @@ def dedup_prefixfilter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit — one corpus-scale index build, probed by both sides.
     pref = session_cached(
         spark,
-        f"ppjoin_prefix:{sf_dir}",
+        frame_memo_tag(sf_dir, "ppjoin_prefix"),
         ranked.where(F.col("pos") <= F.expr("sz DIV 2 + 1")).select(
             "doc_id", "sz", "shingle"
         ),
@@ -1269,7 +1272,7 @@ def _dupspan_frames(
     toks = th.tokens("text", th.SPARK)
     base = session_cached(
         spark,
-        f"dupspan_base:{sf_dir}",
+        frame_memo_tag(sf_dir, "dupspan_base"),
         docs.select(
             "doc_id",
             F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
@@ -1473,8 +1476,12 @@ def split_leakage_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nodes). The pair set is the LSH output — far smaller than
         # the corpus — so this is a tiny write that removes two full
         # pipeline re-runs (guide §2.4: remove shuffles outright).
-        .localCheckpoint(eager=True)
+        # DISK_ONLY via disk_checkpoint (r14 consistency audit): the
+        # pair set is small but UNBOUNDED in the corpus, so its blocks
+        # must not compete with the session's cached working set (the
+        # r13 finding that motivated disk_checkpoint; tables.py note).
     )
+    labeled = disk_checkpoint(labeled)
     pair_stats = labeled.groupBy("split_lo", "split_hi").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.max("jaccard").alias("max_jaccard"),
@@ -1907,7 +1914,7 @@ def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
     toks = th.tokens("text", th.SPARK)
     sh = session_cached(
-        spark, f"kmv_shingle_sets:{sf_dir}", _kmv_shingle_rows(docs)
+        spark, frame_memo_tag(sf_dir, "kmv_shingle_sets"), _kmv_shingle_rows(docs)
     )
     exact = sh.groupBy("source").agg(F.count("*").alias("n"))
     sk = _kmv_sketches(sh)

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
+    frame_memo_tag,
     load_table,
     session_cached,
     sf_tag,
@@ -1169,7 +1170,7 @@ def user_stickiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct frame materializes once
     active = session_cached(
         spark,
-        f"user_day_distinct:{sf_dir}",
+        frame_memo_tag(sf_dir, "user_day_distinct"),
         ev.select("user_id", F.to_date("ts").alias("day")).distinct(),
     )
     spine = F.broadcast(active.select("day").distinct().alias("s"))
@@ -1282,7 +1283,7 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the fact is scanned once
     ut = session_cached(
         spark,
-        f"user_type_distinct:{sf_dir}",
+        frame_memo_tag(sf_dir, "user_type_distinct"),
         ev.select("user_id", "event_type").distinct(),
     )
     n_users = ut.agg(F.count_distinct("user_id").alias("n"))

@@ -1247,6 +1247,8 @@ BFS_MAX_HOPS = 3
 # adjacent when suppliers from both appear in the same order). The
 # per-level DISTINCT plus the depth guard bounds the recursion at
 # O(|nations| x BFS_MAX_HOPS) rows — no path enumeration.
+_BFS_VIEW_IDS = __import__("itertools").count()
+
 _BFS_SQL = f"""
     WITH RECURSIVE supnation AS (
       SELECT DISTINCT l.l_orderkey, s.s_nationkey
@@ -1292,9 +1294,16 @@ def nation_cosupply_bfs_recursive(
     and recurses over the materialized view; the recursion text and the
     DuckDB oracle are byte-identical to the one-text form, so the
     result is unchanged."""
+    from end2end_data_pipeline_spark.sources.tables import disk_checkpoint
+
     register_views(spark, sf_dir, "lineitem", "supplier")
-    edges = spark.sql(
-        """
+    # DISK_ONLY level (r14 consistency audit — tables.py note); blocks
+    # live on executors, so at cluster scale a lost executor fails the
+    # query instead of recomputing — acceptable for this O(|nations|^2)
+    # frame, and a reliable checkpoint dir is a drop-in swap.
+    edges = disk_checkpoint(
+        spark.sql(
+            """
         WITH supnation AS (
           SELECT DISTINCT l.l_orderkey, s.s_nationkey
           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1304,15 +1313,20 @@ def nation_cosupply_bfs_recursive(
           ON a.l_orderkey = b.l_orderkey
          AND a.s_nationkey <> b.s_nationkey
         """
-    ).localCheckpoint()
-    edges.createOrReplaceTempView("cosupply_edges_ckpt")
+        )
+    )
+    # per-invocation view name (r13 advice): a fixed session-global
+    # name lets two concurrent builds in one session bind one
+    # invocation's recursion to the other's edge list
+    view = f"cosupply_edges_ckpt_{next(_BFS_VIEW_IDS)}"
+    edges.createOrReplaceTempView(view)
     return spark.sql(
         f"""
         WITH RECURSIVE hops(nation, dist) AS (
           SELECT CAST({BFS_SEED_NATION} AS BIGINT), 0
           UNION ALL
           SELECT DISTINCT e.dst, h.dist + 1
-          FROM hops h JOIN cosupply_edges_ckpt e ON e.src = h.nation
+          FROM hops h JOIN {view} e ON e.src = h.nation
           WHERE h.dist < {BFS_MAX_HOPS}
         )
         SELECT nation, CAST(MIN(dist) AS INTEGER) AS hops

@@ -24,6 +24,7 @@ from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.functions import vectors as vec
 from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
+    disk_checkpoint,
     fan_out,
     frame_memo_tag,
     input_scaled_partitions,
@@ -2291,9 +2292,10 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize ONCE: three consumers (full-dim anchor, the hits
         # join, and the query-count scalar) otherwise re-execute the
         # whole O(n x q x dims) pair/melt/rank pipeline each (r13 plan
-        # review). ranked is |budgets| x |queries| x K rows — tiny.
-        .localCheckpoint()
+        # review). ranked is |budgets| x |queries| x K rows — tiny,
+        # but DISK_ONLY anyway (r14 consistency audit, tables.py note).
     )
+    ranked = disk_checkpoint(ranked)
     full_k = ranked.where(F.col("dim_budget") == MRL_DIMS[-1]).select(
         "query_id", "neighbor_id"
     )
