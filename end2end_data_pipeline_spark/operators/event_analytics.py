@@ -1633,18 +1633,27 @@ def user_ab_experiment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     is_purchase = F.col("event_type") == "purchase"
-    return (
-        ev.select(arm.alias("arm"), "user_id", "event_type")
-        .groupBy("arm")
+    # two-level aggregate instead of two count-distincts (r14, §2.3):
+    # the distinct pair forced a 3-way Expand of the fact rows before
+    # the shuffle; the (arm, user) pre-aggregate ships one row per
+    # user and derives the same four exact counts at level two
+    per_user = (
+        ev.select(arm.alias("arm"), "user_id", is_purchase.alias("is_p"))
+        .groupBy("arm", "user_id")
         .agg(
-            F.count_distinct("user_id").cast("bigint").alias("n_users"),
-            F.count("*").cast("bigint").alias("n_events"),
-            F.count_distinct(F.when(is_purchase, F.col("user_id")))
+            F.count("*").alias("ev_cnt"),
+            F.sum(F.col("is_p").cast("bigint")).alias("pur_cnt"),
+        )
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("ev_cnt").cast("bigint").alias("n_events"),
+            F.sum((F.col("pur_cnt") > 0).cast("bigint"))
             .cast("bigint")
             .alias("n_purchasers"),
-            F.sum(is_purchase.cast("bigint")).cast("bigint").alias(
-                "n_purchases"
-            ),
+            F.sum("pur_cnt").cast("bigint").alias("n_purchases"),
         )
         .select(
             "arm",

@@ -167,7 +167,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select(
         "node", F.lit(PR_SCALE // N_NATIONS).cast("bigint").alias("rank")
     )
-    for _ in range(PR_ITERS):
+    for k in range(PR_ITERS):
         contribs = (
             eshare.join(F.broadcast(ranks), eshare.src == ranks.node)
             .select(
@@ -179,11 +179,20 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = nodes.join(F.broadcast(contribs), "node", "left").select(
-            "node",
-            (F.lit(TELEPORT) + F.coalesce(F.col("contrib"), F.lit(0)))
-            .cast("bigint")
-            .alias("rank"),
+        # per-round rank state checkpointed, not chained (r14, the
+        # k-core lesson): 8 chained rounds kept every earlier round's
+        # lineage in the analyzed plan, so each invocation re-planned
+        # the whole tower (the sf0.001 parity test alone spent ~49 s
+        # mostly planning); each round is O(|nations|) rows.
+        ranks = session_checkpointed(
+            spark,
+            f"pagerank_r{k + 1}_{tag}",
+            nodes.join(F.broadcast(contribs), "node", "left").select(
+                "node",
+                (F.lit(TELEPORT) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank"),
+            ),
         )
     total = ranks.agg(F.sum("rank").alias("total"))
     return (

@@ -1447,26 +1447,30 @@ def event_value_conformal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     division; the split is a pure function of (salt, event_id),
     reproducible on any engine.
 
-    Scale: one fact pass builds the calibration histogram (bounded by
-    the quantized value domain per type), a second scores coverage
-    against the broadcast O(types) band table; the CDF windows run
-    over the bounded histogram — raw rows are never sorted."""
+    Scale: ONE fact pass builds a (type, cents, is_cal) histogram
+    (bounded by the quantized value domain per type, twice) — r14:
+    the eval half previously re-scanned the facts and re-hashed every
+    event_id a second time, but coverage is itself a function of the
+    histogram (count rows whose cents fall inside the band), so both
+    the calibration CDF and the eval scoring fold out of the same
+    map-side-combined aggregate; the CDF windows run over the bounded
+    frame — raw rows are never sorted."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     is_cal = F.expr(
         _CONF_SPLIT.format(
             h=salted_md5h(CONF_SALT, "CAST(event_id AS STRING)", SPARK)
         )
     )
-    base = ev.select(
-        "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        is_cal.alias("is_cal"),
-    )
-    hist = (
-        base.where("is_cal")
-        .groupBy("event_type", "cents")
+    base = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            is_cal.alias("is_cal"),
+        )
+        .groupBy("event_type", "cents", "is_cal")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    hist = base.where("is_cal").select("event_type", "cents", "cnt")
     wc = Window.partitionBy("event_type").orderBy("cents")
     cum = hist.select(
         "event_type",
@@ -1499,8 +1503,10 @@ def event_value_conformal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bands), "event_type")
         .groupBy("event_type", "n_cal", "lo_cents", "hi_cents")
         .agg(
-            F.count("*").cast("bigint").alias("n_eval"),
-            F.sum(covered.cast("bigint")).cast("bigint").alias("n_covered"),
+            F.sum("cnt").cast("bigint").alias("n_eval"),
+            F.sum(F.when(covered, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
         )
         .select(
             "event_type",

@@ -22,3 +22,40 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def executed_plans(spark):
+    """(plans, errors): name -> executedPlan string for EVERY
+    registered query at sf0.01, built ONCE per test session and shared
+    by the registry-wide plan gates (plan audit, the Python-node
+    sweep, the schema-resolution sweep) — r14: the three gates each
+    re-built all ~336 plans (~6 min each with the eager materializers
+    running at construction); one build serves all three. Plans are
+    built from a small thread pool: construction is driver-side
+    Catalyst work plus the memoized one-time materializer jobs, both
+    thread-safe (guide §2.6 — a duplicate memo build under a race is
+    wasted work, never wrong results)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.01"
+    plans: dict[str, str] = {}
+    errors: dict[str, str] = {}
+
+    def build(item):
+        name, fn = item
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+            return name, plan, None
+        except Exception as exc:  # noqa: BLE001 — collected as findings
+            return name, None, f"plan build failed: {str(exc).splitlines()[0][:200]}"
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for name, plan, err in pool.map(build, entrymod.queries().items()):
+            if err is not None:
+                errors[name] = err
+            else:
+                plans[name] = plan
+    return plans, errors

@@ -33,22 +33,16 @@ def test_clean_plan():
 
 
 @pytest.mark.slow
-def test_registry_plans_are_clean(spark):
-    """Build EVERY registered query's executed plan at sf0.01 and fail
-    on any unwaived flag. Doubles as an analysis gate: a query that no
+def test_registry_plans_are_clean(executed_plans):
+    """Audit EVERY registered query's executed plan at sf0.01 (built
+    once in the session-scoped ``executed_plans`` fixture) and fail on
+    any unwaived flag. Doubles as an analysis gate: a query that no
     longer resolves against the current fixtures (e.g. a type change
     in regenerated testdata) fails here at plan-build time instead of
     surfacing a round later in the driver's correctness report."""
-    import __spark_entry__ as entrymod
-
-    sf_dir = "/root/testdata/sf0.01"
-    failures = {}
-    for name, fn in entrymod.queries().items():
-        try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        except Exception as exc:  # analysis failure IS a finding
-            failures[name] = f"plan build failed: {str(exc).splitlines()[0][:200]}"
-            continue
+    plans, errors = executed_plans
+    failures = dict(errors)
+    for name, plan in plans.items():
         flags = audit_plan(plan)
         if WAIVERS.get(name) in flags:
             flags.remove(WAIVERS[name])

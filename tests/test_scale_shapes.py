@@ -51,15 +51,14 @@ def test_asof_join_has_single_user_shuffle_and_no_join(spark):
     assert "Window" in plan
 
 
-def test_no_row_at_a_time_python_anywhere(spark):
+def test_no_row_at_a_time_python_anywhere(executed_plans):
     """EVERY registered query must stay off the row-at-a-time Python
     path (BatchEvalPython); Python is allowed only as Arrow-batched
-    mapInPandas (the multimodal boundary). Plan-build only — no jobs
-    run, so sweeping the full registry stays cheap."""
-    offenders = []
-    for name in entrymod.queries():
-        if "BatchEvalPython" in _plan(spark, name):
-            offenders.append(name)
+    mapInPandas (the multimodal boundary). Reads the session-shared
+    plan build (r14) — Python-node presence is sf-independent, and a
+    query that fails to BUILD is the plan-audit gate's finding."""
+    plans, _errors = executed_plans
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
     assert not offenders, offenders
 
 

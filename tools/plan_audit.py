@@ -119,6 +119,14 @@ WAIVERS: dict[str, str] = {
     # equi keys — still a broadcast join against the O(|Q| x nprobe x
     # M x K) distance table.
     "ann_ivfpq_residual_topk": "bnlj-over-two-scans",
+    # r14: the shared PQ corpus encode (_pq_codes_op) fuses the IVF
+    # cell assignment — the SAME waived O(n x 16) broadcast centroid
+    # scoring as the ann_ivf_* family above — into its once-per-session
+    # cached build, so the flat-PQ consumers now show that intentional
+    # BNLJ in their (unmaterialized) build lineage; their own joins
+    # are broadcast equi-joins against codes/codebook/dtable.
+    "ann_pq_topk": "bnlj-over-two-scans",
+    "embedding_pq_codebook": "bnlj-over-two-scans",
     # 1-row broadcast scalar attach (global aggregate cross-joined back
     # onto the distributed side) — the standard way to apply a global
     # total/max without collecting to the driver; nothing large moves.
