@@ -186,8 +186,6 @@ def _copurchase_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     eager-checkpoint variant a wash, its barriers costing what the
     dedup saved) keeps Catalyst statistics, so the pair self-join
     still plans its broadcasts."""
-    import os
-
     return session_cached(
         spark,
         frame_memo_tag(sf_dir, "copurchase_op"),

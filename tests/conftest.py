@@ -31,11 +31,12 @@ def executed_plans(spark):
     by the registry-wide plan gates (plan audit, the Python-node
     sweep, the schema-resolution sweep) — r14: the three gates each
     re-built all ~336 plans (~6 min each with the eager materializers
-    running at construction); one build serves all three. Plans are
-    built from a small thread pool: construction is driver-side
-    Catalyst work plus the memoized one-time materializer jobs, both
-    thread-safe (guide §2.6 — a duplicate memo build under a race is
-    wasted work, never wrong results)."""
+    running at construction); one build serves all three.
+    CONSTRUCTION stays sequential — a handful of builders run
+    first-call side effects at construction (bucketed saveAsTable,
+    data-source registration) and racing them corrupts their shared
+    scratch; only the thread-safe physical-planning calls overlap on
+    a small pool (guide §2.6)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import __spark_entry__ as entrymod
@@ -43,17 +44,22 @@ def executed_plans(spark):
     sf = "/root/testdata/sf0.01"
     plans: dict[str, str] = {}
     errors: dict[str, str] = {}
-
-    def build(item):
-        name, fn = item
+    built = []
+    for name, fn in entrymod.queries().items():
         try:
-            plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
-            return name, plan, None
+            built.append((name, fn(spark, sf)))
+        except Exception as exc:  # noqa: BLE001 — collected as findings
+            errors[name] = f"plan build failed: {str(exc).splitlines()[0][:200]}"
+
+    def physical(item):
+        name, df = item
+        try:
+            return name, df._jdf.queryExecution().executedPlan().toString(), None
         except Exception as exc:  # noqa: BLE001 — collected as findings
             return name, None, f"plan build failed: {str(exc).splitlines()[0][:200]}"
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        for name, plan, err in pool.map(build, entrymod.queries().items()):
+        for name, plan, err in pool.map(physical, built):
             if err is not None:
                 errors[name] = err
             else:

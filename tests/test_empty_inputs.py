@@ -51,20 +51,29 @@ def test_fixed_queries_survive_empty_inputs(spark, empty_sf_dir, name):
 
 @pytest.mark.slow
 def test_every_query_survives_empty_inputs(spark, empty_sf_dir):
-    # a small thread pool overlaps the per-query fixed costs (plan +
-    # tiny job) across the local[4] session — guide §2.6; each query
-    # is independent and the failure list is collected, not raced
-    # (r14: 242 s sequential -> ~1/3 of that)
+    # CONSTRUCTION stays sequential — a handful of builders run
+    # first-call side effects at construction (bucketed saveAsTable,
+    # the Python data-source registration, replay drains) and racing
+    # them corrupts their shared scratch (caught by this very test
+    # when the whole probe was threaded). Only the independent
+    # EXECUTIONS overlap on the pool (guide §2.6) — r14: 242 s -> ~90 s.
     from concurrent.futures import ThreadPoolExecutor
 
-    def probe(item):
-        name, fn = item
-        try:
-            fn(spark, empty_sf_dir).limit(5).collect()
-            return None
-        except Exception as exc:  # noqa: BLE001 — collecting a report
-            return f"{name}: {type(exc).__name__}: {str(exc)[:100]}"
-
+    failures = []
     with ThreadPoolExecutor(max_workers=4) as pool:
-        failures = [f for f in pool.map(probe, entrymod.queries().items()) if f]
+        futures = []
+        for name, fn in entrymod.queries().items():
+            try:
+                df = fn(spark, empty_sf_dir)
+            except Exception as exc:  # noqa: BLE001 — collecting a report
+                failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:100]}")
+                continue
+            futures.append(
+                (name, pool.submit(lambda d=df: d.limit(5).collect()))
+            )
+        for name, fut in futures:
+            try:
+                fut.result()
+            except Exception as exc:  # noqa: BLE001 — collecting a report
+                failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:100]}")
     assert not failures, "queries crash on empty inputs:\n" + "\n".join(failures)
