@@ -263,7 +263,19 @@ def test_bench_diff_on_committed_records():
         # eviction artifact the r13 pin was suspected of. 71 -> 269 is
         # the r14 family re-shape (shared checkpointed pair list,
         # merge-hinted self-join — plans/r14/part_copurchase_lift_*).
-        "part_copurchase_lift": {(71, 551), (71, 269)},
+        # 71 -> 341 is the SAME r14 shape measured by the full bench:
+        # lift's first execution runs the one-time family build (the
+        # incidence cache + checkpointed pair list shared by 6
+        # queries), and that build's task total depends on session
+        # state at that point of the run — reproduced 2026-08-18:
+        # cold session 576 tasks (build counted from construction),
+        # mid-bench 341, and 269 when construction precedes the job
+        # group (tools/profile_query.py orders it that way). The
+        # executed plan is identical in all three (isolated profile:
+        # 16 Exchange / 4 BHJ / 0 SMJ, min 1.64 s) and the oracle is
+        # strict-green; only WHERE the shared build's stages land
+        # differs.
+        "part_copurchase_lift": {(71, 551), (71, 269), (71, 341)},
     }
     unexplained = {
         q: ab
