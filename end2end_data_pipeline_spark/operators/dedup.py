@@ -1785,25 +1785,52 @@ def _kmv_sketches(sh: DataFrame) -> DataFrame:
     )
 
 
-def _kmv_pair_scores(sk: DataFrame) -> DataFrame:
+def _kmv_pair_scores(sk: DataFrame, extra: str | None = None) -> DataFrame:
     """Pairwise (src_a, src_b, est_union, inter_in_u, n_u) purely from
     the sketch frame — the theta-sketch algebra shared by the batch
-    query and the streaming replay."""
-    prs = (
-        sk.alias("a")
-        .join(
-            F.broadcast(sk.alias("b")),
-            F.col("a.source") < F.col("b.source"),
-        )
-        .select(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
+    query and the streaming replay.
+
+    Pair generation collapses the per-source frame to ONE row
+    (``collect_list`` of (source, sketch) structs, O(|sources| x k)
+    values — the same bytes the old shape BROADCAST as the join's
+    build side) and explodes the a < b combinations from it, exactly
+    like the exact matrix's source-set pair explode. The previous
+    ``sk.alias(a) x broadcast(sk.alias(b))`` non-equi self-join
+    planned a BroadcastNestedLoopJoin whose two inputs each carried a
+    FULL copy of the sketch-build subtree (window top-k over the
+    corpus-scale shingle frame), so every execution ran the sketch
+    pass twice (r14, guide §2.4: duplicated subtrees).
+
+    ``extra`` names one additional per-source column to carry into
+    the pair rows as ``<extra>_a`` / ``<extra>_b`` (the batch query
+    rides its exact per-source counts through here instead of two
+    more broadcast joins whose build sides re-aggregated the corpus).
+    """
+    cols = ["source", "sketch"] + ([extra] if extra else [])
+    carry = (
+        f", a.{extra} AS {extra}_a, b.{extra} AS {extra}_b" if extra else ""
+    )
+    one = sk.agg(
+        F.sort_array(F.collect_list(F.struct(*cols))).alias("xs")
+    )
+    prs = one.select(
+        F.explode(
             F.expr(
-                "array_sort(array_distinct(concat(a.sketch, b.sketch)))"
-            ).alias("merged"),
-            F.col("a.sketch").alias("sa"),
-            F.col("b.sketch").alias("sb"),
-        )
+                "flatten(transform(xs, (a, i) -> "
+                "transform(slice(xs, i + 2, size(xs)), "
+                "b -> struct(a.source AS src_a, b.source AS src_b, "
+                "a.sketch AS sa, b.sketch AS sb" + carry + "))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    extra_cols = [f"{extra}_a", f"{extra}_b"] if extra else []
+    prs = prs.select(
+        "src_a",
+        "src_b",
+        F.expr("array_sort(array_distinct(concat(sa, sb)))").alias("merged"),
+        "sa",
+        "sb",
+        *extra_cols,
     )
     return prs.select(
         "src_a",
@@ -1812,6 +1839,7 @@ def _kmv_pair_scores(sk: DataFrame) -> DataFrame:
         F.size("merged").alias("n_merged"),
         "sa",
         "sb",
+        *extra_cols,
     ).select(
         "src_a",
         "src_b",
@@ -1825,6 +1853,7 @@ def _kmv_pair_scores(sk: DataFrame) -> DataFrame:
             "AND array_contains(sb, x))) AS BIGINT)"
         ).alias("inter_in_u"),
         F.expr("CAST(size(u) AS BIGINT)").alias("n_u"),
+        *extra_cols,
     ).withColumn(
         "est_inter",
         (F.col("inter_in_u") * F.col("est_union"))
@@ -1918,31 +1947,46 @@ def source_shingle_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = sh.groupBy("source").agg(F.count("*").alias("n"))
     sk = _kmv_sketches(sh)
+    # exact pairwise intersections via the by-hash source-set shape the
+    # exact matrix already uses (guide §2.3 — aggregate before you
+    # shuffle): ONE shuffle of (shh -> bounded source set) plus a pair
+    # explode of <= C(|sources|,2) rows per hash, instead of the
+    # previous self-join that shuffled the corpus-scale sh frame TWICE
+    # and joined (r14: min 2.0 s / 1278 tasks -> see OPTIMIZATION_r14).
+    # sh holds DISTINCT (source, shh) rows, so collect_set == the
+    # multiplicity-free source list and the pair counts are identical
+    # integers; sort_array + the i+2 slice reproduces a.source <
+    # b.source ordering (binary string compare in both engines).
     inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shh") == F.col("b.shh"))
-            & (F.col("a.source") < F.col("b.source")),
+        sh.groupBy("shh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "b -> struct(a AS src_a, b AS src_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
         )
         .agg(F.count("*").alias("exact_inter"))
     )
-    scored = _kmv_pair_scores(sk)
-    ea = exact.select(F.col("source").alias("src_a"), F.col("n").alias("exact_a"))
-    eb = exact.select(F.col("source").alias("src_b"), F.col("n").alias("exact_b"))
+    # per-source exact counts ride the pair generation itself (one
+    # tiny |sources|-row join into the sketch frame) instead of two
+    # broadcast joins whose build sides each re-aggregated sh
+    scored = _kmv_pair_scores(sk.join(exact, "source"), extra="n")
     return (
-        scored.join(F.broadcast(ea), "src_a")
-        .join(F.broadcast(eb), "src_b")
-        .join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        scored.join(F.broadcast(inter), ["src_a", "src_b"], "left")
         .select(
             "src_a",
             "src_b",
-            "exact_a",
-            "exact_b",
+            F.col("n_a").alias("exact_a"),
+            F.col("n_b").alias("exact_b"),
             F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
             "est_union",
             "est_inter",
