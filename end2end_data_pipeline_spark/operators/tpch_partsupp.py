@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
-    fan_out,
     load_table,
     session_cached,
 )
@@ -70,7 +69,10 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived partsupp frame, cached once per (session, sf_dir):
     one distinct shuffle over lineitem's (partkey, suppkey) pairs,
     then stateless per-row hash attributes."""
-    li = fan_out(spark, load_table(spark, sf_dir, "lineitem"))
+    # no fan_out: the DISTINCT below shuffles lineitem by hash anyway,
+    # so a round-robin repartition ahead of it is a second full-fact
+    # shuffle for nothing (guide §2.4; r14 A/B on q9: 2x)
+    li = load_table(spark, sf_dir, "lineitem")
     keys = li.select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -219,7 +221,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composite (partkey, suppkey) key; orders joins on orderkey —
     the canonical Q9 plan. The derived-partsupp CTE swaps for the real
     table scan on full TPC-H data."""
-    li = fan_out(spark, load_table(spark, sf_dir, "lineitem"))
+    # no fan_out: every join below is a broadcast probe (map-side), so
+    # the round-robin repartition shuffled the whole fact table just to
+    # spread a codegen'd probe pipeline; at 100 TB the multi-file scan
+    # parallelizes by itself (r14 A/B: min 1.81 s -> 0.98 s)
+    li = load_table(spark, sf_dir, "lineitem")
     ps = _partsupp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_name").contains(_Q9_NAME_PART)
@@ -372,7 +378,9 @@ def q20_excess_inventory_suppliers(
     partsupp-shipped join co-partitions; the supplier dimension joins
     broadcast after the DISTINCT reduces to O(|suppliers|) keys."""
     ps = _partsupp(spark, sf_dir)
-    li = fan_out(spark, load_table(spark, sf_dir, "lineitem"))
+    # no fan_out: the shipped rollup's groupBy shuffles lineitem by the
+    # composite key anyway (same rationale as _partsupp / q9 above)
+    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_name").startswith(_Q20_NAME_PREFIX)
     )
