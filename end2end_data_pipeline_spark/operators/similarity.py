@@ -24,12 +24,12 @@ from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.functions import vectors as vec
 from end2end_data_pipeline_spark.registry import ORACLE, query
 from end2end_data_pipeline_spark.sources.tables import (
-    disk_checkpoint,
     fan_out,
     frame_memo_tag,
     input_scaled_partitions,
     load_table,
     session_cached,
+    session_checkpointed,
     sf_tag,
 )
 
@@ -2295,7 +2295,11 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # review). ranked is |budgets| x |queries| x K rows — tiny,
         # but DISK_ONLY anyway (r14 consistency audit, tables.py note).
     )
-    ranked = disk_checkpoint(ranked)
+    # memoized per (session, sf_dir): the bare checkpoint re-ran the
+    # whole O(n x q x dims) pipeline eagerly on every construction
+    ranked = session_checkpointed(
+        spark, frame_memo_tag(sf_dir, "mrl_ranked"), ranked
+    )
     full_k = ranked.where(F.col("dim_budget") == MRL_DIMS[-1]).select(
         "query_id", "neighbor_id"
     )

@@ -104,6 +104,23 @@ def session_checkpointed(spark: SparkSession, tag: str, frame: DataFrame) -> Dat
     return out
 
 
+def session_memoized(spark: SparkSession, tag: str, build) -> DataFrame:
+    """Memoize an ALREADY-MATERIALIZED frame produced by ``build()``
+    (a zero-arg callable) — for driver-coordinated LOOP outputs
+    (iterative label propagation, fixpoint rounds) whose construction
+    runs eager jobs and driver-side convergence counts before any
+    frame exists. ``session_checkpointed`` cannot short-circuit those
+    (the loop executes before it is called), so repeat invocations
+    would re-run every round; this runs the loop once per
+    (applicationId, tag) and hands every later caller the final
+    materialized frame. Same memo/lifecycle as the checkpoint memo."""
+    key = (spark.sparkContext.applicationId, tag)
+    hit = _CKPT_MEMO.get(key)
+    if hit is None:
+        hit = _CKPT_MEMO[key] = build()
+    return hit
+
+
 def input_scaled_partitions(
     sf_dir: str, *tables: str, target_mb: int = 64, factor: float = 1.0
 ) -> int:
