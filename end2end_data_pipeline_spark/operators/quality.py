@@ -59,27 +59,41 @@ def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, no interpolation — so the result is bit-identical across
     engines, unlike percentile_cont whose float interpolation is not).
 
-    Scale: needs the per-group sort every exact quantile needs — this
-    is the exact twin of ``events_approx_quantiles`` (fixed-size
-    mergeable sketch), shipped for the consumers that require true
-    order statistics; group skew is AQE's problem, and each row
-    computes its decile membership locally (no 9x fanout before the
-    filter)."""
+    Scale: computed from the per-(type, value) HISTOGRAM CDF (the
+    ship_latency_percentiles_by_nation device): the decile at rank
+    r = ceil(n*d/10) under (value, event_id) order is the value whose
+    contiguous rank block [cum-cnt+1, cum] contains r — the event_id
+    tie-break never changes which VALUE holds a rank, and only the
+    value is emitted. So the fact table folds through one map-side-
+    combined aggregate and the sort window runs over distinct values per
+    type (bounded by value cardinality), not over every event — the
+    r13 form sorted the WHOLE fact table inside |event_type| window
+    partitions, a single-partition-per-type sort at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
-    vals = ev.where(F.col("value").isNotNull()).select(
-        "event_type", "event_id", "value"
+    hist = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
     )
-    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = vals.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count("*").over(wn)
+    wo = Window.partitionBy("event_type").orderBy("value")
+    cdf = hist.select(
+        "event_type",
+        "value",
+        "cnt",
+        F.sum("cnt")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
     )
     return (
-        ranked.select(
+        cdf.select(
             "event_type",
             "value",
             F.explode(
-                F.expr("filter(sequence(1, 9), d -> (d * n + 9) div 10 = rn)")
+                F.expr(
+                    "filter(sequence(1, 9), d -> "
+                    "(d * n + 9) div 10 BETWEEN cum - cnt + 1 AND cum)"
+                )
             ).alias("decile"),
         )
         .select(
@@ -944,18 +958,36 @@ def doc_length_gini_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf^2 from a 1.2e13 base at sf10). ``(n_docs+1)*total_chars`` in
     the final expression shares the same bound.
 
-    Scale: one per-lang sort (rank window) over doc lengths — the
-    documented exact-order-statistic cost, same class as
-    ``event_value_deciles``; everything after is an O(langs) rollup."""
+    Scale: computed from the per-(lang, n_chars) HISTOGRAM CDF (the
+    event_value_deciles device): a tie block of ``cnt`` docs with the
+    same length x occupies the contiguous ranks [cum-cnt+1, cum]
+    regardless of the doc_id tie-break, and contributes
+    x * (sum of those ranks) = x * (2*cum - cnt + 1) * cnt / 2 to
+    rank_weighted — an exact integer (consecutive-rank sums are
+    integral). So the fact table folds through one map-side-combined
+    aggregate and the per-lang sort runs over DISTINCT lengths, not
+    every document — the r13 form sorted the whole table inside
+    |langs| window partitions (single-partition-per-lang at 100 TB)."""
     docs = load_table(spark, sf_dir, "documents")
-    wr = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "lang", "n_chars", F.row_number().over(wr).alias("i")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
+    wo = Window.partitionBy("lang").orderBy("n_chars")
+    cdf = hist.select(
+        "lang",
+        "n_chars",
+        "cnt",
+        F.sum("cnt")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
     )
-    s = ranked.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.sum(F.col("i") * F.col("n_chars"))
+    s = cdf.groupBy("lang").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum(F.col("n_chars") * F.col("cnt"))
+        .cast("bigint")
+        .alias("total_chars"),
+        F.sum(
+            F.col("n_chars")
+            * F.expr("(2 * cum - cnt + 1) * cnt div 2")
+        )
         .cast("bigint")
         .alias("rank_weighted"),
     )

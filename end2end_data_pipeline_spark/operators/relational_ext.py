@@ -945,53 +945,50 @@ def lineitem_quantity_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantities — the outlier-robust demand profile that keeps one
     fat-finger order from skewing a brand's forecast.
 
-    Scale: the documented exact-order-statistic cost — one per-brand
-    sort window (same class as ``event_value_deciles``); bounds
-    collapse to O(brands) and broadcast back onto the ranked rows, so
-    the second pass is map-side. At 100 TB the approx-then-exact
-    two-pass (approx_percentile to find candidate cut regions, exact
-    rank only inside them) drops the full sort; the exact variant here
-    IS the oracle-checkable core of that second pass."""
+    Scale: computed from the per-(brand, q) HISTOGRAM CDF (the
+    event_value_deciles device): quantity has a bounded domain, the
+    p01/p99 rank targets fall inside a value block's contiguous rank
+    range [cum-cnt+1, cum] regardless of the (l_orderkey,
+    l_linenumber) tie-break, and every output aggregate (counts, raw
+    and clamped sums) is a per-value linear form — so the fact join
+    folds through ONE map-side-combined aggregate to O(brands x
+    distinct-q) rows and the sort window runs over that spine, never
+    over the fact rows. The r13 form sorted every lineitem row inside
+    |brands| window partitions (single-partition-per-brand at
+    100 TB)."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.col("l_quantity").cast("bigint").alias("q"),
-        "l_orderkey",
-        "l_linenumber",
+        "l_partkey", F.col("l_quantity").cast("bigint").alias("q")
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     pq = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-    wr = Window.partitionBy("p_brand").orderBy("q", "l_orderkey", "l_linenumber")
-    wn = Window.partitionBy("p_brand")
-    ranked = pq.select(
+    hist = pq.groupBy("p_brand", "q").agg(F.count("*").alias("cnt"))
+    wo = Window.partitionBy("p_brand").orderBy("q")
+    cdf = hist.select(
         "p_brand",
         "q",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        "cnt",
+        F.sum("cnt")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("p_brand")).alias("n"),
     )
-    bounds = ranked.groupBy("p_brand").agg(
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.greatest(
-                    F.ceil(WINSOR_LO * F.col("n")).cast("bigint"), F.lit(1)
-                ),
-                F.col("q"),
-            )
-        ).alias("p01"),
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(WINSOR_HI * F.col("n")).cast("bigint"),
-                F.col("q"),
-            )
-        ).alias("p99"),
+    lo_rank = F.greatest(F.ceil(WINSOR_LO * F.col("n")).cast("bigint"), F.lit(1))
+    hi_rank = F.ceil(WINSOR_HI * F.col("n")).cast("bigint")
+    in_block = lambda r: (r >= F.col("cum") - F.col("cnt") + 1) & (r <= F.col("cum"))
+    bounds = cdf.groupBy("p_brand").agg(
+        F.max(F.when(in_block(lo_rank), F.col("q"))).alias("p01"),
+        F.max(F.when(in_block(hi_rank), F.col("q"))).alias("p99"),
     )
     return (
-        ranked.join(F.broadcast(bounds), "p_brand")
+        hist.join(F.broadcast(bounds), "p_brand")
         .groupBy(F.col("p_brand").alias("brand"), "p01", "p99")
         .agg(
-            F.count("*").alias("n_lines"),
-            F.sum("q").cast("bigint").alias("sum_qty"),
-            F.sum(F.least(F.greatest(F.col("q"), F.col("p01")), F.col("p99")))
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.col("q") * F.col("cnt")).cast("bigint").alias("sum_qty"),
+            F.sum(
+                F.least(F.greatest(F.col("q"), F.col("p01")), F.col("p99"))
+                * F.col("cnt")
+            )
             .cast("bigint")
             .alias("sum_qty_winsorized"),
         )
