@@ -21,6 +21,8 @@ from end2end_data_pipeline_spark.functions import texthash as th
 from end2end_data_pipeline_spark.registry import query
 from end2end_data_pipeline_spark.sources.tables import (
     fan_out,
+    frame_memo_tag,
+    input_scaled_partitions,
     load_table,
     model_memo_key,
     session_cached,
@@ -508,6 +510,31 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 RARE_BIGRAM_MAX = 2  # corpus frequency at or below which a bigram is "rare"
 
 
+def _bigram_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, bigram) occurrence counts (with the doc's lang riding
+    along), session-cached: ONE corpus tokenize + shingle-explode +
+    per-doc-keyed partial aggregate serves the bigram LM profile and
+    the diversity bands — each previously ran its own explode pass
+    (the surprise profile ran it twice: once under the LM build, once
+    as the join probe). Rows are bounded by distinct (doc, bigram)
+    pairs, far below raw occurrences on repetitive text."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = fan_out(spark, docs).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(th.shingles(th.tokens("text", th.SPARK), 2, th.SPARK))
+        ).alias("bigram"),
+    )
+    return session_cached(
+        spark,
+        frame_memo_tag(sf_dir, "bigram_doc_counts"),
+        occ.groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("k"))
+        .coalesce(input_scaled_partitions(sf_dir, "documents")),
+    )
+
+
 @query(
     "bigram_surprise_profile",
     oracle=f"""
@@ -541,28 +568,31 @@ def bigram_surprise_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity is not bit-stable across engines — same rationale as
     tfidf_top_terms' rational idf).
 
-    Scale: the LM table is bounded by distinct corpus bigrams (vocab-
-    bounded, shuffle-partitioned by bigram), occurrences join it on the
-    bigram key — both sides hash-partition on the same key, and AQE
-    handles stop-bigram skew; nothing quadratic, nothing driver-side."""
-    docs = load_table(spark, sf_dir, "documents")
-    occ = fan_out(spark, docs).select(
-        "doc_id",
-        F.explode(
-            F.expr(th.shingles(th.tokens("text", th.SPARK), 2, th.SPARK))
-        ).alias("bigram"),
+    Scale: everything folds out of the shared per-(doc, bigram) count
+    frame (``_bigram_doc_counts`` — one cached tokenize+explode pass,
+    partial-aggregated on the per-doc key so hot stop-bigrams never
+    concentrate): the LM table is its bigram rollup (vocab-bounded),
+    the join probes with DISTINCT (doc, bigram) rows instead of raw
+    occurrences, and the per-doc aggregate needs no count-distinct
+    Expand (n_bigrams = sum k, n_distinct = row count, n_rare = sum of
+    k over rare bigrams — identical integers; the r13 form exploded
+    the corpus twice and shipped every occurrence into the join)."""
+    per_db = _bigram_doc_counts(spark, sf_dir)
+    lm = per_db.groupBy("bigram").agg(F.sum("k").alias("c"))
+    rare_k = F.when(F.col("c") <= RARE_BIGRAM_MAX, F.col("k")).otherwise(
+        F.lit(0)
     )
-    lm = occ.groupBy("bigram").agg(F.count("*").alias("c"))
-    rare = F.when(F.col("c") <= RARE_BIGRAM_MAX, 1).otherwise(0)
     return (
-        occ.join(lm, "bigram")
+        per_db.join(lm, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.count_distinct("bigram").cast("bigint").alias("n_distinct"),
+            F.sum("k").alias("n_bigrams"),
+            F.count("*").cast("bigint").alias("n_distinct"),
             F.min("c").cast("bigint").alias("rarest_count"),
-            F.sum(rare).cast("bigint").alias("n_rare"),
-            (F.sum(rare) / F.count("*").cast("double")).alias("rare_ratio"),
+            F.sum(rare_k).cast("bigint").alias("n_rare"),
+            (
+                F.sum(rare_k) / F.sum("k").cast("double")
+            ).alias("rare_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -618,18 +648,12 @@ def docs_bigram_diversity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram occurrences partial-aggregate on (doc, bigram) —
     the per-doc key keeps hot stop-bigrams from concentrating — then
     collapse to two integers per doc and an O(langs x 4) rollup.
-    No join, no window, no float before the final rollup."""
-    docs = load_table(spark, sf_dir, "documents")
-    occ = fan_out(spark, docs).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(th.shingles(th.tokens("text", th.SPARK), 2, th.SPARK))
-        ).alias("bigram"),
-    )
+    No join, no window, no float before the final rollup. The
+    per-(doc, bigram) counts come from the shared cached frame
+    (``_bigram_doc_counts``) the surprise profile also reads."""
     per_doc = (
-        occ.groupBy("doc_id", "lang", "bigram")
-        .agg(F.count("*").alias("c"))
+        _bigram_doc_counts(spark, sf_dir)
+        .withColumnRenamed("k", "c")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("c").cast("bigint").alias("n"),

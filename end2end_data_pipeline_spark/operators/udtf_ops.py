@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
 from end2end_data_pipeline_spark.registry import query
-from end2end_data_pipeline_spark.sources.tables import register_views
+from end2end_data_pipeline_spark.sources.tables import fan_out, load_table
 
 MIN_RUN = 2
 
@@ -76,13 +76,20 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch transfer), cross-checked against the pure-SQL
     gaps-and-islands form. Repetition runs are the degenerate-document
     signal ``doc_repetition_profile`` aggregates; this exposes the raw
-    run rows."""
-    register_views(spark, sf_dir, "documents")
+    run rows.
+
+    The UDTF input rides ``fan_out`` (guide §4/§2.6): the boundary is
+    the surface under test, but a single-row-group parquet scan fed
+    the per-document Python loop on ONE core — the same degenerate
+    small-file case every other CPU-heavy per-row pass guards
+    against; on a real multi-file table the guard is a no-op."""
+    docs = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    docs.createOrReplaceTempView("udtf_token_runs_docs")
     spark.udtf.register("token_runs", TokenRunsUDTF)
     return spark.sql(
         """
         SELECT d.doc_id, tr.token, tr.start_pos, tr.run_len
-        FROM documents d, LATERAL token_runs(d.text) tr
+        FROM udtf_token_runs_docs d, LATERAL token_runs(d.text) tr
         ORDER BY d.doc_id, tr.start_pos
         """
     )
