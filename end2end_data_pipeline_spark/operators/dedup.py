@@ -210,8 +210,14 @@ def _signatures_sql(dialect: str) -> str:
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (k=8 salted portable hashes over 3-gram
-    word shingles). Validates the LSH machinery value-exactly."""
-    sigs = _signatures(spark, sf_dir)
+    word shingles). Validates the LSH machinery value-exactly. Read
+    through the shared ``minhash_sigs`` session cache (r14: this query
+    and dedup_band_stats recomputed the signature pass per execution
+    while the pair queries cached the identical frame; the cache is
+    columnar, so selecting the mh columns never deserializes shh)."""
+    sigs = session_cached(
+        spark, frame_memo_tag(sf_dir, "minhash_sigs"), _signatures(spark, sf_dir)
+    )
     return sigs.select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)]).orderBy(
         "doc_id"
     )
@@ -392,8 +398,15 @@ def _simhash_duck_cte() -> str:
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (per-bit majority vote over token
     hashes), computed in whole-stage codegen via the explode+aggregate
-    shape (see ``_simhash_signatures``)."""
-    return _simhash_signatures(spark, sf_dir).orderBy("doc_id")
+    shape (see ``_simhash_signatures``) — read through the same
+    session cache ``dedup_simhash_pairs`` uses (r14: the signature
+    query recomputed the 64-vote aggregation per execution while its
+    sibling cached the identical frame)."""
+    return session_cached(
+        spark,
+        frame_memo_tag(sf_dir, "simhash_sigs"),
+        _simhash_signatures(spark, sf_dir),
+    ).orderBy("doc_id")
 
 
 @query(
@@ -909,8 +922,12 @@ def dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — run it on a new corpus BEFORE trusting the cap.
 
     Scale: one shuffle keyed on (band_id, band_key) with map-side
-    partial counts; the bucket table reduces to N_BANDS rows."""
-    sigs = _signatures(spark, sf_dir)
+    partial counts; the bucket table reduces to N_BANDS rows. Reads
+    the shared ``minhash_sigs`` session cache (see
+    dedup_minhash_signatures)."""
+    sigs = session_cached(
+        spark, frame_memo_tag(sf_dir, "minhash_sigs"), _signatures(spark, sf_dir)
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(
