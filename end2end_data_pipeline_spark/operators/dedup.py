@@ -674,13 +674,25 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cluster_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _lsh_edges(spark, sf_dir)
+    # symmetrize by exploding a 2-array of structs — a self-union
+    # would run the whole LSH candidate+verify pipeline once per
+    # branch during the cache build (guide §2.4; the itemitem lesson)
     bidir = session_cached(
         spark,
         frame_memo_tag(sf_dir, "cc_bidir_edges"),
-        edges.union(
-            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        .toDF("src", "dst")
+        .select("e.src", "e.dst")
         .repartition(CC_PARTITIONS, "src"),
     )
     labels = disk_checkpoint(

@@ -409,21 +409,29 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("close_day"),
         )
     )
-    opens = spans.select(
-        F.col("open_day").alias("day"),
-        F.lit(1).alias("delta"),
-        F.lit(1).alias("opened"),
-        F.lit(0).alias("closed"),
-    )
-    closes = spans.select(
-        F.date_add("close_day", 1).alias("day"),
-        F.lit(-1).alias("delta"),
-        F.lit(0).alias("opened"),
-        F.lit(1).alias("closed"),
-    )
+    # explode both delta rows from ONE spans frame — a union of two
+    # selects re-executes the whole orders x lineitem span pipeline
+    # per branch (the session_concurrency_timeline lesson; guide §2.4)
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("open_day").alias("day"),
+                    F.lit(1).alias("delta"),
+                    F.lit(1).alias("opened"),
+                    F.lit(0).alias("closed"),
+                ),
+                F.struct(
+                    F.date_add("close_day", 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                    F.lit(0).alias("opened"),
+                    F.lit(1).alias("closed"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
     daily = (
-        opens.unionByName(closes)
-        .groupBy("day")
+        deltas.groupBy("day")
         .agg(
             F.sum("delta").cast("bigint").alias("delta"),
             F.sum("opened").cast("bigint").alias("n_opened"),
