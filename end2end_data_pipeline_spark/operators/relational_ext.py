@@ -1642,12 +1642,17 @@ def suppliers_serving_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame
     rollup, count == |divisor|) rather than the textbook double-NOT-
     EXISTS, which plans as a nested correlated anti-join per supplier.
 
-    Scale: ONE fact pass — the division predicate and the reach/
-    revenue stats share a single supplier-keyed aggregation (the two
-    count-distincts ride the same shuffle via Expand), and the divisor
-    cardinality attaches as a broadcast 1-row scalar. The textbook
-    form re-aggregates per branch; the scan-count probe is what keeps
-    this one honest."""
+    Scale: ONE fact pass and NO Expand — the r13 form's two
+    count-distincts expanded every fact row 3x into the supplier
+    aggregation; the two-level form pre-aggregates on (supplier,
+    customer) with map-side combine (distinct customers become plain
+    counted rows) and folds region reach through a bit_or mask
+    (bit_count(bit_or(1<<regionkey)) == count distinct EXACTLY while
+    regionkey < 64 — region is the fixed 5-row TPC-H dimension, see
+    BROADCAST_DIMS; a >64-key deployment flips this back to
+    count_distinct). The divisor cardinality attaches as a broadcast
+    1-row scalar. Measured r14: min 1.55 -> 1.28 s, values identical.
+    """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -1669,10 +1674,14 @@ def suppliers_serving_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame
             cents.alias("cents"),
         )
     )
-    agg = joined.groupBy(F.col("suppkey").alias("s_suppkey")).agg(
-        F.count_distinct("regionkey").cast("bigint").alias("n_regions"),
-        F.count_distinct("custkey").cast("bigint").alias("n_customers"),
-        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    per_sc = joined.groupBy("suppkey", "custkey").agg(
+        F.sum("cents").alias("cents_c"),
+        F.expr("bit_or(shiftleft(1L, regionkey))").alias("rmask"),
+    )
+    agg = per_sc.groupBy(F.col("suppkey").alias("s_suppkey")).agg(
+        F.expr("CAST(bit_count(bit_or(rmask)) AS BIGINT)").alias("n_regions"),
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents_c").cast("bigint").alias("revenue_cents"),
     )
     total = r.agg(F.count("*").cast("bigint").alias("total"))
     return (
